@@ -1,0 +1,358 @@
+"""Distributed inverted-index build (SURVEY.md §2.2/§2.4 rebuilt Spark-first).
+
+Pipeline (each stage checkpointed, see ``index.py``):
+
+1. ``docs``      — last-write-wins dedupe by primary key (reference
+   ``Transform::read_documents`` + ``ReplaceDocuments``,
+   ``src/update/index_documents/transform.rs:107-360``) and deterministic
+   docid assignment: docid = global rank of pk, computed with a scalable
+   two-pass range-sort (never ``monotonically_increasing_id`` — docids must
+   be identical at any parallelism).
+2. ``extract``   — Arrow-batched ``mapInPandas`` tokenization (reference P1,
+   ``extract_docid_word_positions.rs:26-127``) emitting one row per
+   (docid, term): tf, sorted positions, dl. Per-doc aggregation happens
+   inside the UDF, so the ONLY shuffle in the whole build is the
+   repartition-by-(term, shard) in stage 5. Output is spilled to parquet
+   partitioned by term-bucket — this is the per-partition extraction
+   checkpoint.
+3. ``doc_stats`` — (docid, pk, dl, attrs) + scalars N/avgdl (reference P4
+   generalized to exact doc lengths — the data BM25 needs and the reference
+   discards).
+4. ``terms``     — global dictionary (term, term_id, df, cf, max_tf)
+   (reference words FST, ``src/index.rs:56``). df is computed globally
+   BEFORE sharding, so BM25 idf is exact regardless of salting.
+5. ``postings``  — per term-bucket: ``groupBy(term, shard).applyInPandas``
+   encodes sorted-docid delta+varint blocks with block-max metadata
+   (reference P2 ``extract_word_docids.rs`` + codec
+   ``cbo_roaring_bitmap_codec.rs`` replaced per the north rule).
+   ``shard = docid % num_shards`` is the skew salt: a head term's postings
+   split into num_shards bounded groups, and query-time scoring is
+   document-partitioned (per-shard top-k + global merge).
+6. ``finalize``  — meta.json commit (the "snapshot publish").
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+import zlib
+from collections import defaultdict
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.analysis import tokenize_with_positions
+from search_engine_spark.codecs import encode_postings
+from search_engine_spark.config import IndexConfig
+from search_engine_spark.index import (
+    CheckpointLog,
+    IndexPaths,
+    read_meta,
+    staged_write,
+    write_meta,
+)
+
+POSTINGS_SCHEMA = (
+    "bucket int, term string, shard int, n_docs int, "
+    "docs binary, tfs binary, dls binary, poss binary, "
+    "block_meta array<struct<first_docid:long, max_docid:long, max_impact:double, "
+    "doc_off:long, tf_off:long, dl_off:long, pos_off:long>>"
+)
+
+TERM_DOC_SCHEMA = (
+    "bucket int, term string, shard int, docid long, tf int, dl int, positions array<int>"
+)
+
+
+def assign_docids(df: DataFrame, pk_col: str, n_parts: int = 32) -> DataFrame:
+    """docid = global 0-based rank of pk. Scalable two-pass: range-sort, count
+    rows per physical partition, broadcast offsets, rank within partition.
+
+    Deterministic for unique pks at any parallelism: ranks depend only on the
+    total order of pk, not on where partition boundaries land. The sorted df
+    is persisted so the count pass and the rank pass see the same partitions.
+    """
+    d = df.repartitionByRange(n_parts, F.col(pk_col)).sortWithinPartitions(pk_col)
+    d = d.withColumn("_pid", F.spark_partition_id())
+    d.persist()
+    try:
+        counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        spark = df.sparkSession
+        off_df = spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
+        )
+        w = Window.partitionBy("_pid").orderBy(pk_col)
+        out = (
+            d.join(F.broadcast(off_df), "_pid")
+            .withColumn("docid", F.row_number().over(w) + F.col("_offset") - F.lit(1))
+            .drop("_pid", "_offset")
+        )
+        # materialize before unpersist (caller writes immediately)
+        return out
+    finally:
+        pass  # persist released by caller via spark.catalog.clearCache or GC
+
+
+def _dedupe_last_write_wins(df: DataFrame, pk_col: str, ts_col: str | None) -> DataFrame:
+    if ts_col and ts_col in df.columns:
+        w = Window.partitionBy(pk_col).orderBy(F.col(ts_col).desc())
+        return df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    return df.dropDuplicates([pk_col])
+
+
+def make_extract_fn(config: IndexConfig):
+    """mapInPandas extractor: (docid, text) batches -> per-(docid, term) rows.
+
+    All Python work is batched through Arrow; the tokenizer is the frozen
+    function shared with the oracle (the byte-identical per-url invariant).
+    """
+    num_shards = config.num_shards
+    num_buckets = config.num_buckets
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            buckets, terms, shards, docids, tfs, dls, poss = [], [], [], [], [], [], []
+            for docid, text in zip(pdf["docid"].to_numpy(), pdf["text"].to_numpy()):
+                toks = tokenize_with_positions(text if isinstance(text, str) else "")
+                dl = len(toks)
+                per_term: dict[str, list[int]] = defaultdict(list)
+                for t, p in toks:
+                    per_term[t].append(p)
+                shard = int(docid) % num_shards
+                for t, ps in per_term.items():
+                    buckets.append(zlib.crc32(t.encode("utf-8")) % num_buckets)
+                    terms.append(t)
+                    shards.append(shard)
+                    docids.append(int(docid))
+                    tfs.append(len(ps))
+                    dls.append(dl)
+                    poss.append(ps)
+            yield pd.DataFrame(
+                {
+                    "bucket": pd.Series(buckets, dtype="int32"),
+                    "term": terms,
+                    "shard": pd.Series(shards, dtype="int32"),
+                    "docid": pd.Series(docids, dtype="int64"),
+                    "tf": pd.Series(tfs, dtype="int32"),
+                    "dl": pd.Series(dls, dtype="int32"),
+                    "positions": poss,
+                }
+            )
+
+    return extract
+
+
+def make_encode_fn(config: IndexConfig, avgdl: float):
+    """applyInPandas encoder for one (term, shard) group -> one segment row."""
+    block_size = config.block_size
+    store_positions = config.store_positions
+    k1, b = config.k1, config.b
+    num_buckets = config.num_buckets
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("docid")
+        docids = pdf["docid"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        positions = (
+            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+            if store_positions
+            else None
+        )
+        enc = encode_postings(
+            docids, tfs, dls, positions,
+            block_size=block_size, avgdl=avgdl, k1=k1, b=b,
+        )
+        term = pdf["term"].iloc[0]
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series([zlib.crc32(term.encode()) % num_buckets], dtype="int32"),
+                "term": [term],
+                "shard": pd.Series([int(pdf["shard"].iloc[0])], dtype="int32"),
+                "n_docs": pd.Series([enc.n_docs], dtype="int32"),
+                "docs": [enc.docs],
+                "tfs": [enc.tfs],
+                "dls": [enc.dls],
+                "poss": [enc.poss],
+                "block_meta": [enc.block_meta_rows()],
+            }
+        )
+
+    return encode
+
+
+class BuildError(RuntimeError):
+    pass
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    index_dir: str,
+    config: IndexConfig | None = None,
+    *,
+    fail_after: str | None = None,
+    build_id: str | None = None,
+) -> dict:
+    """Build (or resume) an index at ``index_dir``. Returns the meta dict.
+
+    ``fail_after='<stage>'`` injects a failure right after that stage commits
+    (kill-and-resume test harness). A resumed build skips every stage whose
+    checkpoint manifest exists — per bucket for the postings stage.
+    """
+    config = config or IndexConfig()
+    paths = IndexPaths(index_dir)
+    paths.ensure()
+    build_id = build_id or uuid.uuid4().hex[:12]
+    log = CheckpointLog(paths, build_id)
+    metrics_rows: list[dict] = []
+
+    def maybe_fail(stage: str):
+        if fail_after == stage:
+            raise BuildError(f"injected failure after stage {stage!r}")
+
+    # ---- stage 1: docs (dedupe + docid assignment) --------------------
+    if not log.done("docs"):
+        t0 = time.time()
+        deduped = _dedupe_last_write_wins(pages, config.pk_col, config.ts_col)
+        keep_cols = [config.pk_col, config.text_col, *config.attr_cols]
+        if config.docid_col:
+            docs = deduped.withColumn("docid", F.col(config.docid_col).cast("long"))
+        else:
+            docs = assign_docids(deduped, config.pk_col)
+        docs = docs.select(
+            "docid", F.col(config.pk_col).alias("pk"), F.col(config.text_col).alias("text"),
+            *[F.col(c) for c in config.attr_cols],
+        )
+        staging, commit = staged_write(paths.docs)
+        docs.write.mode("overwrite").parquet(staging)
+        commit()
+        spark.catalog.clearCache()
+        n_docs = spark.read.parquet(paths.docs).count()
+        log.commit("docs", inputs={"source": "caller DataFrame"},
+                   metrics={"n_docs": n_docs}, wall_s=time.time() - t0)
+    maybe_fail("docs")
+    n_docs = log.read("docs")["metrics"]["n_docs"]
+
+    docs_df = spark.read.parquet(paths.docs)
+
+    # ---- stage 2: extract (tokenize -> term_doc spill) -----------------
+    if not log.done("extract"):
+        t0 = time.time()
+        extracted = docs_df.select("docid", "text").mapInPandas(
+            make_extract_fn(config), schema=TERM_DOC_SCHEMA
+        )
+        staging, commit = staged_write(paths.term_doc)
+        extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        commit()
+        n_postings = spark.read.parquet(paths.term_doc).count()
+        log.commit("extract", inputs={"docs": n_docs},
+                   metrics={"n_term_doc_rows": n_postings}, wall_s=time.time() - t0)
+    maybe_fail("extract")
+
+    term_doc = spark.read.parquet(paths.term_doc)
+
+    # ---- stage 3: doc_stats + scalars ----------------------------------
+    if not log.done("doc_stats"):
+        t0 = time.time()
+        dl_df = term_doc.groupBy("docid").agg(F.first("dl").alias("dl"))
+        stats = (
+            docs_df.select("docid", "pk", *config.attr_cols)
+            .join(dl_df, "docid", "left")
+            .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int"))
+        )
+        staging, commit = staged_write(paths.doc_stats)
+        stats.write.mode("overwrite").parquet(staging)
+        commit()
+        agg = spark.read.parquet(paths.doc_stats).agg(
+            F.count("*").alias("n"), F.sum("dl").alias("total_dl")
+        ).collect()[0]
+        avgdl = (agg["total_dl"] or 0) / agg["n"] if agg["n"] else 0.0
+        log.commit("doc_stats", inputs={"docs": n_docs},
+                   metrics={"n_docs": agg["n"], "total_dl": int(agg["total_dl"] or 0),
+                            "avgdl": avgdl},
+                   wall_s=time.time() - t0)
+    maybe_fail("doc_stats")
+    ds_meta = log.read("doc_stats")["metrics"]
+    avgdl = ds_meta["avgdl"]
+
+    # ---- stage 4: terms dictionary --------------------------------------
+    if not log.done("terms"):
+        t0 = time.time()
+        terms = term_doc.groupBy("term").agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        )
+        terms = assign_docids(terms, "term").withColumnRenamed("docid", "term_id")
+        staging, commit = staged_write(paths.terms)
+        terms.select("term", "term_id", "df", "cf", "max_tf").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        commit()
+        spark.catalog.clearCache()
+        n_terms = spark.read.parquet(paths.terms).count()
+        log.commit("terms", inputs={"term_doc": "extract"},
+                   metrics={"n_terms": n_terms}, wall_s=time.time() - t0)
+    maybe_fail("terms")
+
+    # ---- stage 5: postings segments, per bucket --------------------------
+    encode_fn = make_encode_fn(config, avgdl)
+    os.makedirs(paths.postings, exist_ok=True)
+    for b in range(config.num_buckets):
+        stage = f"postings:bucket={b}"
+        if log.done(stage):
+            continue
+        t0 = time.time()
+        td_b = term_doc.filter(F.col("bucket") == b)
+        seg = td_b.groupBy("term", "shard").applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
+        bucket_dir = os.path.join(paths.postings, f"bucket={b}")
+        staging, commit = staged_write(bucket_dir)
+        seg.drop("bucket").write.mode("overwrite").parquet(staging)
+        commit()
+        m = spark.read.parquet(bucket_dir).agg(
+            F.count("*").alias("segments"),
+            F.sum("n_docs").alias("postings_emitted"),
+            F.sum(
+                F.octet_length("docs") + F.octet_length("tfs")
+                + F.octet_length("dls") + F.octet_length("poss")
+            ).alias("bytes_compressed"),
+        ).collect()[0]
+        metrics = {
+            "segments_merged": int(m["segments"] or 0),
+            "postings_emitted": int(m["postings_emitted"] or 0),
+            "bytes_compressed": int(m["bytes_compressed"] or 0),
+        }
+        metrics_rows.append({"stage": stage, "build_id": build_id, **metrics})
+        log.commit(stage, inputs={"term_doc_bucket": b, "avgdl": avgdl},
+                   metrics=metrics, wall_s=time.time() - t0)
+        maybe_fail(stage)
+    maybe_fail("postings")
+
+    # ---- stage 6: finalize ----------------------------------------------
+    scalars = {
+        "n_docs": int(ds_meta["n_docs"]),
+        "avgdl": float(avgdl),
+        "total_dl": int(ds_meta["total_dl"]),
+        "n_terms": int(log.read("terms")["metrics"]["n_terms"]),
+        "build_id": build_id,
+    }
+    write_meta(paths, config, scalars)
+    if metrics_rows:
+        import json
+
+        with open(os.path.join(paths.metrics, f"build-{build_id}.jsonl"), "a") as f:
+            for r in metrics_rows:
+                f.write(json.dumps(r) + "\n")
+    if not log.done("finalize"):
+        log.commit("finalize", inputs={"stages": "all"}, metrics=scalars, wall_s=0.0)
+    return read_meta(paths)

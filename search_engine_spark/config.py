@@ -1,0 +1,82 @@
+"""Index configuration.
+
+Frozen constants mirror the reference engine where semantics carry over:
+
+* ``MAX_WORD_LENGTH = 250`` bytes — reference ``src/lib.rs:109``, enforced at
+  ``src/update/index_documents/extract/extract_docid_word_positions.rs:187``.
+* ``MAX_POSITION = 65535`` — reference caps relative positions per attribute
+  at 65536 (``src/lib.rs:111``).
+* hard-separator position gap ``8`` — reference ``process_tokens``
+  (``extract_docid_word_positions.rs:242-265``).
+* BM25 ``k1=1.2, b=0.75`` with ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` —
+  NOT in the reference (it uses ranking-rule bucket sort and never stores
+  term frequencies); mandated by the rebuild's north rule. Ties broken by
+  (score desc, docid asc) everywhere, including block-max bounds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+MAX_WORD_LENGTH = 250  # bytes, UTF-8
+MAX_POSITION = 65535
+HARD_SEPARATOR_GAP = 8
+SOFT_SEPARATOR_GAP = 1
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# typo expansion thresholds — reference src/update/typo_config.rs:14-35
+TYPO_ONE_MIN_LEN = 4
+TYPO_TWO_MIN_LEN = 7
+TYPO_MAX_EXPANSIONS = 20
+
+# prefix materialization — reference src/update/words_prefixes_fst.rs:17-18
+PREFIX_MAX_LEN = 4
+PREFIX_MIN_WORDS = 100
+
+
+@dataclass
+class IndexConfig:
+    """Build-time configuration for one index.
+
+    ``num_shards`` is the document-range sharding factor: every posting row
+    is keyed ``(term, shard)`` with ``shard = docid % num_shards``. This is
+    the "salted repartition-by-term": a head term ("the") is split across
+    all shards instead of landing on one reducer, and query-time scoring is
+    document-partitioned (classic distributed top-k: per-shard bounded heap,
+    global merge). At 10^12 docs this would be thousands; tests use small
+    values.
+
+    ``num_buckets`` hash-partitions the *postings table files* by term so a
+    query touching 3 terms prunes to <=3 buckets at scan time (replaces the
+    reference's per-word LMDB point lookups, ``src/index.rs:110-111``).
+    """
+
+    text_col: str = "text"
+    pk_col: str = "url"
+    ts_col: str | None = "warc_ts"  # last-write-wins dedup column (T1/T2)
+    docid_col: str | None = None  # pre-assigned integer docid, else derived
+    attr_cols: tuple[str, ...] = ()  # filterable/sortable attributes kept in doc_stats
+
+    num_shards: int = 8
+    num_buckets: int = 8
+    block_size: int = 128
+    store_positions: bool = True
+
+    k1: float = BM25_K1
+    b: float = BM25_B
+
+    # salting threshold is implicit: sharding is unconditional (uniform by
+    # docid), which bounds every (term, shard) group to ~df/num_shards.
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d["attr_cols"] = list(self.attr_cols)
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "IndexConfig":
+        d = dict(d)
+        d["attr_cols"] = tuple(d.get("attr_cols", ()))
+        return IndexConfig(**d)

@@ -1,0 +1,188 @@
+"""Single-process BM25 oracle (SURVEY.md §5.2 item 2).
+
+A deliberately simple, obviously-correct implementation over plain Python
+dicts, sharing the EXACT tokenizer function with the Spark engine
+(``search_engine_spark.analysis``). The distributed engine must reproduce its
+top-k docids AND scores rank-identically (ties: score desc, docid asc).
+
+Plays the role of the reference's ``TestContext`` in-memory-postings harness
+(``/root/reference/src/search/query_graph.rs:536-543``), with BM25 in place
+of the reference's ranking-rule bucket sort (the reference has no BM25 and
+stores postings as docid *sets*; SURVEY.md header note).
+
+BM25 spec (frozen): k1=1.2, b=0.75,
+idf = ln(1 + (N - df + 0.5) / (df + 0.5)),
+score(d, q) = sum_t idf(t) * tf / (tf + k1*(1 - b + b*dl/avgdl)),
+N = total docs (including token-less ones), avgdl = mean dl over all N docs.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from search_engine_spark.analysis import tokenize_with_positions
+from search_engine_spark.config import BM25_B, BM25_K1
+from search_engine_spark.query_parse import ParsedQuery, parse_query, typo_candidates
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int = 0
+    avgdl: float = 0.0
+    dl: dict[int, int] = field(default_factory=dict)
+    # term -> {docid -> tf}
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)
+    # term -> {docid -> [positions]}
+    positions: dict[str, dict[int, list[int]]] = field(default_factory=dict)
+    docid_to_pk: dict[int, str] = field(default_factory=dict)
+    attrs: dict[int, dict] = field(default_factory=dict)
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    def idf(self, term: str) -> float:
+        d = self.df(term)
+        return math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
+
+
+def build_oracle_index(
+    pages: pd.DataFrame,
+    text_col: str = "text",
+    pk_col: str = "url",
+    ts_col: str | None = "warc_ts",
+    attr_cols: tuple[str, ...] = (),
+) -> OracleIndex:
+    """Last-write-wins dedupe by pk, docid = rank of pk in sorted order
+    (matches the engine's row_number-over-url docid assignment)."""
+    df = pages
+    if ts_col is not None and ts_col in df.columns:
+        df = df.sort_values([pk_col, ts_col]).groupby(pk_col, as_index=False).last()
+    else:
+        df = df.drop_duplicates(subset=[pk_col], keep="last")
+    df = df.sort_values(pk_col).reset_index(drop=True)
+
+    idx = OracleIndex()
+    idx.n_docs = len(df)
+    total_dl = 0
+    for docid, row in df.iterrows():
+        docid = int(docid)
+        idx.docid_to_pk[docid] = row[pk_col]
+        idx.attrs[docid] = {c: row[c] for c in attr_cols}
+        toks = tokenize_with_positions(row[text_col] or "")
+        idx.dl[docid] = len(toks)
+        total_dl += len(toks)
+        per_term: dict[str, list[int]] = defaultdict(list)
+        for t, p in toks:
+            per_term[t].append(p)
+        for t, ps in per_term.items():
+            idx.postings.setdefault(t, {})[docid] = len(ps)
+            idx.positions.setdefault(t, {})[docid] = ps
+    idx.avgdl = total_dl / idx.n_docs if idx.n_docs else 0.0
+    return idx
+
+
+def _bm25_score(idx: OracleIndex, term_weights: list[tuple[str, float]], docid: int) -> float:
+    s = 0.0
+    dl = idx.dl[docid]
+    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / max(idx.avgdl, 1e-12))
+    for term, idf in term_weights:
+        tf = idx.postings.get(term, {}).get(docid)
+        if tf:
+            s += idf * tf / (tf + norm)
+    return s
+
+
+def _phrase_docids(idx: OracleIndex, phrase: list[str]) -> set[int]:
+    """Docs where phrase terms occur at consecutive positions (+1 steps)."""
+    if not phrase:
+        return set()
+    cand: set[int] | None = None
+    for t in phrase:
+        docs = set(idx.positions.get(t, {}))
+        cand = docs if cand is None else (cand & docs)
+        if not cand:
+            return set()
+    out = set()
+    for d in cand or set():
+        starts = set(idx.positions[phrase[0]][d])
+        ok = False
+        for s in starts:
+            if all((s + i) in idx.positions[phrase[i]][d] for i in range(1, len(phrase))):
+                ok = True
+                break
+        if ok:
+            out.add(d)
+    return out
+
+
+def _expand_prefix(idx: OracleIndex, prefix: str) -> list[str]:
+    return sorted(t for t in idx.postings if t.startswith(prefix))
+
+
+def oracle_search(
+    idx: OracleIndex,
+    query: str,
+    k: int = 10,
+    allowed_docids: set[int] | None = None,
+) -> list[tuple[int, float]]:
+    """-> [(docid, score)] top-k, ties (score desc, docid asc).
+
+    Supports the reference query grammar (``src/search/query_parser.rs:9-121``):
+    bare words (OR semantics a la TermsMatchingStrategy::Last reduced to
+    disjunctive BM25), "quoted phrases" (must match adjacently; phrase words
+    also contribute to the score), -negated words, trailing * prefix,
+    trailing ~ typo expansion.
+    """
+    pq: ParsedQuery = parse_query(query)
+
+    # scoring terms: words + phrase members + expansions
+    term_weights: list[tuple[str, float]] = []
+    candidate_docs: set[int] = set()
+
+    def add_scoring_term(t: str):
+        if idx.df(t) == 0:
+            return
+        term_weights.append((t, idx.idf(t)))
+        candidate_docs.update(idx.postings[t])
+
+    seen: set[str] = set()
+    for w in pq.words:
+        if w not in seen:
+            seen.add(w)
+            add_scoring_term(w)
+    for pref in pq.prefixes:
+        for t in _expand_prefix(idx, pref):
+            if t not in seen:
+                seen.add(t)
+                add_scoring_term(t)
+    for ty in pq.typos:
+        for t in typo_candidates(ty, idx.postings.keys()):
+            if t not in seen:
+                seen.add(t)
+                add_scoring_term(t)
+    for ph in pq.phrases:
+        for w in ph:
+            if w not in seen:
+                seen.add(w)
+                add_scoring_term(w)
+
+    # phrase constraint: candidates must contain every phrase adjacently
+    # (phrase terms are scoring terms, so phrase docs ⊆ current candidates)
+    for ph in pq.phrases:
+        candidate_docs &= _phrase_docids(idx, ph)
+
+    # negation: drop docs containing any negated term
+    for neg in pq.negated:
+        nd = set(idx.postings.get(neg, {}))
+        candidate_docs -= nd
+
+    if allowed_docids is not None:
+        candidate_docs &= allowed_docids
+
+    scored = [(d, _bm25_score(idx, term_weights, d)) for d in candidate_docs]
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]

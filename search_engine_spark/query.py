@@ -1,0 +1,491 @@
+"""BM25 top-k query engine over a built index.
+
+Replaces the reference's ranking-rule bucket sort
+(``/root/reference/src/search/ranking/bucket_sort.rs:17-84``) with the north
+rule's BM25 retrieval. Execution shape (document-partitioned distributed
+top-k):
+
+1. driver: parse query (shared grammar, ``query_parse.py``), look up term
+   stats in the dictionary (exact / prefix range / typo Levenshtein —
+   reference Q1/Q4/P11), compute idf per scoring term;
+2. scan only the postings buckets/terms involved (directory-partition
+   pruning on ``bucket=`` + parquet row-group pruning on ``term``) — the
+   Spark analogue of the reference's per-word LMDB point reads memoized in
+   ``DatabaseCache`` (``src/search/db_cache.rs``);
+3. per shard (``groupBy('shard')``, or ``cogroup`` with the filter's allowed
+   docids): score inside an Arrow-batched pandas UDF with a bounded top-k —
+   either vectorized exhaustive numpy scoring or block-max WAND with a
+   k-sized min-heap (the north rule's pruning; the analogue of the
+   reference's bucket-refinement candidate subtraction,
+   ``ranking/words.rs:66``);
+4. global merge: ``orderBy(score desc, docid asc).limit(k)`` over <=
+   num_shards*k candidate rows, then join display columns back from
+   doc_stats (reference O2 ``obkv_to_json``, ``src/lib.rs:209-234``).
+
+Total order everywhere (heap, bounds, merge): (score desc, docid asc).
+WAND prunes only on STRICT inequality so bound==threshold ties are still
+evaluated — this keeps WAND rank-identical to exhaustive scoring and to the
+single-process oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.codecs import PostingReader
+from search_engine_spark.config import IndexConfig
+from search_engine_spark.filters import to_column
+from search_engine_spark.index import IndexPaths, read_meta, term_bucket
+from search_engine_spark.query_parse import (
+    ParsedQuery,
+    max_typos_for,
+    parse_query,
+    typo_candidates,
+)
+
+RESULT_SCHEMA = "docid long, score double"
+OUT_SCHEMA = "rank int, docid long, pk string, score double"
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+@dataclass
+class QueryPlan:
+    term_weights: dict[str, float]  # scoring term -> idf
+    phrases: list[list[str]]
+    negated: list[str]
+    k: int
+
+
+class SearchIndex:
+    """Query handle over one index directory (see ``index.py`` layout)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        meta = read_meta(self.paths)
+        self.config = IndexConfig.from_dict(meta["config"])
+        self.n_docs: int = meta["n_docs"]
+        self.avgdl: float = meta["avgdl"]
+        self._postings = spark.read.parquet(self.paths.postings)
+        self._terms = spark.read.parquet(self.paths.terms)
+        self._doc_stats = spark.read.parquet(self.paths.doc_stats)
+
+    # -- dictionary lookups (reference Q1/Q4/P11-12) ----------------------
+    def _lookup_exact(self, words: list[str]) -> dict[str, int]:
+        if not words:
+            return {}
+        rows = (
+            self._terms.filter(F.col("term").isin(list(set(words))))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: r["df"] for r in rows}
+
+    def _expand_prefix(self, prefix: str) -> dict[str, int]:
+        rows = (
+            self._terms.filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .collect()
+        )
+        return {r["term"]: r["df"] for r in rows}
+
+    def _expand_typo(self, word: str) -> dict[str, int]:
+        budget = max_typos_for(word)
+        if budget == 0:
+            return self._lookup_exact([word])
+        cand = (
+            self._terms.filter(
+                (F.length("term") >= len(word) - budget)
+                & (F.length("term") <= len(word) + budget)
+                & (F.levenshtein(F.col("term"), F.lit(word)) <= budget)
+            )
+            .select("term", "df")
+            .collect()
+        )
+        stats = {r["term"]: r["df"] for r in cand}
+        chosen = typo_candidates(word, stats.keys())
+        return {t: stats[t] for t in chosen}
+
+    def plan(self, query: str, k: int = 10) -> QueryPlan:
+        pq: ParsedQuery = parse_query(query)
+        scoring: dict[str, int] = {}
+        scoring.update(self._lookup_exact(pq.all_scoring_words()))
+        for pref in pq.prefixes:
+            scoring.update(self._expand_prefix(pref))
+        for ty in pq.typos:
+            scoring.update(self._expand_typo(ty))
+        weights = {t: bm25_idf(self.n_docs, df) for t, df in scoring.items()}
+        return QueryPlan(
+            term_weights=weights, phrases=pq.phrases, negated=pq.negated, k=k
+        )
+
+    # -- execution ---------------------------------------------------------
+    def _postings_for(self, terms: list[str]) -> DataFrame:
+        buckets = sorted({term_bucket(t, self.config.num_buckets) for t in terms})
+        return self._postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "auto",
+        filter_ast: dict | None = None,
+    ) -> DataFrame:
+        """-> DataFrame(rank int, docid long, pk string, score double)."""
+        return self.execute(self.plan(query, k), mode=mode, filter_ast=filter_ast)
+
+    def execute(
+        self, plan: QueryPlan, mode: str = "auto", filter_ast: dict | None = None
+    ) -> DataFrame:
+        spark = self.spark
+        if not plan.term_weights:
+            return spark.createDataFrame([], OUT_SCHEMA)
+        all_terms = sorted(
+            set(plan.term_weights)
+            | set(plan.negated)
+            | {w for ph in plan.phrases for w in ph}
+        )
+
+        use_wand = mode == "wand" or (
+            mode == "auto"
+            and not plan.phrases
+            and not plan.negated
+            and filter_ast is None
+        )
+        score_fn = make_shard_scorer(
+            term_weights=plan.term_weights,
+            phrases=plan.phrases,
+            negated=plan.negated,
+            k=plan.k,
+            block_size=self.config.block_size,
+            avgdl=self.avgdl,
+            k1=self.config.k1,
+            b=self.config.b,
+            use_wand=use_wand,
+            has_filter=filter_ast is not None,
+        )
+
+        pq_df = self._postings_for(all_terms)
+        if filter_ast is not None:
+            allowed = self._doc_stats.filter(to_column(filter_ast)).select(
+                "docid",
+                (F.col("docid") % self.config.num_shards).cast("int").alias("shard"),
+            )
+            shard_topk = (
+                pq_df.groupby("shard")
+                .cogroup(allowed.groupby("shard"))
+                .applyInPandas(score_fn, schema=RESULT_SCHEMA)
+            )
+        else:
+            shard_topk = pq_df.groupby("shard").applyInPandas(
+                lambda pdf: score_fn(pdf, None), schema=RESULT_SCHEMA
+            )
+
+        topk = shard_topk.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(
+            plan.k
+        )
+        w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+        return (
+            topk.join(self._doc_stats.select("docid", "pk"), "docid", "left")
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "docid", "pk", "score")
+            .orderBy("rank")
+        )
+
+    # convenience for tests / oracle comparison
+    def search_list(self, query: str, k: int = 10, **kw) -> list[tuple[int, float]]:
+        rows = self.search(query, k=k, **kw).collect()
+        return [(r["docid"], r["score"]) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# shard-local scoring (runs inside Arrow-batched pandas UDFs)
+# ---------------------------------------------------------------------------
+
+
+def make_shard_scorer(
+    *,
+    term_weights: dict[str, float],
+    phrases: list[list[str]],
+    negated: list[str],
+    k: int,
+    block_size: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    use_wand: bool,
+    has_filter: bool,
+):
+    """Build the per-shard scoring function (cogroup signature).
+
+    ``left``: postings rows of this shard for every query term.
+    ``right``: allowed docids (filter), or None when has_filter=False.
+    Returns <=k rows (docid, score), ties (score desc, docid asc).
+    """
+    neg_set = set(negated)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"docid": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")}
+        )
+
+    def scorer(left: pd.DataFrame, right: pd.DataFrame | None = None) -> pd.DataFrame:
+        if len(left) == 0:
+            return _empty()
+        readers: dict[str, PostingReader] = {}
+        for row in left.to_dict("records"):
+            readers[row["term"]] = PostingReader.from_row(row, block_size)
+
+        allowed: np.ndarray | None = None
+        if has_filter:
+            allowed = (
+                np.sort(right["docid"].to_numpy(dtype=np.int64))
+                if right is not None and len(right)
+                else np.zeros(0, dtype=np.int64)
+            )
+
+        if use_wand and not phrases and not neg_set and allowed is None:
+            pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b)
+        else:
+            pairs = _exhaustive_topk(
+                readers, term_weights, phrases, neg_set, allowed, k, avgdl, k1, b
+            )
+        if not pairs:
+            return _empty()
+        d, s = zip(*pairs)
+        return pd.DataFrame(
+            {"docid": pd.Series(d, dtype="int64"), "score": pd.Series(s, dtype="float64")}
+        )
+
+    return scorer
+
+
+def _exhaustive_topk(
+    readers: dict[str, PostingReader],
+    term_weights: dict[str, float],
+    phrases: list[list[str]],
+    neg_set: set[str],
+    allowed: np.ndarray | None,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> list[tuple[int, float]]:
+    """Vectorized full-decode scoring: concatenate (docid, idf*impact) across
+    terms, aggregate per docid with np.add.at, apply phrase/negation/filter
+    constraints, bounded top-k."""
+    doc_chunks, score_chunks = [], []
+    for term, idf in term_weights.items():
+        r = readers.get(term)
+        if r is None:
+            continue
+        docids, tfs, dls = r.decode_all()
+        tfs_f = tfs.astype(np.float64)
+        norm = k1 * (1.0 - b + b * dls.astype(np.float64) / max(avgdl, 1e-12))
+        doc_chunks.append(docids)
+        score_chunks.append(idf * tfs_f / (tfs_f + norm))
+    if not doc_chunks:
+        return []
+    docs = np.concatenate(doc_chunks)
+    scores = np.concatenate(score_chunks)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    agg = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(agg, inv, scores)
+
+    mask = np.ones(len(uniq), dtype=bool)
+    for ph in phrases:
+        mask &= np.isin(uniq, _phrase_docids(readers, ph))
+    for t in neg_set:
+        r = readers.get(t)
+        if r is not None:
+            nd, _, _ = r.decode_all()
+            mask &= ~np.isin(uniq, nd)
+    if allowed is not None:
+        mask &= np.isin(uniq, allowed)
+
+    uniq, agg = uniq[mask], agg[mask]
+    if len(uniq) == 0:
+        return []
+    kk = min(k, len(uniq))
+    idx = np.lexsort((uniq, -agg))[:kk]
+    return [(int(uniq[i]), float(agg[i])) for i in idx]
+
+
+def _phrase_docids(readers: dict[str, PostingReader], phrase: list[str]) -> np.ndarray:
+    """Docids (sorted) where the phrase occurs at consecutive positions
+    (reference R2 ``phrase_resolve`` rebuilt over exact stored positions)."""
+    rs = [readers.get(t) for t in phrase]
+    if any(r is None for r in rs):
+        return np.zeros(0, dtype=np.int64)
+    doc_lists, pos_maps = [], []
+    for r in rs:
+        docids, _, _ = r.decode_all()
+        positions = r.decode_all_positions()
+        pos_maps.append({int(d): p for d, p in zip(docids, positions)})
+        doc_lists.append(docids)
+    cand = doc_lists[0]
+    for ds in doc_lists[1:]:
+        cand = np.intersect1d(cand, ds, assume_unique=True)
+    out = []
+    for d in cand:
+        d = int(d)
+        later = [set(pos_maps[i][d].tolist()) for i in range(1, len(rs))]
+        for s in pos_maps[0][d]:
+            if all((int(s) + i + 1) in later[i] for i in range(len(later))):
+                out.append(d)
+                break
+    return np.asarray(out, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# block-max WAND
+# ---------------------------------------------------------------------------
+
+
+class _Cursor:
+    """Block-skipping cursor over one term's shard postings. Blocks are
+    decoded lazily; ``seek`` skips whole blocks via max_docid metadata."""
+
+    __slots__ = ("r", "idf", "bi", "i", "docids", "tfs", "dls", "exhausted", "term_ub")
+
+    def __init__(self, reader: PostingReader, idf: float):
+        self.r = reader
+        self.idf = idf
+        self.exhausted = reader.n_docs == 0
+        self.term_ub = float(idf * reader.max_impact.max()) if not self.exhausted else 0.0
+        if not self.exhausted:
+            self._load(0)
+
+    def _load(self, bi: int):
+        self.bi = bi
+        self.docids, self.tfs, self.dls = self.r.decode_block(bi)
+        self.i = 0
+
+    @property
+    def cur_doc(self) -> int:
+        return int(self.docids[self.i])
+
+    def block_ub(self) -> float:
+        return float(self.idf * self.r.max_impact[self.bi])
+
+    def block_max_docid(self) -> int:
+        return int(self.r.max_docid[self.bi])
+
+    def advance(self):
+        self.i += 1
+        if self.i >= len(self.docids):
+            if self.bi + 1 >= self.r.n_blocks:
+                self.exhausted = True
+            else:
+                self._load(self.bi + 1)
+
+    def seek(self, target: int):
+        if self.exhausted or self.cur_doc >= target:
+            return
+        if self.block_max_docid() < target:
+            nbi = int(np.searchsorted(self.r.max_docid, target, side="left"))
+            if nbi >= self.r.n_blocks:
+                self.exhausted = True
+                return
+            self._load(nbi)
+        self.i = int(np.searchsorted(self.docids, target, side="left"))
+        # block's max_docid >= target guarantees i < len(docids)
+
+
+def _wand_topk(
+    readers: dict[str, PostingReader],
+    term_weights: dict[str, float],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> list[tuple[int, float]]:
+    """Block-max WAND with a k-bounded min-heap.
+
+    Heap entries are (score, -docid): the heap minimum is the (score desc,
+    docid asc) threshold. Pruning uses STRICT < so bound==threshold ties are
+    evaluated — rank identity with exhaustive scoring is a tested invariant.
+    """
+    cursors = [
+        _Cursor(readers[t], idf) for t, idf in term_weights.items() if t in readers
+    ]
+    cursors = [c for c in cursors if not c.exhausted]
+    heap: list[tuple[float, int]] = []
+
+    inv_avgdl = 1.0 / max(avgdl, 1e-12)
+
+    def score_at(c: _Cursor) -> float:
+        tf = float(c.tfs[c.i])
+        norm = k1 * (1.0 - b + b * float(c.dls[c.i]) * inv_avgdl)
+        return c.idf * tf / (tf + norm)
+
+    while True:
+        cursors = [c for c in cursors if not c.exhausted]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.cur_doc)
+        threshold = heap[0][0] if len(heap) >= k else -math.inf
+
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            acc += c.term_ub
+            if acc >= threshold:
+                pivot = i
+                break
+        if pivot == -1:
+            break  # even all terms together can't reach the heap
+        pivot_doc = cursors[pivot].cur_doc
+
+        if cursors[0].cur_doc == pivot_doc:
+            involved = [c for c in cursors if c.cur_doc <= pivot_doc]
+            # block-max refinement: bound using the block that covers pivot_doc
+            bub = 0.0
+            for c in involved:
+                if c.block_max_docid() >= pivot_doc:
+                    bub += c.block_ub()
+                else:
+                    nbi = int(np.searchsorted(c.r.max_docid, pivot_doc, side="left"))
+                    if nbi < c.r.n_blocks:
+                        bub += float(c.idf * c.r.max_impact[nbi])
+            if len(heap) >= k and bub < threshold:
+                # skip past the current blocks; docs strictly between
+                # pivot_doc and `target` can only contain `involved` terms
+                # whose block bounds already failed
+                nxt = min(c.block_max_docid() for c in involved) + 1
+                outside = [c.cur_doc for c in cursors if c.cur_doc > pivot_doc]
+                if outside:
+                    nxt = min(nxt, min(outside))
+                target = max(pivot_doc + 1, nxt)
+                for c in involved:
+                    c.seek(target)
+                continue
+            s = 0.0
+            at_pivot = [c for c in cursors if not c.exhausted and c.cur_doc == pivot_doc]
+            for c in at_pivot:
+                s += score_at(c)
+            entry = (s, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            for c in at_pivot:
+                c.advance()
+        else:
+            for c in cursors[:pivot]:
+                c.seek(pivot_doc)
+
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-d, s) for s, d in out]

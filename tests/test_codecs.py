@@ -1,0 +1,126 @@
+"""Codec round-trip property tests.
+
+Mirrors the reference's codec tests
+(``src/heed_codec/roaring_bitmap/cbo_roaring_bitmap_codec.rs:159-229``:
+round-trip + threshold + merge) for our delta+varint block codec.
+"""
+
+import numpy as np
+import pytest
+
+from search_engine_spark.codecs import (
+    PostingReader,
+    bm25_impact,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    varint_decode,
+    varint_encode,
+)
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        np.array([], dtype=np.int64),
+        np.array([0]),
+        np.array([127, 128, 129]),
+        np.array([0, 1, 2**7, 2**14 - 1, 2**14, 2**21, 2**28, 2**35, 2**56]),
+        RNG.integers(0, 2**40, size=10_000),
+    ],
+)
+def test_varint_roundtrip(vals):
+    enc = varint_encode(np.asarray(vals, dtype=np.uint64))
+    dec = varint_decode(enc)
+    assert len(dec) == len(vals)
+    assert np.array_equal(dec.astype(np.int64), np.asarray(vals, dtype=np.int64))
+
+
+def test_varint_sizes():
+    assert len(varint_encode(np.array([0], dtype=np.uint64))) == 1
+    assert len(varint_encode(np.array([127], dtype=np.uint64))) == 1
+    assert len(varint_encode(np.array([128], dtype=np.uint64))) == 2
+    assert len(varint_encode(np.array([2**21 - 1], dtype=np.uint64))) == 3
+
+
+def test_delta_roundtrip():
+    v = np.sort(RNG.choice(10**9, size=5000, replace=False)).astype(np.int64)
+    assert np.array_equal(delta_decode(delta_encode(v)), v)
+
+
+def _random_posting(n: int, universe: int):
+    docids = np.sort(RNG.choice(universe, size=n, replace=False)).astype(np.int64)
+    tfs = RNG.integers(1, 20, size=n).astype(np.int64)
+    dls = RNG.integers(5, 500, size=n).astype(np.int64)
+    positions = [
+        np.sort(RNG.choice(3000, size=int(tf), replace=False)).astype(np.int64) for tf in tfs
+    ]
+    return docids, tfs, dls, positions
+
+
+@pytest.mark.parametrize("n,universe,block", [(1, 10, 128), (7, 100, 128), (128, 10**6, 128),
+                                              (129, 10**6, 128), (5000, 10**7, 128),
+                                              (1000, 2000, 64)])
+def test_postings_roundtrip(n, universe, block):
+    docids, tfs, dls, positions = _random_posting(n, universe)
+    enc = encode_postings(
+        docids, tfs, dls, positions, block_size=block, avgdl=100.0, k1=1.2, b=0.75
+    )
+    row = {
+        "n_docs": enc.n_docs,
+        "docs": enc.docs,
+        "tfs": enc.tfs,
+        "dls": enc.dls,
+        "poss": enc.poss,
+        "block_meta": enc.block_meta_rows(),
+    }
+    r = PostingReader.from_row(row, block_size=block)
+    d2, t2, l2 = r.decode_all()
+    assert np.array_equal(d2, docids)
+    assert np.array_equal(t2, tfs)
+    assert np.array_equal(l2, dls)
+    p2 = r.decode_all_positions()
+    assert len(p2) == n
+    for a, b_ in zip(positions, p2):
+        assert np.array_equal(a, b_)
+    # block decode agrees with full decode
+    at = 0
+    for i in range(r.n_blocks):
+        bd, bt, bl = r.decode_block(i)
+        m = len(bd)
+        assert np.array_equal(bd, docids[at : at + m])
+        assert np.array_equal(bt, tfs[at : at + m])
+        at += m
+    assert at == n
+
+
+def test_block_max_metadata_is_sound():
+    docids, tfs, dls, positions = _random_posting(1000, 10**6)
+    enc = encode_postings(
+        docids, tfs, dls, positions, block_size=128, avgdl=100.0, k1=1.2, b=0.75
+    )
+    impacts = bm25_impact(tfs, dls, 100.0, 1.2, 0.75)
+    for i in range(len(enc.first_docid)):
+        s, e = i * 128, min((i + 1) * 128, 1000)
+        assert enc.first_docid[i] == docids[s]
+        assert enc.max_docid[i] == docids[e - 1]
+        assert enc.max_impact[i] == pytest.approx(impacts[s:e].max())
+        # soundness: no impact in block exceeds the bound
+        assert (impacts[s:e] <= enc.max_impact[i] + 1e-12).all()
+
+
+def test_no_positions_mode():
+    docids, tfs, dls, _ = _random_posting(300, 10**5)
+    enc = encode_postings(docids, tfs, dls, None, block_size=128, avgdl=50.0, k1=1.2, b=0.75)
+    assert enc.poss == b""
+    r = PostingReader.from_row(
+        {"n_docs": enc.n_docs, "docs": enc.docs, "tfs": enc.tfs, "dls": enc.dls,
+         "poss": None, "block_meta": enc.block_meta_rows()},
+        block_size=128,
+    )
+    d2, t2, l2 = r.decode_all()
+    assert np.array_equal(d2, docids) and np.array_equal(t2, tfs) and np.array_equal(l2, dls)
+    with pytest.raises(ValueError):
+        r.decode_all_positions()
