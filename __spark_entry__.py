@@ -1,38 +1,689 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
+training-data pipeline ops; ``oracle_sql()`` gives the DuckDB-equivalent SQL
+(run against the driver's pre-registered parquet views). Column names and
+rounding are aligned on both sides; every hash is md5 so Spark, DuckDB and
+Python agree bit-for-bit.
+
+The search-engine queries run over a real index built (and cached per
+sf_dir) by ``search_engine_spark.build.build_index`` — so the correctness
+gate exercises the full pipeline: tokenize -> extract -> delta+varint
+postings encode -> decode -> BM25 / WAND / phrase / filter query.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import hashlib
+import os
+import tempfile
+from collections.abc import Callable, Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.build import build_index
+from search_engine_spark.codecs import PostingReader
+from search_engine_spark.config import IndexConfig
+from search_engine_spark.facets import facet_distribution, facet_value_search
+from search_engine_spark.filters import to_column
+from search_engine_spark.pipelines import dedup, multimodal, similarity, textstats
+from search_engine_spark.query import SearchIndex
+
+# bump when build/codec layout changes so cached test indexes rebuild
+ENGINE_TAG = "v1"
+
+SCORE_ROUND = 4  # BM25 score rounding for oracle float compare
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+_INDEX_CACHE: dict[str, SearchIndex] = {}
+
+
+def _index(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """Build (once per sf_dir per machine) and cache the index over the
+    driver's ``documents`` table. doc_id is already a dense int -> used as
+    docid directly (``docid_col``), so engine docids == oracle doc_ids."""
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.md5(f"{ENGINE_TAG}:{key}".encode()).hexdigest()[:12]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"seg_idx_{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        cfg = IndexConfig(
+            text_col="text",
+            pk_col="doc_id",
+            ts_col=None,
+            docid_col="doc_id",
+            attr_cols=("lang", "source", "n_chars"),
+            num_shards=4,
+            num_buckets=8,
+            block_size=64,
+        )
+        build_index(spark, _docs(spark, sf_dir), idx_dir, cfg)
+    _INDEX_CACHE[key] = SearchIndex(spark, idx_dir)
+    return _INDEX_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 (block-max WAND path) over sf0.001."""
+    idx = _index(spark, "/root/testdata/sf0.001")
+    return idx.search("table join merge part", k=10)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def _q_term_dict(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return idx._terms.select("term", "df", "cf", "max_tf")
+
+
+def _q_doc_stats(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return idx._doc_stats.select(F.col("docid"), F.col("dl"))
+
+
+def _q_postings_decode(spark, sf_dir):
+    """Decode the delta+varint binary segments back to (term, docid, tf) —
+    verifies the full encode path against the SQL tokenization oracle."""
+    idx = _index(spark, sf_dir)
+    block_size = idx.config.block_size
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, docids, tfs = [], [], []
+            for row in pdf.to_dict("records"):
+                r = PostingReader.from_row(row, block_size)
+                d, t, _ = r.decode_all()
+                terms.extend([row["term"]] * len(d))
+                docids.extend(int(x) for x in d)
+                tfs.extend(int(x) for x in t)
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series(terms, dtype="object"),
+                    "docid": pd.Series(docids, dtype="int64"),
+                    "tf": pd.Series(tfs, dtype="int32"),
+                }
+            )
+
+    return idx._postings.mapInPandas(decode, schema="term string, docid long, tf int")
+
+
+def _bm25_df(spark, sf_dir, query, mode, filter_ast=None, k=10):
+    idx = _index(spark, sf_dir)
+    res = idx.search(query, k=k, mode=mode, filter_ast=filter_ast)
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
+def _q_bm25_topk(spark, sf_dir):
+    return _bm25_df(spark, sf_dir, "table join merge", mode="exhaustive")
+
+
+def _q_bm25_topk_wand(spark, sf_dir):
+    return _bm25_df(spark, sf_dir, "hash group sort", mode="wand")
+
+
+def _q_bm25_filtered(spark, sf_dir):
+    return _bm25_df(
+        spark,
+        sf_dir,
+        "part filter table",
+        mode="exhaustive",
+        filter_ast={"lang": {"$in": ["en", "fr"]}},
+    )
+
+
+def _q_phrase_match(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return idx.phrase_docids(["part", "filter"])
+
+
+def _q_prefix_expand(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return idx.expand_prefix_df("sc")
+
+
+def _q_typo_expand(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    expansions = idx._expand_typo("tabl")  # {term: df}, reference Q4 semantics
+    return spark.createDataFrame(
+        sorted(expansions.items()), "term string, df long"
+    )
+
+
+def _q_filter_where(spark, sf_dir):
+    ast = {"$and": [{"lang": {"$in": ["en", "fr"]}}, {"n_chars": {"$between": [100, 400]}}]}
+    return _docs(spark, sf_dir).filter(to_column(ast)).select("doc_id")
+
+
+def _q_facet_distribution(spark, sf_dir):
+    return facet_distribution(
+        _docs(spark, sf_dir), "source", filter_ast={"lang": {"$ne": "zh"}}
+    )
+
+
+def _q_facet_value_search(spark, sf_dir):
+    return facet_value_search(_docs(spark, sf_dir), "source", "src1", k=5)
+
+
+def _q_highlight(spark, sf_dir):
+    """Reference O1 highlight: wrap matched terms on the top-k docs only."""
+    idx = _index(spark, sf_dir)
+    top = idx.search("table join merge", k=5).select("docid")
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("docid"), "text")
+    return top.join(docs, "docid").select(
+        "docid",
+        F.regexp_replace(
+            F.col("text"), r"\b(table|join|merge)\b", "<em>$1</em>"
+        ).alias("snippet"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=20)
+
+
+def _query_vec(spark, sf_dir, vec_id=0):
+    row = _embs(spark, sf_dir).filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_ann_cosine(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir, 0)
+    return similarity.cosine_topk(
+        _embs(spark, sf_dir), qv, k=10, exclude_ids=[0]
+    ).select("vec_id", "sim")
+
+
+def _q_ann_cosine_batch(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk_batch(embs, queries, k=5).select(
+        "qid", "vec_id", "sim"
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir, 1)
+    return similarity.lsh_cosine_topk(
+        _embs(spark, sf_dir), qv, k=10, n_planes=12, multiprobe_hamming=1
+    ).select("vec_id", "sim")
+
+
+def _q_token_stats(spark, sf_dir):
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_multimodal(spark, sf_dir):
+    payloads = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.extract_features(payloads).select(
+        "doc_id", "n_bytes", "content_md5", "fake_w", "fake_h"
+    )
+
+
+def _q_build_metrics(spark, sf_dir):
+    """Per-stage build lineage + metrics (north rule; rows-only check)."""
+    idx = _index(spark, sf_dir)
+    from search_engine_spark.index import CheckpointLog
+
+    log = CheckpointLog(idx.paths, "read")
+    rows = [
+        (
+            r["stage"],
+            r["build_id"],
+            int(r["metrics"].get("postings_emitted", 0)),
+            int(r["metrics"].get("bytes_compressed", 0)),
+            int(r["metrics"].get("segments_merged", 0)),
+            float(r["wall_s"]),
+        )
+        for r in log.all()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, build_id string, postings_emitted long, "
+        "bytes_compressed long, segments_merged long, wall_s double",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # core engine (index build + query; SURVEY.md §2.4/§2.6-2.8)
+        "term_dict": _q_term_dict,
+        "doc_stats": _q_doc_stats,
+        "postings_decode": _q_postings_decode,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_wand": _q_bm25_topk_wand,
+        "bm25_filtered": _q_bm25_filtered,
+        "phrase_match": _q_phrase_match,
+        "prefix_expand": _q_prefix_expand,
+        "typo_expand": _q_typo_expand,
+        # filters + facets (§2.5/§2.9)
+        "filter_where": _q_filter_where,
+        "facet_distribution": _q_facet_distribution,
+        "facet_value_search": _q_facet_value_search,
+        "highlight": _q_highlight,
+        # dedup pipeline
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash": _q_dedup_minhash,
+        "simhash": _q_simhash,
+        "dedup_simhash": _q_dedup_simhash,
+        # similarity search
+        "ann_cosine": _q_ann_cosine,
+        "ann_cosine_batch": _q_ann_cosine_batch,
+        "ann_lsh": _q_ann_lsh,
+        # text analysis
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        # multimodal plumbing
+        "multimodal_features": _q_multimodal,
+        # lineage/metrics (rows-only)
+        "build_metrics": _q_build_metrics,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# shared tokenization CTEs: identical to the frozen tokenizer on the pure
+# [a-z0-9 ] driver corpus (see analysis.py module docstring)
+_TOKS = """
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(text, '[a-z0-9]+'), 1) - 1 AS pos
+  FROM documents
+),
+tdoc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+stats AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)
+),
+dict AS (
+  SELECT term, count(*) AS df, sum(tf) AS cf, max(tf) AS max_tf
+  FROM tdoc GROUP BY 1
+),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM stats)
+"""
+
+
+def _bm25_sql(terms: list[str], where: str = "TRUE", k: int = 10) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS},
+scores AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td
+  JOIN dict di USING (term)
+  JOIN stats s ON s.doc_id = td.doc_id
+  JOIN documents d ON d.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN ({tl}) AND ({where})
+  GROUP BY td.doc_id
+)
+SELECT doc_id AS docid, round(score, {SCORE_ROUND}) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+_JACCARD_VERIFY = """
+sizes AS (SELECT doc_id, count(*) AS sz FROM tset GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN tset ta ON ta.doc_id = c.a
+  JOIN tset tb ON tb.doc_id = c.b AND tb.term = ta.term
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= {thr}
+"""
+
+_SIMHASH_CTE = """
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+th AS (
+  SELECT doc_id, tf,
+         cast(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h
+  FROM tf
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(tf * (2 * ((h >> j) & 1) - 1)) AS s
+  FROM th, generate_series(0, 59) g(j)
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+  FROM bits GROUP BY 1
+)
+"""
+
+_COS_EXPR = (
+    "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> e.embedding[i]::DOUBLE * q.v[i]))"
+    " / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(q.v, x -> x * x))))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["term_dict"] = f"WITH {_TOKS} SELECT term, df, cf, max_tf FROM dict"
+
+    sql["doc_stats"] = f"WITH {_TOKS} SELECT doc_id AS docid, dl FROM stats"
+
+    sql["postings_decode"] = (
+        f"WITH {_TOKS} SELECT term, doc_id AS docid, tf FROM tdoc"
+    )
+
+    sql["bm25_topk"] = _bm25_sql(["table", "join", "merge"])
+    sql["bm25_topk_wand"] = _bm25_sql(["hash", "group", "sort"])
+    sql["bm25_filtered"] = _bm25_sql(
+        ["part", "filter", "table"], where="d.lang IN ('en', 'fr')"
+    )
+
+    sql["phrase_match"] = f"""
+WITH {_TOKS}
+SELECT DISTINCT a.doc_id AS docid
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'part' AND b.term = 'filter'
+ORDER BY docid
+"""
+
+    sql["prefix_expand"] = (
+        f"WITH {_TOKS} SELECT term, df FROM dict WHERE term LIKE 'sc%' ORDER BY term"
+    )
+
+    sql["typo_expand"] = f"""
+WITH {_TOKS}
+SELECT term, df FROM dict
+WHERE abs(length(term) - 4) <= 1 AND levenshtein(term, 'tabl') <= 1
+ORDER BY levenshtein(term, 'tabl'), term
+LIMIT 20
+"""
+
+    sql["filter_where"] = (
+        "SELECT doc_id FROM documents "
+        "WHERE lang IN ('en', 'fr') AND n_chars BETWEEN 100 AND 400"
+    )
+
+    sql["facet_distribution"] = """
+SELECT source AS value, count(*) AS count
+FROM documents WHERE lang IS DISTINCT FROM 'zh'
+GROUP BY 1 ORDER BY count DESC, value LIMIT 100
+"""
+
+    sql["facet_value_search"] = """
+WITH counts AS (SELECT source AS value, count(*) AS count FROM documents GROUP BY 1)
+SELECT value, count FROM counts
+WHERE value LIKE 'src1%' OR levenshtein(value, 'src1') <= 1
+ORDER BY count DESC, value LIMIT 5
+"""
+
+    sql["highlight"] = f"""
+WITH {_TOKS},
+scores AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td JOIN dict di USING (term) JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN ('table', 'join', 'merge')
+  GROUP BY td.doc_id
+),
+top AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 5)
+SELECT d.doc_id AS docid,
+       regexp_replace(d.text, '\\b(table|join|merge)\\b', '<em>\\1</em>', 'g') AS snippet
+FROM documents d JOIN top USING (doc_id)
+"""
+
+    sql["dedup_exact"] = (
+        "SELECT min(doc_id) AS doc_id, count(*) AS dup_count "
+        "FROM documents GROUP BY md5(text)"
+    )
+
+    sql["dedup_jaccard"] = f"""
+WITH {_TOKS},
+tset AS (SELECT DISTINCT doc_id, term FROM toks),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tset GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.4
+"""
+
+    sql["dedup_minhash"] = (
+        f"""
+WITH {_TOKS},
+tset AS (SELECT DISTINCT doc_id, term FROM toks),
+sigs AS (
+  SELECT doc_id, seed,
+         min(md5(concat(seed, ':', term))) AS sig
+  FROM tset, generate_series(0, 15) g(seed)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, cast(seed // 4 AS INT) AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+"""
+        + _JACCARD_VERIFY.format(thr=0.3)
+    )
+
+    sql["simhash"] = f"WITH {_TOKS}, {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh"
+
+    sql["dedup_simhash"] = f"""
+WITH {_TOKS}, {_SIMHASH_CTE},
+banded AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * 15)) & 32767 AS seg
+  FROM sh, generate_series(0, 3) g(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.simhash AS ha, b.simhash AS hb
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 20
+"""
+
+    sql["ann_cosine"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_COS_EXPR}, 6) AS sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+    sql["ann_cosine_batch"] = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, e.vec_id, round({_COS_EXPR}, 6) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid
+)
+SELECT qid, vec_id, sim FROM (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+    # hyperplane-LSH ANN: planes derived from md5 exactly as in
+    # pipelines/similarity.py (_plane_component); dims = 64 in this corpus
+    sql["ann_lsh"] = """
+WITH planes AS (
+  SELECT p, list_transform(range(0, 64),
+         d -> cast(concat('0x', substr(md5(concat(p, ':', d)), 1, 15)) AS BIGINT)::DOUBLE
+              / 576460752303423488.0 - 1.0) AS pv
+  FROM generate_series(0, 11) g(p)
+),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 1),
+qb AS (
+  SELECT sum(CASE WHEN list_sum(list_transform(range(1, 65), i -> q.v[i] * pl.pv[i])) > 0
+                  THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+  FROM planes pl, q
+),
+eb AS (
+  SELECT e.vec_id, e.embedding,
+         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * pl.pv[i])) > 0
+                  THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, e.embedding
+),
+cand AS (
+  SELECT eb.vec_id, eb.embedding
+  FROM eb, qb
+  WHERE bit_count(xor(eb.bucket, qb.bucket)) <= 1
+)
+SELECT e.vec_id,
+       round(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * q.v[i]))
+             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(q.v, x -> x * x)))), 6) AS sim
+FROM cand e, q
+ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+    sql["token_stats"] = f"""
+WITH {_TOKS},
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq,
+         sum(length(term)) AS n_chars_tok
+  FROM toks GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_uniq, 0) AS n_uniq, coalesce(a.n_chars_tok, 0) AS n_chars_tok
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    stop_list = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    sql["quality_score"] = f"""
+WITH {_TOKS},
+agg AS (
+  SELECT doc_id,
+         count(*) AS n,
+         sum(length(term)) AS chars,
+         count(*) FILTER (WHERE term IN ({stop_list})) AS sw,
+         count(DISTINCT term) AS uniq,
+         count(*) FILTER (WHERE regexp_full_match(term, '[0-9]+')) AS dig
+  FROM toks GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n, 0) AS n_tokens,
+       round(coalesce(a.chars, 0) / greatest(coalesce(a.n, 0)::DOUBLE, 1.0), 6) AS avg_token_len,
+       round(coalesce(a.sw, 0) / greatest(coalesce(a.n, 0)::DOUBLE, 1.0), 6) AS stopword_ratio,
+       round(coalesce(a.uniq, 0) / greatest(coalesce(a.n, 0)::DOUBLE, 1.0), 6) AS uniq_ratio,
+       round(coalesce(a.dig, 0) / greatest(coalesce(a.n, 0)::DOUBLE, 1.0), 6) AS digit_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+    marker_cases = []
+    for lang, words in sorted(textstats.LANG_MARKERS.items()):
+        wl = ", ".join(f"'{w}'" for w in words)
+        marker_cases.append(
+            f"count(DISTINCT term) FILTER (WHERE term IN ({wl})) AS s_{lang}"
+        )
+    sql["lang_id"] = f"""
+WITH {_TOKS},
+sc AS (
+  SELECT doc_id, {', '.join(marker_cases)}
+  FROM toks GROUP BY 1
+),
+best AS (
+  SELECT d.doc_id,
+         coalesce(sc.s_de, 0) AS s_de, coalesce(sc.s_en, 0) AS s_en,
+         coalesce(sc.s_es, 0) AS s_es, coalesce(sc.s_fr, 0) AS s_fr,
+         greatest(coalesce(sc.s_de, 0), coalesce(sc.s_en, 0),
+                  coalesce(sc.s_es, 0), coalesce(sc.s_fr, 0)) AS mx
+  FROM documents d LEFT JOIN sc USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN mx = 0 THEN 'und'
+            WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en'
+            WHEN s_es = mx THEN 'es' ELSE 'fr' END AS pred_lang,
+       mx AS marker_hits
+FROM best
+"""
+
+    sql["doc_fingerprint"] = """
+SELECT doc_id,
+       md5(array_to_string(regexp_extract_all(text, '[a-z0-9]+'), ' ')) AS fp
+FROM documents
+"""
+
+    sql["multimodal_features"] = """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       md5(text) AS content_md5,
+       cast(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64 + 1 AS fake_w,
+       cast(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64 + 1 AS fake_h
+FROM documents
+"""
+
+    # build_metrics: intentionally no oracle (lineage rows; rows-only check)
+    return sql

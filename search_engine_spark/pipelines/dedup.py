@@ -1,0 +1,303 @@
+"""Deduplication operators (exact, Jaccard, MinHash+LSH, SimHash).
+
+Scale notes (the 100 TB story):
+
+* every operator is expressed as DataFrame joins/groupBys — shuffles happen
+  on (term) or (band, bucket) keys whose cardinality grows with the corpus,
+  so the work spreads across executors; there is no driver-side loop.
+* ``jaccard_pairs`` is the small-scale exact method: its term self-join is
+  quadratic in per-term document frequency, so at web scale you ALWAYS run
+  ``minhash_lsh_pairs`` (cost ~ n_docs * n_hashes + bucket-local pairs)
+  and use Jaccard only to verify the LSH candidates (which this module does).
+* all hashing is ``md5`` (JVM-side ``F.md5``), so results are deterministic,
+  cluster-size independent, and reproducible in DuckDB/Python oracles.
+
+Reference parity: the reference engine deduplicates only by external
+document id (last-write-wins, ``/root/reference/src/update/index_documents/
+transform.rs:150-360``); content-level dedup is an extension mandated by the
+training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# JVM-side tokenizer for pure-ASCII corpora: identical to the frozen Python
+# tokenizer (analysis.tokenize) on [a-z0-9 ]-only text, and identical to
+# DuckDB's regexp_extract_all(text, '[a-z0-9]+') — the oracle bridge.
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+
+
+def doc_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", distinct: bool = True
+) -> DataFrame:
+    """(doc, term) pairs; ``distinct=True`` gives the token *set*."""
+    out = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term"))
+    return out.distinct() if distinct else out
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content hash.
+
+    -> (doc_id, dup_count): one row per distinct content, doc_id = smallest
+    member id (the canonical survivor), dup_count = group size. A single
+    hash-shuffle with map-side combine; at 100 TB this is the cheapest and
+    first dedup pass.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
+        .agg(F.min(id_col).alias("doc_id"), F.count("*").alias("dup_count"))
+        .select("doc_id", "dup_count")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Token-set Jaccard similarity pairs via inverted-index self-join.
+
+    -> (a, b, jaccard) with a < b and jaccard >= threshold (rounded 6dp).
+
+    ``max_df`` drops terms appearing in more than that many docs before the
+    self-join (the classic positional-filter guard against head-term pair
+    blowup); when set, the score is Jaccard over the *pruned* token sets —
+    callers wanting exact scores at scale should verify candidates with
+    ``_verified_jaccard`` over unpruned sets instead.
+    """
+    t = doc_terms(df, id_col, text_col)
+    if max_df is not None:
+        light = t.groupBy("term").count().filter(F.col("count") <= max_df).select("term")
+        t = t.join(light, "term")
+    sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, seed, sig): per-seed MinHash over the token set.
+
+    hash_i(term) = md5(i || ':' || term) compared lexicographically — the
+    string min is a valid uniform MinHash and is bit-identical across Spark,
+    DuckDB and Python. No UDF: pure JVM expressions.
+    """
+    spark = df.sparkSession
+    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
+    t = doc_terms(df, id_col, text_col)
+    return (
+        t.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("term")))).alias("sig"))
+    )
+
+
+def minhash_band_buckets(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """-> (doc_id, band, bucket): LSH band key = md5 of the band's ordered sigs."""
+    return (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                        lambda x: x["sig"],
+                    ),
+                    "|",
+                )
+            ).alias("bucket")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, Jaccard-verified.
+
+    -> (a, b, jaccard): pairs sharing >= 1 LSH band bucket whose true token-set
+    Jaccard >= threshold. The band join shuffles on (band, bucket) — bucket
+    count grows with the corpus, so the join is balanced at any scale; the
+    exact-Jaccard verification runs only on the candidate pairs.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, n_hashes, id_col, text_col)
+    bk = minhash_band_buckets(sigs, bands, rows_per_band)
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    return _verified_jaccard(df, cand, threshold, id_col, text_col)
+
+
+def _verified_jaccard(
+    df: DataFrame, cand: DataFrame, threshold: float, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate (a, b) pairs only."""
+    t = doc_terms(df, id_col, text_col)
+    sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = t.select(F.col("doc_id").alias("a"), "term")
+    tb = t.select(F.col("doc_id").alias("b"), "term")
+    inter = (
+        cand.join(ta, "a").join(tb, ["b", "term"]).groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed int64 in Spark & DuckDB
+
+
+def _term_hash60(term: Column) -> Column:
+    """First 60 bits of md5(term) as a non-negative bigint (JVM-side)."""
+    return F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, simhash): 60-bit tf-weighted SimHash fingerprint.
+
+    bit_j = 1 iff sum over terms of tf * (2*bit_j(md5(term)) - 1) > 0.
+    Implemented as explode over bit positions (60x fan-out of the distinct
+    (doc, term) rows) — all JVM expressions; for 100 TB the same shape holds
+    because the fan-out is map-side (no extra shuffle: one groupBy doc).
+    """
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _term_hash60(F.col("term")))
+    )
+    bits = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        "tf",
+        "h",
+    ).withColumn(
+        # shiftright/shiftleft with a Column shift amount needs expr()
+        "contrib",
+        F.col("tf") * (F.expr("shiftright(h, j) & 1") * 2 - 1),
+    )
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded Hamming join.
+
+    Pigeonhole: hamming <= n_bands-1 guarantees >= 1 identical 15-bit band,
+    so the candidate join is on (band_index, band_value) — linear shuffle —
+    and exact ``bit_count(xor)`` verifies. -> (a, b, hamming), a < b.
+    """
+    band_bits = SIMHASH_BITS // n_bands
+    sh = simhash(df, id_col, text_col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "seg",
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

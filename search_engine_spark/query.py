@@ -209,6 +209,42 @@ class SearchIndex:
         rows = self.search(query, k=k, **kw).collect()
         return [(r["docid"], r["score"]) for r in rows]
 
+    def phrase_docids(self, phrase: list[str]) -> DataFrame:
+        """Docids containing the words at consecutive positions (reference R2
+        ``phrase_resolve``, ``resolve_query_graph.rs:166-231``, rebuilt over
+        exact stored positions). -> DataFrame(docid long).
+
+        Distributed: postings rows for the phrase terms (bucket-pruned scan)
+        group by shard; each shard's pandas UDF decodes positions and
+        intersects — documents are disjoint across shards so results union.
+        """
+        phrase = [t for t in phrase]
+        pq_df = self._postings_for(sorted(set(phrase)))
+        block_size = self.config.block_size  # capture scalars, not self
+
+        def match(pdf: pd.DataFrame) -> pd.DataFrame:
+            readers = {
+                row["term"]: PostingReader.from_row(row, block_size)
+                for row in pdf.to_dict("records")
+            }
+            docs = _phrase_docids(readers, phrase)
+            return pd.DataFrame({"docid": pd.Series(docs, dtype="int64")})
+
+        return (
+            pq_df.groupby("shard")
+            .applyInPandas(match, schema="docid long")
+            .orderBy("docid")
+        )
+
+    def expand_prefix_df(self, prefix: str) -> DataFrame:
+        """Dictionary range scan (reference P11/P12 prefix postings):
+        -> DataFrame(term, df) for terms starting with ``prefix``."""
+        return (
+            self._terms.filter(F.col("term").startswith(prefix))
+            .select("term", "df")
+            .orderBy("term")
+        )
+
 
 # ---------------------------------------------------------------------------
 # shard-local scoring (runs inside Arrow-batched pandas UDFs)
