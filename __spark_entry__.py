@@ -199,7 +199,8 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.3)
+    # 3-word shingles: discriminative features even on a tiny vocabulary
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2, shingle_size=3)
 
 
 def _q_simhash(spark, sf_dir):
@@ -512,7 +513,14 @@ WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.4
     sql["dedup_minhash"] = (
         f"""
 WITH {_TOKS},
-tset AS (SELECT DISTINCT doc_id, term FROM toks),
+arr AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+shing AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS term
+  FROM arr
+),
+tset AS (SELECT DISTINCT doc_id, term FROM shing),
 sigs AS (
   SELECT doc_id, seed,
          min(md5(concat(seed, ':', term))) AS sig

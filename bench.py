@@ -1,0 +1,125 @@
+"""Benchmark harness: index build + headline query suite.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+``{"metric": ..., "value": sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+``value`` is the total wall seconds of (fresh index build over the
+``documents`` table) + (every headline query). Extra keys report build
+throughput (docs/sec, the north-rule headline metric) and sizes.
+
+For the two-parallelism scaling evidence, see ``scripts/scaling_bench.py``
+(writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _force(df):
+    """Materialize fully without driver transfer (noop sink)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("search_engine_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.facets import facet_distribution
+    from search_engine_spark.pipelines import dedup, similarity, textstats
+    from search_engine_spark.query import SearchIndex
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+    idx_dir = os.path.join(tempfile.gettempdir(), f"bench_idx_{os.getpid()}")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    cfg = IndexConfig(
+        text_col="text",
+        pk_col="doc_id",
+        ts_col=None,
+        docid_col="doc_id",
+        attr_cols=("lang", "source", "n_chars"),
+        num_shards=8,
+        num_buckets=8,
+    )
+
+    t0 = time.time()
+    build_index(spark, docs, idx_dir, cfg)
+    timings["index_build"] = round(time.time() - t0, 3)
+    docs_per_sec = round(n_docs / timings["index_build"], 1)
+
+    ix = SearchIndex(spark, idx_dir)
+
+    def timed(name, fn):
+        t = time.time()
+        fn()
+        timings[name] = round(time.time() - t, 3)
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = [float(x) for x in embs.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    timed("q_bm25_exhaustive", lambda: ix.search("table join merge", k=10, mode="exhaustive").collect())
+    timed("q_bm25_wand", lambda: ix.search("hash group sort", k=10, mode="wand").collect())
+    timed("q_bm25_filtered", lambda: ix.search(
+        "part filter table", k=10, filter_ast={"lang": {"$in": ["en", "fr"]}}).collect())
+    timed("q_phrase", lambda: ix.phrase_docids(["part", "filter"]).collect())
+    timed("q_prefix", lambda: ix.search("sc* data", k=10).collect())
+    timed("q_facet_distribution", lambda: facet_distribution(
+        docs, "source", filter_ast={"lang": {"$ne": "zh"}}).collect())
+    timed("q_dedup_exact", lambda: _force(dedup.exact_dedup(docs)))
+    timed("q_dedup_minhash", lambda: _force(
+        dedup.minhash_lsh_pairs(docs, threshold=0.2, shingle_size=3)))
+    timed("q_simhash", lambda: _force(dedup.simhash(docs)))
+    timed("q_ann_cosine", lambda: similarity.cosine_topk(embs, qv, k=10, exclude_ids=[0]).collect())
+    timed("q_token_stats", lambda: _force(textstats.token_stats(docs)))
+    timed("q_quality", lambda: _force(textstats.quality_score(docs)))
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "index_build_plus_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "index_build_docs_per_sec": docs_per_sec,
+        "cpus": int(cpus),
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

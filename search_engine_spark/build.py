@@ -34,9 +34,11 @@ Pipeline (each stage checkpointed, see ``index.py``):
 from __future__ import annotations
 
 import os
+import threading
 import time
 import uuid
 import zlib
+from concurrent.futures import ThreadPoolExecutor
 from collections import defaultdict
 from collections.abc import Iterator
 
@@ -293,25 +295,36 @@ def build_index(
             F.sum("tf").alias("cf"),
             F.max("tf").alias("max_tf"),
         )
-        terms = assign_docids(terms, "term").withColumnRenamed("docid", "term_id")
+        # term_id = rank in term order. The dictionary is orders of magnitude
+        # smaller than the corpus (the reference holds its whole words FST in
+        # memory, src/index.rs:56), so a single-task global window is the
+        # right cost/complexity point up to ~10M terms; beyond that, switch
+        # to assign_docids(terms, "term") (scalable two-pass rank).
+        w = Window.orderBy("term")
+        terms = terms.withColumn("term_id", F.row_number().over(w) - F.lit(1))
         staging, commit = staged_write(paths.terms)
         terms.select("term", "term_id", "df", "cf", "max_tf").write.mode(
             "overwrite"
         ).parquet(staging)
         commit()
-        spark.catalog.clearCache()
         n_terms = spark.read.parquet(paths.terms).count()
         log.commit("terms", inputs={"term_doc": "extract"},
                    metrics={"n_terms": n_terms}, wall_s=time.time() - t0)
     maybe_fail("terms")
 
     # ---- stage 5: postings segments, per bucket --------------------------
+    # Buckets are independent jobs with independent staging dirs + manifests
+    # (per-partition checkpoint granularity: a killed build re-runs only the
+    # buckets without a manifest). They are SUBMITTED concurrently — Spark's
+    # scheduler interleaves their tasks, so stragglers in one bucket don't
+    # serialize the others and wall time ~ max(bucket) not sum(bucket).
     encode_fn = make_encode_fn(config, avgdl)
     os.makedirs(paths.postings, exist_ok=True)
-    for b in range(config.num_buckets):
+
+    def run_bucket(b: int) -> None:
         stage = f"postings:bucket={b}"
         if log.done(stage):
-            continue
+            return
         t0 = time.time()
         td_b = term_doc.filter(F.col("bucket") == b)
         seg = td_b.groupBy("term", "shard").applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
@@ -332,10 +345,19 @@ def build_index(
             "postings_emitted": int(m["postings_emitted"] or 0),
             "bytes_compressed": int(m["bytes_compressed"] or 0),
         }
-        metrics_rows.append({"stage": stage, "build_id": build_id, **metrics})
+        with metrics_lock:
+            metrics_rows.append({"stage": stage, "build_id": build_id, **metrics})
         log.commit(stage, inputs={"term_doc_bucket": b, "avgdl": avgdl},
                    metrics=metrics, wall_s=time.time() - t0)
         maybe_fail(stage)
+
+    metrics_lock = threading.Lock()
+    with ThreadPoolExecutor(max_workers=config.num_buckets) as pool:
+        futures = [pool.submit(run_bucket, b) for b in range(config.num_buckets)]
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
     maybe_fail("postings")
 
     # ---- stage 6: finalize ----------------------------------------------

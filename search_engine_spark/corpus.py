@@ -135,6 +135,48 @@ def generate_pages(
     return df[["url", "warc_ts", "html", "text", "lang"]]
 
 
+def generate_pages_spark(spark, n_docs: int, seed: int = 42, n_terms: int = 5000,
+                         zipf_s: float = 1.1, n_parts: int | None = None):
+    """Distributed deterministic corpus generator (for large bench/scaling
+    runs): each doc is generated from ``rng([seed, doc_index])``, so the
+    output is identical at ANY partitioning/parallelism — the property the
+    north rule's two-cluster-size comparison depends on. Vocab and Zipf
+    weights are built once per executor batch (cheap, deterministic).
+
+    No planted phrases/duplicates here — this is the throughput corpus; the
+    pandas ``generate_pages`` stays the correctness-fixture generator.
+    """
+    import pandas as pd  # noqa: F811 (executor-side import)
+
+    n_parts = n_parts or max(32, n_docs // 4000)
+
+    def gen(batches):
+        rng0 = np.random.default_rng(seed)
+        vocab = np.array(_vocab(n_terms, rng0))
+        ranks = np.arange(1, n_terms + 1, dtype=np.float64)
+        probs = ranks**-zipf_s
+        probs /= probs.sum()
+        base = dt.datetime(2024, 1, 1)
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            for i in pdf["id"].to_numpy():
+                rng = np.random.default_rng([seed, int(i)])
+                length = int(rng.integers(20, 501))
+                words = vocab[rng.choice(n_terms, size=length, p=probs)]
+                text = " ".join(words)
+                rows["url"].append(f"https://site{int(i) % 127}.example.com/page/{int(i):010d}")
+                rows["warc_ts"].append(base + dt.timedelta(seconds=int(rng.integers(0, 365 * 86400))))
+                rows["html"].append(b"<html><body>...</body></html>")
+                rows["text"].append(text)
+                rows["lang"].append(LANGS[int(rng.integers(len(LANGS)))])
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n_docs, numPartitions=n_parts)
+        .mapInPandas(gen, schema=pages_spark_schema())
+    )
+
+
 def query_fixture() -> pd.DataFrame:
     """Frozen reference query set (FIXTURES.md §2)."""
     queries = [

@@ -33,10 +33,49 @@ def tokens_col(text_col: str = "text") -> Column:
 
 
 def doc_terms(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", distinct: bool = True
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+    shingle_size: int = 1,
 ) -> DataFrame:
-    """(doc, term) pairs; ``distinct=True`` gives the token *set*."""
-    out = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term"))
+    """(doc, term) feature pairs; ``distinct=True`` gives the feature *set*.
+
+    ``shingle_size > 1`` switches from unigram tokens to word n-gram
+    shingles — the feature space becomes |V|^n, so near-identical word
+    *sequences*, not just shared vocabulary, drive MinHash signatures.
+
+    Shingles are assembled with posexplode + window ``lead`` rather than
+    array higher-order functions: Catalyst's CollapseProject would inline
+    the ``regexp_extract_all`` token array into every element access of a
+    ``transform`` lambda (O(len^2) regex work per doc); the explode
+    evaluates it exactly once per document. Short docs (< n tokens) keep
+    one partial shingle (their full token sequence), matching the oracle's
+    ``greatest(len - n + 1, 1)`` window count.
+    """
+    if shingle_size == 1:
+        out = df.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+        )
+        return out.distinct() if distinct else out
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("term")] + [F.lead("term", j).over(w) for j in range(1, shingle_size)]
+    out = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("term"),
+            F.lead("term", shingle_size - 1).over(w).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", "term")
+    )
     return out.distinct() if distinct else out
 
 
@@ -61,6 +100,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    shingle_size: int = 1,
 ) -> DataFrame:
     """Token-set Jaccard similarity pairs via inverted-index self-join.
 
@@ -72,7 +112,7 @@ def jaccard_pairs(
     callers wanting exact scores at scale should verify candidates with
     ``_verified_jaccard`` over unpruned sets instead.
     """
-    t = doc_terms(df, id_col, text_col)
+    t = doc_terms(df, id_col, text_col, shingle_size=shingle_size)
     if max_df is not None:
         light = t.groupBy("term").count().filter(F.col("count") <= max_df).select("term")
         t = t.join(light, "term")
@@ -108,6 +148,7 @@ def minhash_signatures(
     n_hashes: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_size: int = 1,
 ) -> DataFrame:
     """-> (doc_id, seed, sig): per-seed MinHash over the token set.
 
@@ -117,7 +158,7 @@ def minhash_signatures(
     """
     spark = df.sparkSession
     seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
-    t = doc_terms(df, id_col, text_col)
+    t = doc_terms(df, id_col, text_col, shingle_size=shingle_size)
     return (
         t.crossJoin(F.broadcast(seeds))
         .groupBy("doc_id", "seed")
@@ -153,6 +194,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_size: int = 1,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, Jaccard-verified.
 
@@ -162,7 +204,7 @@ def minhash_lsh_pairs(
     exact-Jaccard verification runs only on the candidate pairs.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, n_hashes, id_col, text_col)
+    sigs = minhash_signatures(df, n_hashes, id_col, text_col, shingle_size)
     bk = minhash_band_buckets(sigs, bands, rows_per_band)
     a = bk.alias("a")
     b = bk.alias("b")
@@ -176,14 +218,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         .distinct()
     )
-    return _verified_jaccard(df, cand, threshold, id_col, text_col)
+    return _verified_jaccard(df, cand, threshold, id_col, text_col, shingle_size)
 
 
 def _verified_jaccard(
-    df: DataFrame, cand: DataFrame, threshold: float, id_col: str, text_col: str
+    df: DataFrame, cand: DataFrame, threshold: float, id_col: str, text_col: str,
+    shingle_size: int = 1,
 ) -> DataFrame:
-    """Exact token-set Jaccard for candidate (a, b) pairs only."""
-    t = doc_terms(df, id_col, text_col)
+    """Exact feature-set Jaccard for candidate (a, b) pairs only."""
+    t = doc_terms(df, id_col, text_col, shingle_size=shingle_size)
     sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ta = t.select(F.col("doc_id").alias("a"), "term")
     tb = t.select(F.col("doc_id").alias("b"), "term")

@@ -76,14 +76,30 @@ class SearchIndex:
         self.config = IndexConfig.from_dict(meta["config"])
         self.n_docs: int = meta["n_docs"]
         self.avgdl: float = meta["avgdl"]
+        self.n_terms: int = meta.get("n_terms", 0)
         self._postings = spark.read.parquet(self.paths.postings)
         self._terms = spark.read.parquet(self.paths.terms)
         self._doc_stats = spark.read.parquet(self.paths.doc_stats)
+        # The dictionary is tiny relative to the corpus (the reference keeps
+        # its whole words-FST in memory, src/index.rs:56). Below this many
+        # terms we pin (term -> df) on the driver so query planning does no
+        # Spark jobs; above it, lookups fall back to DataFrame point reads.
+        self._local_dict_max_terms = 2_000_000
+        self._dict: dict[str, int] | None = None
 
     # -- dictionary lookups (reference Q1/Q4/P11-12) ----------------------
+    def _local_dict(self) -> dict[str, int] | None:
+        if self._dict is None and self.n_terms <= self._local_dict_max_terms:
+            pdf = self._terms.select("term", "df").toPandas()
+            self._dict = dict(zip(pdf["term"], pdf["df"].astype(int)))
+        return self._dict
+
     def _lookup_exact(self, words: list[str]) -> dict[str, int]:
         if not words:
             return {}
+        d = self._local_dict()
+        if d is not None:
+            return {w: d[w] for w in set(words) if w in d}
         rows = (
             self._terms.filter(F.col("term").isin(list(set(words))))
             .select("term", "df")
@@ -92,6 +108,9 @@ class SearchIndex:
         return {r["term"]: r["df"] for r in rows}
 
     def _expand_prefix(self, prefix: str) -> dict[str, int]:
+        d = self._local_dict()
+        if d is not None:
+            return {t: df for t, df in d.items() if t.startswith(prefix)}
         rows = (
             self._terms.filter(F.col("term").startswith(prefix))
             .select("term", "df")
@@ -103,16 +122,24 @@ class SearchIndex:
         budget = max_typos_for(word)
         if budget == 0:
             return self._lookup_exact([word])
-        cand = (
-            self._terms.filter(
-                (F.length("term") >= len(word) - budget)
-                & (F.length("term") <= len(word) + budget)
-                & (F.levenshtein(F.col("term"), F.lit(word)) <= budget)
+        d = self._local_dict()
+        if d is not None:
+            stats = {
+                t: df
+                for t, df in d.items()
+                if abs(len(t) - len(word)) <= budget
+            }
+        else:
+            cand = (
+                self._terms.filter(
+                    (F.length("term") >= len(word) - budget)
+                    & (F.length("term") <= len(word) + budget)
+                    & (F.levenshtein(F.col("term"), F.lit(word)) <= budget)
+                )
+                .select("term", "df")
+                .collect()
             )
-            .select("term", "df")
-            .collect()
-        )
-        stats = {r["term"]: r["df"] for r in cand}
+            stats = {r["term"]: r["df"] for r in cand}
         chosen = typo_candidates(word, stats.keys())
         return {t: stats[t] for t in chosen}
 
