@@ -53,6 +53,8 @@ from search_engine_spark.config import IndexConfig
 from search_engine_spark.index import (
     CheckpointLog,
     IndexPaths,
+    parquet_dir_column_sums,
+    parquet_dir_rows,
     read_meta,
     staged_write,
     write_meta,
@@ -70,38 +72,40 @@ TERM_DOC_SCHEMA = (
 )
 
 
-def assign_docids(df: DataFrame, pk_col: str, n_parts: int = 32) -> DataFrame:
+def assign_docids(
+    df: DataFrame, pk_col: str, n_parts: int = 32, return_count: bool = False
+):
     """docid = global 0-based rank of pk. Scalable two-pass: range-sort, count
     rows per physical partition, broadcast offsets, rank within partition.
 
     Deterministic for unique pks at any parallelism: ranks depend only on the
     total order of pk, not on where partition boundaries land. The sorted df
     is persisted so the count pass and the rank pass see the same partitions.
+
+    ``return_count=True`` also returns the total row count (free by-product
+    of the offsets pass — saves callers a separate count job).
     """
     d = df.repartitionByRange(n_parts, F.col(pk_col)).sortWithinPartitions(pk_col)
     d = d.withColumn("_pid", F.spark_partition_id())
     d.persist()
-    try:
-        counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-        offsets = {}
-        acc = 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        spark = df.sparkSession
-        off_df = spark.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
-        )
-        w = Window.partitionBy("_pid").orderBy(pk_col)
-        out = (
-            d.join(F.broadcast(off_df), "_pid")
-            .withColumn("docid", F.row_number().over(w) + F.col("_offset") - F.lit(1))
-            .drop("_pid", "_offset")
-        )
-        # materialize before unpersist (caller writes immediately)
-        return out
-    finally:
-        pass  # persist released by caller via spark.catalog.clearCache or GC
+    counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)], "_pid int, _offset long"
+    )
+    w = Window.partitionBy("_pid").orderBy(pk_col)
+    out = (
+        d.join(F.broadcast(off_df), "_pid")
+        .withColumn("docid", F.row_number().over(w) + F.col("_offset") - F.lit(1))
+        .drop("_pid", "_offset")
+    )
+    # persist released by caller via unpersist/clearCache after materializing
+    return (out, acc) if return_count else out
 
 
 def _dedupe_last_write_wins(df: DataFrame, pk_col: str, ts_col: str | None) -> DataFrame:
@@ -120,6 +124,9 @@ def make_extract_fn(config: IndexConfig):
     num_shards = config.num_shards
     num_buckets = config.num_buckets
 
+    store_positions = config.store_positions
+    EMPTY: list[int] = []
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             buckets, terms, shards, docids, tfs, dls, poss = [], [], [], [], [], [], []
@@ -137,7 +144,7 @@ def make_extract_fn(config: IndexConfig):
                     docids.append(int(docid))
                     tfs.append(len(ps))
                     dls.append(dl)
-                    poss.append(ps)
+                    poss.append(ps if store_positions else EMPTY)
             yield pd.DataFrame(
                 {
                     "bucket": pd.Series(buckets, dtype="int32"),
@@ -154,38 +161,79 @@ def make_extract_fn(config: IndexConfig):
 
 
 def make_encode_fn(config: IndexConfig, avgdl: float):
-    """applyInPandas encoder for one (term, shard) group -> one segment row."""
+    """applyInPandas encoder for one shard group -> one segment row per term.
+
+    Grouping by shard (not (term, shard)) keeps the number of pandas groups
+    at num_buckets * num_shards — coarse enough that per-group UDF overhead
+    is negligible, fine enough that every core stays busy. The per-term
+    slicing happens vectorized inside (sort + boundary scan), which is the
+    grenad-sorter analogue (reference P9, ``helpers/grenad_helpers.rs:34-57``)
+    done by numpy instead of an external k-way merge. Memory per group =
+    total postings / (num_buckets * num_shards) — the scale knob.
+    """
     block_size = config.block_size
     store_positions = config.store_positions
     k1, b = config.k1, config.b
     num_buckets = config.num_buckets
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("docid")
-        docids = pdf["docid"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        positions = (
-            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
-            if store_positions
-            else None
-        )
-        enc = encode_postings(
-            docids, tfs, dls, positions,
-            block_size=block_size, avgdl=avgdl, k1=k1, b=b,
-        )
-        term = pdf["term"].iloc[0]
+        cols = {
+            "bucket": pd.Series([], dtype="int32"),
+            "term": pd.Series([], dtype="object"),
+            "shard": pd.Series([], dtype="int32"),
+            "n_docs": pd.Series([], dtype="int32"),
+            "docs": pd.Series([], dtype="object"),
+            "tfs": pd.Series([], dtype="object"),
+            "dls": pd.Series([], dtype="object"),
+            "poss": pd.Series([], dtype="object"),
+            "block_meta": pd.Series([], dtype="object"),
+        }
+        if len(pdf) == 0:
+            return pd.DataFrame(cols)
+        pdf = pdf.sort_values(["term", "docid"], kind="mergesort")
+        terms_arr = pdf["term"].to_numpy()
+        docids_all = pdf["docid"].to_numpy(dtype=np.int64)
+        tfs_all = pdf["tf"].to_numpy(dtype=np.int64)
+        dls_all = pdf["dl"].to_numpy(dtype=np.int64)
+        poss_all = pdf["positions"].to_numpy() if store_positions else None
+        shard = int(pdf["shard"].iloc[0])
+
+        bounds = np.flatnonzero(terms_arr[1:] != terms_arr[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(terms_arr)]))
+
+        out = {k: [] for k in cols}
+        for s, e in zip(starts, ends):
+            term = terms_arr[s]
+            positions = (
+                [np.asarray(p, dtype=np.int64) for p in poss_all[s:e]]
+                if store_positions
+                else None
+            )
+            enc = encode_postings(
+                docids_all[s:e], tfs_all[s:e], dls_all[s:e], positions,
+                block_size=block_size, avgdl=avgdl, k1=k1, b=b,
+            )
+            out["bucket"].append(zlib.crc32(term.encode()) % num_buckets)
+            out["term"].append(term)
+            out["shard"].append(shard)
+            out["n_docs"].append(enc.n_docs)
+            out["docs"].append(enc.docs)
+            out["tfs"].append(enc.tfs)
+            out["dls"].append(enc.dls)
+            out["poss"].append(enc.poss)
+            out["block_meta"].append(enc.block_meta_rows())
         return pd.DataFrame(
             {
-                "bucket": pd.Series([zlib.crc32(term.encode()) % num_buckets], dtype="int32"),
-                "term": [term],
-                "shard": pd.Series([int(pdf["shard"].iloc[0])], dtype="int32"),
-                "n_docs": pd.Series([enc.n_docs], dtype="int32"),
-                "docs": [enc.docs],
-                "tfs": [enc.tfs],
-                "dls": [enc.dls],
-                "poss": [enc.poss],
-                "block_meta": [enc.block_meta_rows()],
+                "bucket": pd.Series(out["bucket"], dtype="int32"),
+                "term": out["term"],
+                "shard": pd.Series(out["shard"], dtype="int32"),
+                "n_docs": pd.Series(out["n_docs"], dtype="int32"),
+                "docs": out["docs"],
+                "tfs": out["tfs"],
+                "dls": out["dls"],
+                "poss": out["poss"],
+                "block_meta": out["block_meta"],
             }
         )
 
@@ -225,12 +273,25 @@ def build_index(
     # ---- stage 1: docs (dedupe + docid assignment) --------------------
     if not log.done("docs"):
         t0 = time.time()
-        deduped = _dedupe_last_write_wins(pages, config.pk_col, config.ts_col)
-        keep_cols = [config.pk_col, config.text_col, *config.attr_cols]
+        # project before any shuffle: html & co. never enter the dedupe or
+        # rank exchanges (at CC scale the raw html dominates row size)
+        keep = [config.pk_col, config.text_col, *config.attr_cols]
+        for extra in (config.ts_col, config.docid_col):
+            if extra and extra not in keep:
+                keep.append(extra)
+        deduped = _dedupe_last_write_wins(
+            pages.select(*keep), config.pk_col, config.ts_col
+        )
+        n_docs = None
         if config.docid_col:
             docs = deduped.withColumn("docid", F.col(config.docid_col).cast("long"))
         else:
-            docs = assign_docids(deduped, config.pk_col)
+            # rank the slim pk projection, hash-join docids back: the global
+            # range-sort (sampling pass + sort shuffle) only ever moves pks
+            ids, n_docs = assign_docids(
+                deduped.select(config.pk_col), config.pk_col, return_count=True
+            )
+            docs = deduped.join(ids, config.pk_col)
         docs = docs.select(
             "docid", F.col(config.pk_col).alias("pk"), F.col(config.text_col).alias("text"),
             *[F.col(c) for c in config.attr_cols],
@@ -239,9 +300,10 @@ def build_index(
         docs.write.mode("overwrite").parquet(staging)
         commit()
         spark.catalog.clearCache()
-        n_docs = spark.read.parquet(paths.docs).count()
+        if n_docs is None:
+            n_docs = parquet_dir_rows(paths.docs)
         log.commit("docs", inputs={"source": "caller DataFrame"},
-                   metrics={"n_docs": n_docs}, wall_s=time.time() - t0)
+                   metrics={"n_docs": int(n_docs)}, wall_s=time.time() - t0)
     maybe_fail("docs")
     n_docs = log.read("docs")["metrics"]["n_docs"]
 
@@ -256,7 +318,7 @@ def build_index(
         staging, commit = staged_write(paths.term_doc)
         extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         commit()
-        n_postings = spark.read.parquet(paths.term_doc).count()
+        n_postings = parquet_dir_rows(paths.term_doc)
         log.commit("extract", inputs={"docs": n_docs},
                    metrics={"n_term_doc_rows": n_postings}, wall_s=time.time() - t0)
     maybe_fail("extract")
@@ -275,12 +337,10 @@ def build_index(
         staging, commit = staged_write(paths.doc_stats)
         stats.write.mode("overwrite").parquet(staging)
         commit()
-        agg = spark.read.parquet(paths.doc_stats).agg(
-            F.count("*").alias("n"), F.sum("dl").alias("total_dl")
-        ).collect()[0]
-        avgdl = (agg["total_dl"] or 0) / agg["n"] if agg["n"] else 0.0
+        agg = parquet_dir_column_sums(paths.doc_stats, int_cols=("dl",))
+        avgdl = agg["dl"] / agg["rows"] if agg["rows"] else 0.0
         log.commit("doc_stats", inputs={"docs": n_docs},
-                   metrics={"n_docs": agg["n"], "total_dl": int(agg["total_dl"] or 0),
+                   metrics={"n_docs": agg["rows"], "total_dl": agg["dl"],
                             "avgdl": avgdl},
                    wall_s=time.time() - t0)
     maybe_fail("doc_stats")
@@ -307,7 +367,7 @@ def build_index(
             "overwrite"
         ).parquet(staging)
         commit()
-        n_terms = spark.read.parquet(paths.terms).count()
+        n_terms = parquet_dir_rows(paths.terms)
         log.commit("terms", inputs={"term_doc": "extract"},
                    metrics={"n_terms": n_terms}, wall_s=time.time() - t0)
     maybe_fail("terms")
@@ -327,23 +387,20 @@ def build_index(
             return
         t0 = time.time()
         td_b = term_doc.filter(F.col("bucket") == b)
-        seg = td_b.groupBy("term", "shard").applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
+        seg = td_b.groupBy("shard").applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
         bucket_dir = os.path.join(paths.postings, f"bucket={b}")
         staging, commit = staged_write(bucket_dir)
         seg.drop("bucket").write.mode("overwrite").parquet(staging)
         commit()
-        m = spark.read.parquet(bucket_dir).agg(
-            F.count("*").alias("segments"),
-            F.sum("n_docs").alias("postings_emitted"),
-            F.sum(
-                F.octet_length("docs") + F.octet_length("tfs")
-                + F.octet_length("dls") + F.octet_length("poss")
-            ).alias("bytes_compressed"),
-        ).collect()[0]
+        m = parquet_dir_column_sums(
+            bucket_dir, int_cols=("n_docs",),
+            binary_size_cols=("docs", "tfs", "dls", "poss"),
+        )
         metrics = {
-            "segments_merged": int(m["segments"] or 0),
-            "postings_emitted": int(m["postings_emitted"] or 0),
-            "bytes_compressed": int(m["bytes_compressed"] or 0),
+            "segments_merged": m["rows"],
+            "postings_emitted": m["n_docs"],
+            "bytes_compressed": m["docs_bytes"] + m["tfs_bytes"]
+            + m["dls_bytes"] + m["poss_bytes"],
         }
         with metrics_lock:
             metrics_rows.append({"stage": stage, "build_id": build_id, **metrics})
@@ -352,6 +409,19 @@ def build_index(
         maybe_fail(stage)
 
     metrics_lock = threading.Lock()
+    pending = [b for b in range(config.num_buckets) if not log.done(f"postings:bucket={b}")]
+    if pending:
+        # Pre-warm the Arrow python-worker pool with one tiny job: without
+        # this, N cold bucket jobs launched together each pay worker spawn +
+        # module import simultaneously (measured 6x slowdown per job).
+        (
+            term_doc.limit(64)
+            .groupBy("shard")
+            .applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
     with ThreadPoolExecutor(max_workers=config.num_buckets) as pool:
         futures = [pool.submit(run_bucket, b) for b in range(config.num_buckets)]
         errs = [f.exception() for f in futures]

@@ -158,41 +158,55 @@ def encode_postings(
     ends = np.minimum(starts + block_size, n)
     nb = len(starts)
 
-    doc_chunks, tf_chunks, dl_chunks, pos_chunks = [], [], [], []
-    first_docid = np.zeros(nb, dtype=np.int64)
-    max_docid = np.zeros(nb, dtype=np.int64)
-    max_impact = np.zeros(nb, dtype=np.float64)
-    doc_off = np.zeros(nb + 1, dtype=np.int64)
-    tf_off = np.zeros(nb + 1, dtype=np.int64)
-    dl_off = np.zeros(nb + 1, dtype=np.int64)
-    pos_off = np.zeros(nb + 1, dtype=np.int64)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        z1 = np.zeros(1, dtype=np.int64)
+        return EncodedPostings(0, b"", b"", b"", b"", z, z, z.astype(np.float64),
+                               z1, z1, z1, z1)
 
-    for i in range(nb):
-        s, e = int(starts[i]), int(ends[i])
-        blk = docids[s:e]
-        first_docid[i] = blk[0]
-        max_docid[i] = blk[-1]
-        max_impact[i] = impacts[s:e].max()
-        doc_chunks.append(varint_encode(delta_encode(blk, base=int(blk[0]))))
-        tf_chunks.append(varint_encode(tfs[s:e]))
-        dl_chunks.append(varint_encode(dls[s:e]))
-        if positions is not None:
-            parts = [
-                varint_encode(delta_encode(np.asarray(p, dtype=np.int64)))
-                for p in positions[s:e]
-            ]
-            pos_chunks.append(b"".join(parts))
-        doc_off[i + 1] = doc_off[i] + len(doc_chunks[-1])
-        tf_off[i + 1] = tf_off[i] + len(tf_chunks[-1])
-        dl_off[i + 1] = dl_off[i] + len(dl_chunks[-1])
-        pos_off[i + 1] = pos_off[i] + (len(pos_chunks[-1]) if positions is not None else 0)
+    # LEB128 concatenates per value, so one whole-array encode plus byte
+    # offsets sliced at block boundaries is bit-identical to per-block
+    # encodes — this keeps the hot path fully vectorized (one numpy pass
+    # per stream instead of a Python loop per block).
+    def _venc(vals: np.ndarray, value_starts: np.ndarray) -> tuple[bytes, np.ndarray]:
+        v = np.ascontiguousarray(vals, dtype=np.uint64)
+        if v.size == 0:
+            return b"", np.zeros(len(value_starts) + 1, dtype=np.int64)
+        nbytes = (np.searchsorted(_BOUNDS, v, side="right") + 1).astype(np.int64)
+        voff = np.zeros(v.size + 1, dtype=np.int64)
+        np.cumsum(nbytes, out=voff[1:])
+        buf = varint_encode(v)
+        return buf, np.concatenate((voff[value_starts], voff[-1:]))
+
+    first_docid = docids[starts]
+    max_docid = docids[ends - 1]
+    max_impact = np.maximum.reduceat(impacts, starts)
+
+    deltas = delta_encode(docids)
+    deltas[starts] = 0  # block-local: first delta of each block is 0 (base
+    # = first_docid from metadata), so blocks decode independently
+    docs_b, doc_off = _venc(deltas, starts)
+    tfs_b, tf_off = _venc(tfs, starts)
+    dls_b, dl_off = _venc(dls, starts)
+
+    if positions is not None:
+        lens = np.fromiter((len(p) for p in positions), np.int64, n)
+        flat = np.concatenate(positions) if lens.sum() else np.zeros(0, dtype=np.int64)
+        doc_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=doc_starts[1:])
+        pdeltas = delta_encode(flat.astype(np.int64))
+        nz = doc_starts[lens > 0]  # reset delta at each doc's first position
+        pdeltas[nz] = flat[nz]
+        poss_b, pos_off = _venc(pdeltas, doc_starts[starts])
+    else:
+        poss_b, pos_off = b"", np.zeros(nb + 1, dtype=np.int64)
 
     return EncodedPostings(
         n_docs=n,
-        docs=b"".join(doc_chunks),
-        tfs=b"".join(tf_chunks),
-        dls=b"".join(dl_chunks),
-        poss=b"".join(pos_chunks),
+        docs=docs_b,
+        tfs=tfs_b,
+        dls=dls_b,
+        poss=poss_b,
         first_docid=first_docid,
         max_docid=max_docid,
         max_impact=max_impact,

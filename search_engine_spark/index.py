@@ -113,6 +113,47 @@ class CheckpointLog:
         return out
 
 
+def parquet_dir_rows(path: str) -> int:
+    """Row count from parquet footers (local metadata read — no Spark job).
+    Only valid for directories on a filesystem the driver can see; on object
+    stores swap for a Spark count."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+    return total
+
+
+def parquet_dir_column_sums(path: str, int_cols: tuple[str, ...] = (),
+                            binary_size_cols: tuple[str, ...] = ()) -> dict:
+    """Sum int columns / binary column byte lengths across a parquet dir via
+    local pyarrow reads (column-pruned). Replaces per-bucket Spark metric
+    jobs — at bench scale those fixed job overheads dominate the build."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = {c: 0 for c in int_cols}
+    out.update({f"{c}_bytes": 0 for c in binary_size_cols})
+    out["rows"] = 0
+    cols = list(int_cols) + list(binary_size_cols)
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(root, name), columns=cols)
+            out["rows"] += t.num_rows
+            for c in int_cols:
+                s = pc.sum(t.column(c)).as_py()
+                out[c] += int(s or 0)
+            for c in binary_size_cols:
+                s = pc.sum(pc.binary_length(t.column(c))).as_py()
+                out[f"{c}_bytes"] += int(s or 0)
+    return out
+
+
 def staged_write(final_dir: str):
     """Context for atomic directory writes: write to `<dir>._staging`, then
     rename into place. Returns (staging_path, commit_fn)."""
