@@ -32,7 +32,7 @@ from search_engine_spark.pipelines import dedup, multimodal, similarity, textsta
 from search_engine_spark.query import SearchIndex
 
 # bump when build/codec layout changes so cached test indexes rebuild
-ENGINE_TAG = "v1"
+ENGINE_TAG = "v2"
 
 SCORE_ROUND = 4  # BM25 score rounding for oracle float compare
 

@@ -9,6 +9,8 @@ Apache Spark DataFrames:
                    metadata (replaces the reference's CboRoaringBitmap codec)
 * ``build``      — distributed inverted-index build: salted/sharded
                    repartition-by-term, per-stage checkpoints, metrics
+* ``update``     — incremental upsert/delete as segment generations +
+                   tombstones, compaction = segment merge (reference T1-T4)
 * ``query``      — BM25 top-k: per-shard scoring (vectorized exhaustive or
                    block-max WAND) + global top-k merge; phrase, prefix,
                    negation, typo expansion

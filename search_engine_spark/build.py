@@ -315,7 +315,8 @@ def build_index(
         extracted = docs_df.select("docid", "text").mapInPandas(
             make_extract_fn(config), schema=TERM_DOC_SCHEMA
         )
-        staging, commit = staged_write(paths.term_doc)
+        os.makedirs(paths.term_doc, exist_ok=True)
+        staging, commit = staged_write(paths.gen_dir(paths.term_doc, 0))
         extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         commit()
         n_postings = parquet_dir_rows(paths.term_doc)
@@ -362,7 +363,8 @@ def build_index(
         # to assign_docids(terms, "term") (scalable two-pass rank).
         w = Window.orderBy("term")
         terms = terms.withColumn("term_id", F.row_number().over(w) - F.lit(1))
-        staging, commit = staged_write(paths.terms)
+        os.makedirs(paths.terms, exist_ok=True)
+        staging, commit = staged_write(paths.gen_dir(paths.terms, 0))
         terms.select("term", "term_id", "df", "cf", "max_tf").write.mode(
             "overwrite"
         ).parquet(staging)
@@ -379,7 +381,7 @@ def build_index(
     # scheduler interleaves their tasks, so stragglers in one bucket don't
     # serialize the others and wall time ~ max(bucket) not sum(bucket).
     encode_fn = make_encode_fn(config, avgdl)
-    os.makedirs(paths.postings, exist_ok=True)
+    os.makedirs(paths.gen_dir(paths.postings, 0), exist_ok=True)
 
     def run_bucket(b: int) -> None:
         stage = f"postings:bucket={b}"
@@ -388,7 +390,7 @@ def build_index(
         t0 = time.time()
         td_b = term_doc.filter(F.col("bucket") == b)
         seg = td_b.groupBy("shard").applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
-        bucket_dir = os.path.join(paths.postings, f"bucket={b}")
+        bucket_dir = os.path.join(paths.gen_dir(paths.postings, 0), f"bucket={b}")
         staging, commit = staged_write(bucket_dir)
         seg.drop("bucket").write.mode("overwrite").parquet(staging)
         commit()
@@ -431,12 +433,20 @@ def build_index(
     maybe_fail("postings")
 
     # ---- stage 6: finalize ----------------------------------------------
+    from search_engine_spark.index import parquet_dir_column_max
+
     scalars = {
         "n_docs": int(ds_meta["n_docs"]),
         "avgdl": float(avgdl),
         "total_dl": int(ds_meta["total_dl"]),
         "n_terms": int(log.read("terms")["metrics"]["n_terms"]),
         "build_id": build_id,
+        "max_docid": int(parquet_dir_column_max(paths.doc_stats, "docid") or -1),
+        "n_deleted": 0,
+        # per-generation avgdl used at encode time: query-side WAND scales
+        # block-max bounds by max(1, query_avgdl / encode_avgdl) so pruning
+        # stays admissible after appends shift the live avgdl
+        "generations": {"0": {"avgdl": float(avgdl), "n_docs": int(ds_meta["n_docs"])}},
     }
     write_meta(paths, config, scalars)
     if metrics_rows:

@@ -10,14 +10,19 @@ index_dir/
                          #   == reference `documents` DB (src/index.rs:157-158)
   doc_stats/             # (docid, pk, dl, attrs...)  == generalized
                          #   field_id_word_count_docids (src/index.rs:124-125)
-  term_doc/bucket=*/     # extraction spill: (term, shard, docid, tf, dl,
+  term_doc/gen=G/bucket=*/   # extraction spill: (term, shard, docid, tf, dl,
                          #   positions) — the checkpointed intermediate
-  terms/                 # dictionary: (term, term_id, df, cf, max_tf)
-                         #   == words FST (src/index.rs:56) + the df/tf stats
-                         #   the reference never stores
-  postings/bucket=*/     # segments: (term, shard, n_docs, docs, tfs, dls,
-                         #   poss, block_meta) == word_docids
+  terms/gen=G/           # per-generation dictionary: (term, term_id, df, cf,
+                         #   max_tf) == words FST (src/index.rs:56) + the
+                         #   df/tf stats the reference never stores; query
+                         #   merges generations by summing df/cf
+  postings/gen=G/bucket=*/   # segments: (term, shard, n_docs, docs, tfs,
+                         #   dls, poss, block_meta) == word_docids
                          #   (src/index.rs:110-111) re-encoded per north rule
+  deletes/               # tombstoned docids (update/delete batches append
+                         #   here; compaction clears) — Lucene-style live-doc
+                         #   filtering, replaces the reference's in-place
+                         #   DelAdd merge (src/update/del_add.rs)
   metrics/               # per-stage/bucket build metrics rows
   _checkpoints/*.json    # stage completion manifests (resume skips done work)
 ```
@@ -56,8 +61,12 @@ class IndexPaths:
         self.term_doc = os.path.join(root, "term_doc")
         self.terms = os.path.join(root, "terms")
         self.postings = os.path.join(root, "postings")
+        self.deletes = os.path.join(root, "deletes")
         self.metrics = os.path.join(root, "metrics")
         self.checkpoints = os.path.join(root, "_checkpoints")
+
+    def gen_dir(self, base: str, gen: int) -> str:
+        return os.path.join(base, f"gen={gen}")
 
     def ensure(self):
         os.makedirs(self.root, exist_ok=True)
@@ -111,6 +120,28 @@ class CheckpointLog:
                 with open(os.path.join(self.paths.checkpoints, name)) as f:
                     out.append(json.load(f))
         return out
+
+
+def parquet_dir_column_max(path: str, col: str) -> int | None:
+    """Max of an int column from parquet row-group statistics (local
+    metadata read, no data scan, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    mx = None
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, name)).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        v = c.statistics.max
+                        if v is not None:
+                            mx = v if mx is None else max(mx, v)
+    return mx
 
 
 def parquet_dir_rows(path: str) -> int:

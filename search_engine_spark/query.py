@@ -77,15 +77,50 @@ class SearchIndex:
         self.n_docs: int = meta["n_docs"]
         self.avgdl: float = meta["avgdl"]
         self.n_terms: int = meta.get("n_terms", 0)
+        # generation -> avgdl used when that generation's block-max metadata
+        # was encoded (WAND bound scaling; see make_shard_scorer)
+        self.gen_avgdl: dict[int, float] = {
+            int(g): float(v["avgdl"])
+            for g, v in meta.get("generations", {"0": {"avgdl": self.avgdl}}).items()
+        }
         self._postings = spark.read.parquet(self.paths.postings)
-        self._terms = spark.read.parquet(self.paths.terms)
+        # per-generation dictionaries merge by summing df/cf. NOTE (documented
+        # deviation, Lucene-identical): df still counts tombstoned docs until
+        # compaction, so idf of terms touching deleted docs is slightly stale.
+        self._terms = (
+            spark.read.parquet(self.paths.terms)
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max("max_tf").alias("max_tf"),
+            )
+        )
         self._doc_stats = spark.read.parquet(self.paths.doc_stats)
+        self._deleted = self._load_deleted()
         # The dictionary is tiny relative to the corpus (the reference keeps
         # its whole words-FST in memory, src/index.rs:56). Below this many
         # terms we pin (term -> df) on the driver so query planning does no
         # Spark jobs; above it, lookups fall back to DataFrame point reads.
         self._local_dict_max_terms = 2_000_000
         self._dict: dict[str, int] | None = None
+
+    def _load_deleted(self) -> "np.ndarray":
+        """Tombstoned docids as a sorted array, read locally (small relative
+        to the corpus; at 10^12-doc scale this becomes a broadcast roaring
+        bitmap — same contract: sorted membership lookup in the scorer)."""
+        import os
+
+        if not os.path.isdir(self.paths.deletes):
+            return np.zeros(0, dtype=np.int64)
+        import pyarrow.parquet as pq
+        import pyarrow.dataset as ds
+
+        try:
+            t = ds.dataset(self.paths.deletes, format="parquet").to_table(columns=["docid"])
+        except Exception:
+            return np.zeros(0, dtype=np.int64)
+        return np.unique(t.column("docid").to_numpy())
 
     # -- dictionary lookups (reference Q1/Q4/P11-12) ----------------------
     def _local_dict(self) -> dict[str, int] | None:
@@ -202,6 +237,8 @@ class SearchIndex:
             b=self.config.b,
             use_wand=use_wand,
             has_filter=filter_ast is not None,
+            gen_avgdl=self.gen_avgdl,
+            deleted=self._deleted,
         )
 
         pq_df = self._postings_for(all_terms)
@@ -250,10 +287,11 @@ class SearchIndex:
         block_size = self.config.block_size  # capture scalars, not self
 
         def match(pdf: pd.DataFrame) -> pd.DataFrame:
-            readers = {
-                row["term"]: PostingReader.from_row(row, block_size)
-                for row in pdf.to_dict("records")
-            }
+            readers: dict[str, list[tuple[PostingReader, float]]] = {}
+            for row in pdf.to_dict("records"):
+                readers.setdefault(row["term"], []).append(
+                    (PostingReader.from_row(row, block_size), 1.0)
+                )
             docs = _phrase_docids(readers, phrase)
             return pd.DataFrame({"docid": pd.Series(docs, dtype="int64")})
 
@@ -290,14 +328,27 @@ def make_shard_scorer(
     b: float,
     use_wand: bool,
     has_filter: bool,
+    gen_avgdl: dict[int, float] | None = None,
+    deleted: np.ndarray | None = None,
 ):
     """Build the per-shard scoring function (cogroup signature).
 
-    ``left``: postings rows of this shard for every query term.
+    ``left``: postings rows of this shard for every query term — possibly
+    several rows per term (one per segment generation; docids are disjoint
+    across generations).
     ``right``: allowed docids (filter), or None when has_filter=False.
     Returns <=k rows (docid, score), ties (score desc, docid asc).
+
+    WAND bound scaling: block-max metadata was computed with the avgdl at
+    that generation's encode time. Scores always use the CURRENT avgdl, and
+    impact(tf, dl, a) grows with a, bounded by impact * (aq/ae) for
+    aq > ae — so each reader's bounds are multiplied by
+    ``max(1, avgdl / gen_avgdl[gen])``, keeping pruning admissible after
+    appends shift the corpus avgdl.
     """
     neg_set = set(negated)
+    gen_avgdl = gen_avgdl or {}
+    deleted = deleted if deleted is not None and len(deleted) else None
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
@@ -307,9 +358,12 @@ def make_shard_scorer(
     def scorer(left: pd.DataFrame, right: pd.DataFrame | None = None) -> pd.DataFrame:
         if len(left) == 0:
             return _empty()
-        readers: dict[str, PostingReader] = {}
+        readers: dict[str, list[tuple[PostingReader, float]]] = {}
         for row in left.to_dict("records"):
-            readers[row["term"]] = PostingReader.from_row(row, block_size)
+            r = PostingReader.from_row(row, block_size)
+            enc_avgdl = gen_avgdl.get(int(row.get("gen", 0)), avgdl)
+            scale = max(1.0, avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
+            readers.setdefault(row["term"], []).append((r, scale))
 
         allowed: np.ndarray | None = None
         if has_filter:
@@ -320,10 +374,11 @@ def make_shard_scorer(
             )
 
         if use_wand and not phrases and not neg_set and allowed is None:
-            pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b)
+            pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b, deleted)
         else:
             pairs = _exhaustive_topk(
-                readers, term_weights, phrases, neg_set, allowed, k, avgdl, k1, b
+                readers, term_weights, phrases, neg_set, allowed, k, avgdl, k1, b,
+                deleted,
             )
         if not pairs:
             return _empty()
@@ -336,7 +391,7 @@ def make_shard_scorer(
 
 
 def _exhaustive_topk(
-    readers: dict[str, PostingReader],
+    readers: dict[str, list[tuple[PostingReader, float]]],
     term_weights: dict[str, float],
     phrases: list[list[str]],
     neg_set: set[str],
@@ -345,20 +400,19 @@ def _exhaustive_topk(
     avgdl: float,
     k1: float,
     b: float,
+    deleted: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized full-decode scoring: concatenate (docid, idf*impact) across
-    terms, aggregate per docid with np.add.at, apply phrase/negation/filter
-    constraints, bounded top-k."""
+    terms (and segment generations), aggregate per docid with np.add.at,
+    apply phrase/negation/filter/tombstone constraints, bounded top-k."""
     doc_chunks, score_chunks = [], []
     for term, idf in term_weights.items():
-        r = readers.get(term)
-        if r is None:
-            continue
-        docids, tfs, dls = r.decode_all()
-        tfs_f = tfs.astype(np.float64)
-        norm = k1 * (1.0 - b + b * dls.astype(np.float64) / max(avgdl, 1e-12))
-        doc_chunks.append(docids)
-        score_chunks.append(idf * tfs_f / (tfs_f + norm))
+        for r, _scale in readers.get(term, ()):  # scores use current avgdl
+            docids, tfs, dls = r.decode_all()
+            tfs_f = tfs.astype(np.float64)
+            norm = k1 * (1.0 - b + b * dls.astype(np.float64) / max(avgdl, 1e-12))
+            doc_chunks.append(docids)
+            score_chunks.append(idf * tfs_f / (tfs_f + norm))
     if not doc_chunks:
         return []
     docs = np.concatenate(doc_chunks)
@@ -371,12 +425,13 @@ def _exhaustive_topk(
     for ph in phrases:
         mask &= np.isin(uniq, _phrase_docids(readers, ph))
     for t in neg_set:
-        r = readers.get(t)
-        if r is not None:
+        for r, _scale in readers.get(t, ()):
             nd, _, _ = r.decode_all()
             mask &= ~np.isin(uniq, nd)
     if allowed is not None:
         mask &= np.isin(uniq, allowed)
+    if deleted is not None:
+        mask &= ~np.isin(uniq, deleted)
 
     uniq, agg = uniq[mask], agg[mask]
     if len(uniq) == 0:
@@ -386,25 +441,33 @@ def _exhaustive_topk(
     return [(int(uniq[i]), float(agg[i])) for i in idx]
 
 
-def _phrase_docids(readers: dict[str, PostingReader], phrase: list[str]) -> np.ndarray:
+def _phrase_docids(
+    readers: dict[str, list[tuple[PostingReader, float]]], phrase: list[str]
+) -> np.ndarray:
     """Docids (sorted) where the phrase occurs at consecutive positions
-    (reference R2 ``phrase_resolve`` rebuilt over exact stored positions)."""
-    rs = [readers.get(t) for t in phrase]
-    if any(r is None for r in rs):
-        return np.zeros(0, dtype=np.int64)
+    (reference R2 ``phrase_resolve`` rebuilt over exact stored positions).
+    Docids are disjoint across a term's generations, so per-term maps merge."""
     doc_lists, pos_maps = [], []
-    for r in rs:
-        docids, _, _ = r.decode_all()
-        positions = r.decode_all_positions()
-        pos_maps.append({int(d): p for d, p in zip(docids, positions)})
-        doc_lists.append(docids)
+    for t in phrase:
+        rs = readers.get(t, ())
+        if not rs:
+            return np.zeros(0, dtype=np.int64)
+        pmap: dict[int, np.ndarray] = {}
+        dchunks = []
+        for r, _scale in rs:
+            docids, _, _ = r.decode_all()
+            positions = r.decode_all_positions()
+            pmap.update({int(d): p for d, p in zip(docids, positions)})
+            dchunks.append(docids)
+        pos_maps.append(pmap)
+        doc_lists.append(np.unique(np.concatenate(dchunks)))
     cand = doc_lists[0]
     for ds in doc_lists[1:]:
         cand = np.intersect1d(cand, ds, assume_unique=True)
     out = []
     for d in cand:
         d = int(d)
-        later = [set(pos_maps[i][d].tolist()) for i in range(1, len(rs))]
+        later = [set(pos_maps[i][d].tolist()) for i in range(1, len(phrase))]
         for s in pos_maps[0][d]:
             if all((int(s) + i + 1) in later[i] for i in range(len(later))):
                 out.append(d)
@@ -421,13 +484,17 @@ class _Cursor:
     """Block-skipping cursor over one term's shard postings. Blocks are
     decoded lazily; ``seek`` skips whole blocks via max_docid metadata."""
 
-    __slots__ = ("r", "idf", "bi", "i", "docids", "tfs", "dls", "exhausted", "term_ub")
+    __slots__ = ("r", "idf", "bi", "i", "docids", "tfs", "dls", "exhausted",
+                 "term_ub", "scale")
 
-    def __init__(self, reader: PostingReader, idf: float):
+    def __init__(self, reader: PostingReader, idf: float, scale: float = 1.0):
         self.r = reader
         self.idf = idf
+        self.scale = scale  # avgdl-drift bound multiplier (>= 1, admissible)
         self.exhausted = reader.n_docs == 0
-        self.term_ub = float(idf * reader.max_impact.max()) if not self.exhausted else 0.0
+        self.term_ub = (
+            float(idf * scale * reader.max_impact.max()) if not self.exhausted else 0.0
+        )
         if not self.exhausted:
             self._load(0)
 
@@ -441,7 +508,7 @@ class _Cursor:
         return int(self.docids[self.i])
 
     def block_ub(self) -> float:
-        return float(self.idf * self.r.max_impact[self.bi])
+        return float(self.idf * self.scale * self.r.max_impact[self.bi])
 
     def block_max_docid(self) -> int:
         return int(self.r.max_docid[self.bi])
@@ -468,21 +535,27 @@ class _Cursor:
 
 
 def _wand_topk(
-    readers: dict[str, PostingReader],
+    readers: dict[str, list[tuple[PostingReader, float]]],
     term_weights: dict[str, float],
     k: int,
     avgdl: float,
     k1: float,
     b: float,
+    deleted: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Block-max WAND with a k-bounded min-heap.
 
     Heap entries are (score, -docid): the heap minimum is the (score desc,
     docid asc) threshold. Pruning uses STRICT < so bound==threshold ties are
     evaluated — rank identity with exhaustive scoring is a tested invariant.
+    One cursor per (term, segment generation); docids are disjoint across a
+    term's generations so the OR-iteration stays correct. Tombstoned docs
+    are skipped at insert time (bounds only over-estimate — admissible).
     """
     cursors = [
-        _Cursor(readers[t], idf) for t, idf in term_weights.items() if t in readers
+        _Cursor(r, idf, scale)
+        for t, idf in term_weights.items()
+        for r, scale in readers.get(t, ())
     ]
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []
@@ -522,7 +595,7 @@ def _wand_topk(
                 else:
                     nbi = int(np.searchsorted(c.r.max_docid, pivot_doc, side="left"))
                     if nbi < c.r.n_blocks:
-                        bub += float(c.idf * c.r.max_impact[nbi])
+                        bub += float(c.idf * c.scale * c.r.max_impact[nbi])
             if len(heap) >= k and bub < threshold:
                 # skip past the current blocks; docs strictly between
                 # pivot_doc and `target` can only contain `involved` terms
@@ -535,15 +608,20 @@ def _wand_topk(
                 for c in involved:
                     c.seek(target)
                 continue
-            s = 0.0
             at_pivot = [c for c in cursors if not c.exhausted and c.cur_doc == pivot_doc]
-            for c in at_pivot:
-                s += score_at(c)
-            entry = (s, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
+            is_deleted = deleted is not None and bool(
+                np.searchsorted(deleted, pivot_doc) < len(deleted)
+                and deleted[np.searchsorted(deleted, pivot_doc)] == pivot_doc
+            )
+            if not is_deleted:
+                s = 0.0
+                for c in at_pivot:
+                    s += score_at(c)
+                entry = (s, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
             for c in at_pivot:
                 c.advance()
         else:

@@ -1,0 +1,331 @@
+"""Incremental index maintenance: upserts, deletes, compaction.
+
+The reference applies updates in place inside one LMDB write transaction —
+every extracted key carries a Deletion/Addition side and bitmaps are merged
+(``/root/reference/src/update/del_add.rs:1-125``,
+``transform.rs:150-452``). A distributed rebuild wants immutable files, so
+this module re-expresses the same semantics Lucene-style:
+
+* ``add_documents``  — ``ReplaceDocuments`` upsert (reference
+  ``transform.rs:107-110``): last-write-wins within the batch, existing
+  docs with the same pk are tombstoned, the batch becomes a NEW segment
+  generation (``gen=N`` under term_doc/terms/postings). Nothing existing
+  is rewritten.
+* ``delete_documents`` — tombstone by external id (reference
+  ``Transform::remove_documents``, ``transform.rs:363-452``).
+* ``compact``        — segment merge: rebuilds a single ``gen=0`` from the
+  union of live term_doc rows (re-tokenization is NOT needed — term_doc is
+  the extraction checkpoint), recomputes doc stats / dictionary / postings
+  with fresh global avgdl, clears tombstones.
+
+Query-time consequences (see ``query.py``):
+* docids are disjoint across generations, so per-shard scoring just sees
+  extra segment rows per term;
+* tombstoned docids are filtered in the scorer;
+* df (hence idf) still counts tombstoned docs until compaction — the same
+  documented staleness Lucene accepts;
+* block-max bounds from older generations are scaled by
+  ``max(1, avgdl_now / avgdl_encode)`` so WAND pruning stays admissible.
+
+Scale notes: each append shuffles ONLY the new batch (extract + one
+postings job); tombstones append a docid list. Compaction is the only
+full-data rewrite and reuses the spilled extraction, so its cost is the
+shuffle+encode of live postings — no tokenization pass.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.build import (
+    POSTINGS_SCHEMA,
+    _dedupe_last_write_wins,
+    make_encode_fn,
+    make_extract_fn,
+)
+from search_engine_spark.config import IndexConfig
+from search_engine_spark.index import (
+    IndexPaths,
+    parquet_dir_column_sums,
+    parquet_dir_rows,
+    read_meta,
+    staged_write,
+    write_meta,
+)
+
+
+def _load(spark: SparkSession, index_dir: str):
+    paths = IndexPaths(index_dir)
+    meta = read_meta(paths)
+    return paths, meta, IndexConfig.from_dict(meta["config"])
+
+
+def _next_gen(meta: dict) -> int:
+    return max(int(g) for g in meta["generations"]) + 1
+
+
+def add_documents(
+    spark: SparkSession, index_dir: str, new_pages: DataFrame
+) -> dict:
+    """Upsert a batch (ReplaceDocuments semantics). Returns updated meta."""
+    paths, meta, config = _load(spark, index_dir)
+    gen = _next_gen(meta)
+
+    keep = [config.pk_col, config.text_col, *config.attr_cols]
+    if config.ts_col and config.ts_col not in keep:
+        keep.append(config.ts_col)
+    batch = _dedupe_last_write_wins(
+        new_pages.select(*keep), config.pk_col, config.ts_col
+    )
+
+    # tombstone existing docids whose pk is being replaced
+    existing = spark.read.parquet(paths.doc_stats).select("docid", "pk")
+    tomb = existing.join(
+        batch.select(F.col(config.pk_col).alias("pk")), "pk"
+    ).select("docid")
+    if config.docid_col:
+        # externally-managed docids: a replacement would reuse the SAME docid
+        # in a newer generation, and docid-level tombstones cannot tell the
+        # generations apart. Until tombstones carry a generation horizon,
+        # replacements require rank-assigned docids (docid_col=None).
+        n_replaced = tomb.count()
+        if n_replaced:
+            raise ValueError(
+                f"add_documents: {n_replaced} pks already exist and "
+                "docid_col is set — replacements need docid_col=None "
+                "(rank-assigned docids) or delete_documents + compact first"
+            )
+    _append_tombstones(spark, paths, tomb)
+
+    # docids: externally managed when docid_col is set (same contract as
+    # build_index); otherwise continue after the current max (stable across
+    # cluster sizes: rank of pk within the batch, offset by max_docid)
+    offset = int(meta["max_docid"]) + 1
+    if config.docid_col:
+        with_id = batch.withColumn("docid", F.col(config.docid_col).cast("long"))
+    else:
+        w = Window.orderBy(config.pk_col)  # batch-sized window; batches are
+        # the small side of an append — for huge backfills use assign_docids
+        with_id = batch.withColumn(
+            "docid", (F.row_number().over(w) - 1 + F.lit(offset)).cast("long")
+        )
+    docs = with_id.select(
+        "docid",
+        F.col(config.pk_col).alias("pk"),
+        F.col(config.text_col).alias("text"),
+        *[F.col(c) for c in config.attr_cols],
+    )
+    docs.write.mode("append").parquet(paths.docs)
+    new_pks = docs.select("pk")
+    docs_df = spark.read.parquet(paths.docs).join(new_pks, "pk").select(
+        "docid", "pk", "text", *config.attr_cols
+    )
+    # appended rows are the only ones with these (pk, docid) pairs — the old
+    # versions of replaced pks share the pk; keep only the max docid per pk
+    # (externally-managed docids replace in place, so dedupe is a no-op there)
+    from pyspark.sql import Window as _W
+
+    docs_df = (
+        docs_df.withColumn(
+            "_rn", F.row_number().over(_W.partitionBy("pk").orderBy(F.col("docid").desc()))
+        )
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    n_new = docs_df.count()
+
+    # extract ONLY the new docs into term_doc/gen=N
+    extracted = docs_df.select("docid", "text").mapInPandas(
+        make_extract_fn(config), schema=build_schema()
+    )
+    staging, commit = staged_write(paths.gen_dir(paths.term_doc, gen))
+    extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    commit()
+    td_gen = spark.read.parquet(paths.gen_dir(paths.term_doc, gen))
+
+    # doc_stats append for the new docs
+    dl_df = td_gen.groupBy("docid").agg(F.first("dl").alias("dl"))
+    stats = (
+        docs_df.select("docid", "pk", *config.attr_cols)
+        .join(dl_df, "docid", "left")
+        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int"))
+    )
+    stats.write.mode("append").parquet(paths.doc_stats)
+
+    # per-generation dictionary
+    terms = td_gen.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf"), F.max("tf").alias("max_tf")
+    )
+    tw = Window.orderBy("term")
+    terms = terms.withColumn("term_id", F.row_number().over(tw) - F.lit(1))
+    staging, commit = staged_write(paths.gen_dir(paths.terms, gen))
+    terms.select("term", "term_id", "df", "cf", "max_tf").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    commit()
+
+    # live avgdl AFTER the append (tombstoned dls removed)
+    n_live, avgdl, total_dl = _live_stats(spark, paths)
+
+    # postings for the new generation, encoded with the fresh avgdl
+    encode_fn = make_encode_fn(config, avgdl)
+    seg = td_gen.groupBy("shard").applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
+    staging, commit = staged_write(paths.gen_dir(paths.postings, gen))
+    seg.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    commit()
+
+    meta["generations"][str(gen)] = {"avgdl": float(avgdl), "n_docs": int(n_new)}
+    meta.update(
+        n_docs=int(n_live),
+        avgdl=float(avgdl),
+        total_dl=int(total_dl),
+        max_docid=int(offset + n_new - 1),
+        n_deleted=int(parquet_dir_rows(paths.deletes)),
+    )
+    _rewrite_meta(paths, config, meta)
+    return read_meta(paths)
+
+
+def delete_documents(spark: SparkSession, index_dir: str, pks: list) -> dict:
+    """Tombstone documents by external id (reference T3)."""
+    paths, meta, config = _load(spark, index_dir)
+    existing = spark.read.parquet(paths.doc_stats).select("docid", "pk")
+    pk_df = spark.createDataFrame([(p,) for p in pks], f"pk {existing.schema['pk'].dataType.simpleString()}")
+    tomb = existing.join(pk_df, "pk").select("docid")
+    _append_tombstones(spark, paths, tomb)
+    n_live, avgdl, total_dl = _live_stats(spark, paths)
+    meta.update(
+        n_docs=int(n_live), avgdl=float(avgdl), total_dl=int(total_dl),
+        n_deleted=int(parquet_dir_rows(paths.deletes)),
+    )
+    _rewrite_meta(paths, config, meta)
+    return read_meta(paths)
+
+
+def compact(spark: SparkSession, index_dir: str) -> dict:
+    """Segment merge: fold all generations + tombstones into a fresh gen=0.
+
+    Reuses the term_doc extraction spill (no re-tokenization); docids are
+    preserved. After compaction df/idf are exact again and WAND bound
+    scaling returns to 1.
+    """
+    import shutil
+
+    paths, meta, config = _load(spark, index_dir)
+    deleted = _deleted_df(spark, paths)
+
+    td_live = spark.read.parquet(paths.term_doc).drop("gen")
+    stats_all = spark.read.parquet(paths.doc_stats)
+    docs_all = spark.read.parquet(paths.docs)
+    if deleted is not None:
+        td_live = td_live.join(deleted, "docid", "left_anti")
+        stats_all = stats_all.join(deleted, "docid", "left_anti")
+        docs_all = docs_all.join(deleted, "docid", "left_anti")
+
+    # rewrite docs + doc_stats (live rows only); latest row per docid wins
+    # (append-mode docs/doc_stats never duplicate docids, but be defensive)
+    t0 = time.time()
+    staging, commit = staged_write(paths.docs + ".compact")
+    docs_all.write.mode("overwrite").parquet(staging)
+    commit()
+    staging, commit = staged_write(paths.doc_stats + ".compact")
+    stats_all.write.mode("overwrite").parquet(staging)
+    commit()
+    staging, commit = staged_write(paths.term_doc + ".compact")
+    td_live.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    commit()
+    for p in (paths.docs, paths.doc_stats, paths.term_doc):
+        shutil.rmtree(p)
+    import os
+
+    os.replace(paths.docs + ".compact", paths.docs)
+    os.replace(paths.doc_stats + ".compact", paths.doc_stats)
+    os.makedirs(paths.term_doc + ".tmpwrap", exist_ok=True)
+    os.replace(paths.term_doc + ".compact", os.path.join(paths.term_doc + ".tmpwrap", "gen=0"))
+    os.replace(paths.term_doc + ".tmpwrap", paths.term_doc)
+
+    agg = parquet_dir_column_sums(paths.doc_stats, int_cols=("dl",))
+    avgdl = agg["dl"] / agg["rows"] if agg["rows"] else 0.0
+    td = spark.read.parquet(paths.term_doc)
+
+    # dictionary
+    terms = td.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf"), F.max("tf").alias("max_tf")
+    )
+    tw = Window.orderBy("term")
+    terms = terms.withColumn("term_id", F.row_number().over(tw) - F.lit(1))
+    staging, commit = staged_write(paths.terms + ".compact")
+    terms.select("term", "term_id", "df", "cf", "max_tf").write.mode("overwrite").parquet(staging)
+    commit()
+    shutil.rmtree(paths.terms)
+    os.makedirs(paths.terms + ".tmpwrap", exist_ok=True)
+    os.replace(paths.terms + ".compact", os.path.join(paths.terms + ".tmpwrap", "gen=0"))
+    os.replace(paths.terms + ".tmpwrap", paths.terms)
+
+    # postings: one merged generation
+    encode_fn = make_encode_fn(config, avgdl)
+    seg = td.drop("gen").groupBy("shard").applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
+    staging, commit = staged_write(paths.postings + ".compact")
+    seg.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    commit()
+    shutil.rmtree(paths.postings)
+    os.makedirs(paths.postings + ".tmpwrap", exist_ok=True)
+    os.replace(paths.postings + ".compact", os.path.join(paths.postings + ".tmpwrap", "gen=0"))
+    os.replace(paths.postings + ".tmpwrap", paths.postings)
+
+    shutil.rmtree(paths.deletes, ignore_errors=True)
+
+    from search_engine_spark.index import parquet_dir_column_max
+
+    meta.update(
+        n_docs=int(agg["rows"]),
+        avgdl=float(avgdl),
+        total_dl=int(agg["dl"]),
+        n_terms=int(parquet_dir_rows(paths.terms)),
+        n_deleted=0,
+        max_docid=int(parquet_dir_column_max(paths.doc_stats, "docid") or -1),
+        generations={"0": {"avgdl": float(avgdl), "n_docs": int(agg["rows"])}},
+        compacted_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        compact_wall_s=round(time.time() - t0, 2),
+    )
+    _rewrite_meta(paths, config, meta)
+    return read_meta(paths)
+
+
+# ---------------------------------------------------------------------------
+
+
+def build_schema() -> str:
+    from search_engine_spark.build import TERM_DOC_SCHEMA
+
+    return TERM_DOC_SCHEMA
+
+
+def _append_tombstones(spark: SparkSession, paths: IndexPaths, tomb: DataFrame):
+    tomb.write.mode("append").parquet(paths.deletes)
+
+
+def _deleted_df(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
+    import os
+
+    if not os.path.isdir(paths.deletes):
+        return None
+    return spark.read.parquet(paths.deletes).select("docid").distinct()
+
+
+def _live_stats(spark: SparkSession, paths: IndexPaths) -> tuple[int, float, int]:
+    stats = spark.read.parquet(paths.doc_stats)
+    deleted = _deleted_df(spark, paths)
+    if deleted is not None:
+        stats = stats.join(deleted, "docid", "left_anti")
+    row = stats.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
+    n, t = int(row["n"] or 0), int(row["t"] or 0)
+    return n, (t / n if n else 0.0), t
+
+
+def _rewrite_meta(paths: IndexPaths, config: IndexConfig, meta: dict):
+    scalars = {k: v for k, v in meta.items() if k != "config"}
+    write_meta(paths, config, scalars)

@@ -1,0 +1,181 @@
+"""Training-data pipeline operator tests (dedup / similarity / textstats /
+multimodal) against small hand-built fixtures with known answers."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog", "en"),  # near dup of 0
+        (3, "completely different text about spark query engines", "en"),
+        (4, "spark query engines process completely different text", "de"),  # perm of 3
+        (5, "numbers 123 456 789 only here", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs_df):
+    from search_engine_spark.pipelines.dedup import exact_dedup
+
+    got = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs_df).collect()}
+    assert got[0] == 2  # doc 1 collapsed into 0
+    assert 1 not in got
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_jaccard_pairs(spark, docs_df):
+    from search_engine_spark.pipelines.dedup import jaccard_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in jaccard_pairs(docs_df, 0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    # reordered doc with one word swapped: 6 shared / 8 union
+    assert pairs[(3, 4)] == 0.75
+    assert (0, 5) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, docs_df):
+    from search_engine_spark.pipelines.dedup import minhash_lsh_pairs
+
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs_df, threshold=0.4).collect()}
+    assert (0, 1) in pairs  # identical docs always share all bands
+    got_shingled = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(docs_df, threshold=0.3, shingle_size=3).collect()
+    }
+    assert (0, 1) in got_shingled
+    # shingles separate the permuted pair (3,4): word order differs
+    from search_engine_spark.pipelines.dedup import jaccard_pairs
+
+    jp = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(docs_df, 0.0, shingle_size=3).collect()
+    }
+    assert jp.get((3, 4), 0.0) < 0.4
+
+
+def test_simhash_identical_docs_equal_hash(spark, docs_df):
+    from search_engine_spark.pipelines.dedup import simhash, simhash_pairs
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    assert sh[0] == sh[1]
+    assert all(0 <= v < (1 << 60) for v in sh.values())
+    # near-dup hamming small; unrelated hamming large
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[5])
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs_df, 3).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from search_engine_spark.pipelines.similarity import cosine_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    q = vecs[0].astype(np.float64)
+    sims = (vecs.astype(np.float64) @ q) / (
+        np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    sims[0] = -np.inf  # excluded
+    expect = np.argsort(-sims, kind="stable")[:5]
+    got = cosine_topk(emb, [float(x) for x in q], k=5, exclude_ids=[0]).collect()
+    assert [r["vec_id"] for r in got] == [int(i) for i in expect]
+    for r in got:
+        assert abs(r["sim"] - sims[r["vec_id"]]) < 1e-5
+
+
+def test_lsh_ann_recall(spark):
+    from search_engine_spark.pipelines.similarity import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[3]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in lsh_cosine_topk(emb, q, k=10, n_planes=8,
+                                                   multiprobe_hamming=2).collect()}
+    # candidates are bucket-pruned; require non-trivial recall incl. self
+    assert 3 in approx
+    assert len(exact & approx) >= 3
+
+
+def test_token_stats_and_quality(spark, docs_df):
+    from search_engine_spark.pipelines.textstats import quality_score, token_stats
+
+    ts = {r["doc_id"]: r for r in token_stats(docs_df).collect()}
+    assert ts[0]["n_tokens"] == 9
+    assert ts[0]["n_uniq"] == 8  # 'the' twice
+    q = {r["doc_id"]: r for r in quality_score(docs_df).collect()}
+    assert q[5]["digit_ratio"] == pytest.approx(3 / 6)
+    assert q[0]["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+    assert q[0]["uniq_ratio"] == pytest.approx(8 / 9)
+
+
+def test_lang_id_markers(spark):
+    from search_engine_spark.pipelines.textstats import lang_id
+
+    rows = [
+        (0, "the cat and the dog of it"),
+        (1, "der hund und die katze ist nicht ein tier"),
+        (2, "xyzzy plugh zork"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "und"
+
+
+def test_fingerprint_separator_insensitive(spark):
+    from search_engine_spark.pipelines.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "hello,  world!"), (2, "hello there")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_features_roundtrip(spark, docs_df):
+    from search_engine_spark.pipelines.multimodal import (
+        attach_binary_payload,
+        decode_payload,
+        extract_features,
+    )
+
+    feats = {r["doc_id"]: r for r in
+             extract_features(attach_binary_payload(docs_df)).collect()}
+    text0 = docs_df.filter("doc_id = 0").head()["text"]
+    assert feats[0]["n_bytes"] == len(text0.encode())
+    assert feats[0]["content_md5"] == hashlib.md5(text0.encode()).hexdigest()
+    assert 1 <= feats[0]["fake_w"] <= 64 and 1 <= feats[0]["fake_h"] <= 64
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_facets(spark, docs_df):
+    from search_engine_spark.facets import facet_distribution, facet_value_search
+
+    dist = facet_distribution(docs_df, "lang").collect()
+    assert [(r["value"], r["count"]) for r in dist] == [("en", 4), ("de", 1), ("fr", 1)]
+    filtered = facet_distribution(docs_df, "lang", filter_ast={"lang": {"$ne": "en"}}).collect()
+    assert {r["value"] for r in filtered} == {"de", "fr"}
+    fv = facet_value_search(docs_df, "lang", "e", typo_tolerant=False).collect()
+    assert [r["value"] for r in fv] == ["en"]

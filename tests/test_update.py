@@ -1,0 +1,122 @@
+"""Incremental index maintenance: upsert / delete / compact semantics
+(reference T1-T4 re-expressed as segment generations + tombstones)."""
+
+import shutil
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def small_index(spark, tmp_path):
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+
+    rows = [
+        ("a", "spark index engine query", "en"),
+        ("b", "spark table join", "en"),
+        ("c", "window aggregate stream", "de"),
+        ("d", "query planner optimizer", "en"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "text", "lang"])
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                      attr_cols=("lang",), num_shards=2, num_buckets=2)
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _pk_results(ix, q, **kw):
+    return [(r["pk"], round(r["score"], 9)) for r in ix.search(q, k=10, **kw).collect()]
+
+
+def test_append_makes_new_docs_searchable(spark, small_index):
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import add_documents
+
+    new = spark.createDataFrame(
+        pd.DataFrame([("e", "banana smoothie recipe", "fr")],
+                     columns=["url", "text", "lang"])
+    )
+    meta = add_documents(spark, small_index, new)
+    assert meta["n_docs"] == 5
+    assert set(meta["generations"]) == {"0", "1"}
+    ix = SearchIndex(spark, small_index)
+    hits = _pk_results(ix, "banana")
+    assert [p for p, _ in hits] == ["e"]
+    # old docs still searchable, both modes agree across generations
+    assert _pk_results(ix, "spark query", mode="wand") == _pk_results(
+        ix, "spark query", mode="exhaustive"
+    )
+
+
+def test_replace_tombstones_old_version(spark, small_index):
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import add_documents
+
+    new = spark.createDataFrame(
+        pd.DataFrame([("b", "completely new content here", "en")],
+                     columns=["url", "text", "lang"])
+    )
+    meta = add_documents(spark, small_index, new)
+    assert meta["n_docs"] == 4  # replaced, not added
+    assert meta["n_deleted"] == 1
+    ix = SearchIndex(spark, small_index)
+    # old content of b no longer matches
+    assert "b" not in [p for p, _ in _pk_results(ix, "table join")]
+    assert [p for p, _ in _pk_results(ix, "completely content")] == ["b"]
+    # WAND (with tombstone skip + bound scaling) agrees with exhaustive
+    for q in ("spark", "query engine", "completely new"):
+        assert _pk_results(ix, q, mode="wand") == _pk_results(ix, q, mode="exhaustive")
+
+
+def test_delete_documents(spark, small_index):
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import delete_documents
+
+    meta = delete_documents(spark, small_index, ["a", "c"])
+    assert meta["n_docs"] == 2 and meta["n_deleted"] == 2
+    ix = SearchIndex(spark, small_index)
+    pks = {p for p, _ in _pk_results(ix, "spark index engine window stream")}
+    assert pks == {"b"}
+
+
+def test_compact_equals_clean_rebuild(spark, small_index, tmp_path):
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import add_documents, compact
+
+    add_documents(spark, small_index, spark.createDataFrame(
+        pd.DataFrame([("b", "fresh replacement text", "en"),
+                      ("f", "spark streaming watermark", "en")],
+                     columns=["url", "text", "lang"])))
+    meta = compact(spark, small_index)
+    assert meta["n_deleted"] == 0
+    assert set(meta["generations"]) == {"0"}
+    ix = SearchIndex(spark, small_index)
+
+    # clean rebuild over the logically-equivalent corpus
+    rows = [
+        ("a", "spark index engine query", "en"),
+        ("b", "fresh replacement text", "en"),
+        ("c", "window aggregate stream", "de"),
+        ("d", "query planner optimizer", "en"),
+        ("f", "spark streaming watermark", "en"),
+    ]
+    clean_dir = str(tmp_path / "clean")
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                      attr_cols=("lang",), num_shards=2, num_buckets=2)
+    build_index(spark, spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text", "lang"])), clean_dir, cfg)
+    clean = SearchIndex(spark, clean_dir)
+
+    assert ix.n_docs == clean.n_docs
+    assert abs(ix.avgdl - clean.avgdl) < 1e-9
+    for q in ("spark", "query engine", "fresh replacement", "watermark", "stream"):
+        a = _pk_results(ix, q)
+        b = _pk_results(clean, q)
+        assert a == b, (q, a, b)
+        assert _pk_results(ix, q, mode="wand") == a
+    shutil.rmtree(clean_dir, ignore_errors=True)
