@@ -162,6 +162,21 @@ def _q_typo_expand(spark, sf_dir):
     )
 
 
+def _q_bm25_paginated(spark, sf_dir):
+    """Reference K10 pagination: page 2 (offset=5, k=5) of a BM25 ranking."""
+    idx = _index(spark, sf_dir)
+    res = idx.search("table join merge", k=5, offset=5, mode="exhaustive")
+    return res.select("rank", "docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
+def _q_sort_by_attr(spark, sf_dir):
+    """Reference K7 SortRule: docs matching 'table' ordered by n_chars desc."""
+    idx = _index(spark, sf_dir)
+    return idx.search_sorted(
+        [("n_chars", "desc")], query="table", k=15
+    ).select("rank", "docid", "n_chars")
+
+
 def _q_filter_where(spark, sf_dir):
     ast = {"$and": [{"lang": {"$in": ["en", "fr"]}}, {"n_chars": {"$between": [100, 400]}}]}
     return _docs(spark, sf_dir).filter(to_column(ast)).select("doc_id")
@@ -299,6 +314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _q_phrase_match,
         "prefix_expand": _q_prefix_expand,
         "typo_expand": _q_typo_expand,
+        "bm25_paginated": _q_bm25_paginated,
+        "sort_by_attr": _q_sort_by_attr,
         # filters + facets (§2.5/§2.9)
         "filter_where": _q_filter_where,
         "facet_distribution": _q_facet_distribution,
@@ -454,6 +471,34 @@ SELECT term, df FROM dict
 WHERE abs(length(term) - 4) <= 1 AND levenshtein(term, 'tabl') <= 1
 ORDER BY levenshtein(term, 'tabl'), term
 LIMIT 20
+"""
+
+    sql["bm25_paginated"] = f"""
+WITH {_TOKS},
+scores AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td JOIN dict di USING (term) JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN ('table', 'join', 'merge')
+  GROUP BY td.doc_id
+)
+SELECT rank, docid, score FROM (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         doc_id AS docid, round(score, {SCORE_ROUND}) AS score
+  FROM scores
+) WHERE rank > 5 AND rank <= 10
+"""
+
+    sql["sort_by_attr"] = f"""
+WITH {_TOKS},
+cand AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table')
+SELECT row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS rank,
+       d.doc_id AS docid, d.n_chars
+FROM documents d JOIN cand USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id
+LIMIT 15
 """
 
     sql["filter_where"] = (

@@ -63,6 +63,9 @@ class IndexConfig:
     num_buckets: int = 8
     block_size: int = 128
     store_positions: bool = True
+    # tokenization parallelism; None -> 2x defaultParallelism (the extract
+    # stage must not inherit the input's file-layout partitioning)
+    extract_partitions: int | None = None
 
     k1: float = BM25_K1
     b: float = BM25_B

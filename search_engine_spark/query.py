@@ -178,10 +178,36 @@ class SearchIndex:
         chosen = typo_candidates(word, stats.keys())
         return {t: stats[t] for t in chosen}
 
-    def plan(self, query: str, k: int = 10) -> QueryPlan:
+    def plan(
+        self,
+        query: str,
+        k: int = 10,
+        *,
+        ngrams: bool = False,
+        synonyms: dict[str, list[str]] | None = None,
+    ) -> QueryPlan:
+        """Query plan: exact/prefix/typo lookups plus optional derivations.
+
+        ``ngrams=True`` adds concatenations of 2..3 adjacent query words that
+        exist in the dictionary (reference Q3, ``query_graph.rs:72-133``:
+        "new york" also matches the indexed term "newyork").
+        ``synonyms`` maps a query word to replacement words scored alongside
+        it (reference Q5, settings-driven synonym map).
+        """
         pq: ParsedQuery = parse_query(query)
         scoring: dict[str, int] = {}
         scoring.update(self._lookup_exact(pq.all_scoring_words()))
+        if synonyms:
+            syn = [s for w in pq.words for s in synonyms.get(w, ())]
+            scoring.update(self._lookup_exact([t for s in syn for t in s.split()]))
+        if ngrams:
+            words = pq.words
+            grams = [
+                "".join(words[i : i + n])
+                for n in (2, 3)
+                for i in range(max(0, len(words) - n + 1))
+            ]
+            scoring.update(self._lookup_exact(grams))
         for pref in pq.prefixes:
             scoring.update(self._expand_prefix(pref))
         for ty in pq.typos:
@@ -204,12 +230,91 @@ class SearchIndex:
         k: int = 10,
         mode: str = "auto",
         filter_ast: dict | None = None,
+        offset: int = 0,
+        **plan_kw,
     ) -> DataFrame:
-        """-> DataFrame(rank int, docid long, pk string, score double)."""
-        return self.execute(self.plan(query, k), mode=mode, filter_ast=filter_ast)
+        """-> DataFrame(rank int, docid long, pk string, score double).
+
+        ``offset`` implements the reference's skip/limit pagination
+        (``bucket_sort.rs:49-75``): top-(offset+k) heap, slice the tail.
+        """
+        return self.execute(
+            self.plan(query, k, **plan_kw), mode=mode, filter_ast=filter_ast,
+            offset=offset,
+        )
+
+    def matching_docids(self, terms: list[str]) -> DataFrame:
+        """Disjunctive candidate set: docids containing >=1 of ``terms``
+        (reference R1 resolve_docids). Decoded per shard, tombstones out."""
+        pq_df = self._postings_for(sorted(set(terms)))
+        block_size = self.config.block_size
+
+        def decode(batches):
+            for pdf in batches:
+                chunks = []
+                for row in pdf.to_dict("records"):
+                    d, _, _ = PostingReader.from_row(row, block_size).decode_all()
+                    chunks.append(d)
+                out = (
+                    np.unique(np.concatenate(chunks))
+                    if chunks
+                    else np.zeros(0, dtype=np.int64)
+                )
+                yield pd.DataFrame({"docid": pd.Series(out, dtype="int64")})
+
+        docids = pq_df.mapInPandas(decode, schema="docid long").distinct()
+        deletes = self._deleted
+        if len(deletes):
+            ddf = self.spark.createDataFrame(
+                [(int(x),) for x in deletes], "docid long"
+            )
+            docids = docids.join(F.broadcast(ddf), "docid", "left_anti")
+        return docids
+
+    def search_sorted(
+        self,
+        sort: list[tuple[str, str]],
+        query: str | None = None,
+        k: int = 10,
+        offset: int = 0,
+        filter_ast: dict | None = None,
+    ) -> DataFrame:
+        """Attribute-ordered retrieval (reference K7 SortRule,
+        ``ranking/sort.rs:35-150``): candidates (docs matching the query
+        disjunctively, or the whole universe) ordered by attribute columns
+        with (docid asc) tiebreak, paginated.
+
+        -> DataFrame(rank, docid, pk, <sort columns...>). Missing-value rows
+        sort last (reference: missing-values bucket last).
+        """
+        base = self._doc_stats
+        if filter_ast is not None:
+            base = base.filter(to_column(filter_ast))
+        if query:
+            p = self.plan(query, k)
+            if not p.term_weights:
+                return self.spark.createDataFrame([], "rank int, docid long, pk string")
+            base = base.join(self.matching_docids(list(p.term_weights)), "docid")
+        order = [
+            (F.col(c).asc_nulls_last() if d.lower().startswith("asc")
+             else F.col(c).desc_nulls_last())
+            for c, d in sort
+        ] + [F.col("docid").asc()]
+        cols = ["docid", "pk", *[c for c, _ in sort]]
+        w = Window.orderBy(*order)
+        out = (
+            base.select(*cols)
+            .orderBy(*order)
+            .limit(offset + k)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") > offset)
+            .select("rank", *cols)
+        )
+        return out
 
     def execute(
-        self, plan: QueryPlan, mode: str = "auto", filter_ast: dict | None = None
+        self, plan: QueryPlan, mode: str = "auto", filter_ast: dict | None = None,
+        offset: int = 0,
     ) -> DataFrame:
         spark = self.spark
         if not plan.term_weights:
@@ -230,7 +335,7 @@ class SearchIndex:
             term_weights=plan.term_weights,
             phrases=plan.phrases,
             negated=plan.negated,
-            k=plan.k,
+            k=plan.k + offset,
             block_size=self.config.block_size,
             avgdl=self.avgdl,
             k1=self.config.k1,
@@ -258,12 +363,13 @@ class SearchIndex:
             )
 
         topk = shard_topk.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(
-            plan.k
+            plan.k + offset
         )
         w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
         return (
             topk.join(self._doc_stats.select("docid", "pk"), "docid", "left")
             .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") > offset)
             .select("rank", "docid", "pk", "score")
             .orderBy("rank")
         )
@@ -309,6 +415,56 @@ class SearchIndex:
             .select("term", "df")
             .orderBy("term")
         )
+
+
+def hybrid_search(
+    ix: "SearchIndex",
+    emb: DataFrame,
+    query: str,
+    query_vec: list[float],
+    k: int = 10,
+    semantic_ratio: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool: int | None = None,
+) -> DataFrame:
+    """Hybrid keyword + semantic retrieval (reference K12,
+    ``src/search/hybrid.rs:19-219``: ratio-weighted merge of the two lists).
+
+    Both retrievers fetch a pool of ``pool`` (default 3k) candidates; scores
+    are max-normalized within each list (BM25 is unbounded, cosine is [-1,1])
+    and fused: ``score = r * semantic + (1-r) * keyword``; docs found by only
+    one retriever keep the other component at 0. -> (rank, docid, score).
+    """
+    from search_engine_spark.pipelines.similarity import cosine_topk
+
+    pool = pool or 3 * k
+    kw = ix.search(query, k=pool).select(
+        "docid", F.col("score").alias("kw")
+    )
+    sem = cosine_topk(emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("docid"), F.col("sim").alias("sem")
+    )
+    kw_max = kw.agg(F.max("kw")).collect()[0][0] or 1.0
+    sem_max = sem.agg(F.max("sem")).collect()[0][0] or 1.0
+    fused = (
+        kw.join(sem, "docid", "full_outer")
+        .select(
+            "docid",
+            (
+                F.lit(semantic_ratio) * F.coalesce(F.col("sem") / sem_max, F.lit(0.0))
+                + F.lit(1.0 - semantic_ratio)
+                * F.coalesce(F.col("kw") / kw_max, F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
+    return (
+        fused.orderBy(F.col("score").desc(), F.col("docid").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "docid", "score")
+    )
 
 
 # ---------------------------------------------------------------------------

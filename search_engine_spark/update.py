@@ -138,8 +138,15 @@ def add_documents(
     n_new = docs_df.count()
 
     # extract ONLY the new docs into term_doc/gen=N
-    extracted = docs_df.select("docid", "text").mapInPandas(
-        make_extract_fn(config), schema=build_schema()
+    from search_engine_spark.build import term_doc_schema
+
+    n_extract = config.extract_partitions or max(
+        spark.sparkContext.defaultParallelism * 2, 8
+    )
+    extracted = (
+        docs_df.select("docid", "text")
+        .repartition(n_extract)
+        .mapInPandas(make_extract_fn(config), schema=term_doc_schema(config))
     )
     staging, commit = staged_write(paths.gen_dir(paths.term_doc, gen))
     extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
@@ -296,12 +303,6 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
-
-
-def build_schema() -> str:
-    from search_engine_spark.build import TERM_DOC_SCHEMA
-
-    return TERM_DOC_SCHEMA
 
 
 def _append_tombstones(spark: SparkSession, paths: IndexPaths, tomb: DataFrame):

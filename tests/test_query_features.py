@@ -1,0 +1,128 @@
+"""Sort rule (K7), pagination (K10), ngrams (Q3), synonyms (Q5),
+hybrid merge (K12)."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def feature_index(spark, tmp_path_factory):
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+
+    rows = [
+        (0, "newyork pizza guide", "en", 5),
+        (1, "new york travel notes", "en", 40),
+        (2, "rapid transit in new york", "en", 30),
+        (3, "fast trains of tokyo", "en", 20),
+        (4, "quick snacks and pizza", "de", 10),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "rating"])
+    cfg = IndexConfig(text_col="text", pk_col="doc_id", ts_col=None,
+                      docid_col="doc_id", attr_cols=("lang", "rating"),
+                      num_shards=2, num_buckets=2)
+    d = str(tmp_path_factory.mktemp("fidx") / "idx")
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    from search_engine_spark.query import SearchIndex
+
+    return SearchIndex(spark, d), spark.createDataFrame(pdf)
+
+
+def test_pagination_slices_global_ranking(feature_index):
+    ix, _ = feature_index
+    full = ix.search("new york pizza", k=5).collect()
+    page2 = ix.search("new york pizza", k=2, offset=2).collect()
+    assert [(r["docid"], r["score"]) for r in page2] == [
+        (r["docid"], r["score"]) for r in full[2:4]
+    ]
+    assert [r["rank"] for r in page2] == [3, 4]
+
+
+def test_ngram_expansion_matches_concatenated_term(feature_index):
+    ix, _ = feature_index
+    plain = {r["docid"] for r in ix.search("new york", k=5).collect()}
+    assert 0 not in plain  # "newyork" is a different term
+    with_ngrams = {r["docid"] for r in ix.search("new york", k=5, ngrams=True).collect()}
+    assert 0 in with_ngrams
+
+
+def test_synonym_expansion(feature_index):
+    ix, _ = feature_index
+    base = {r["docid"] for r in ix.search("fast", k=5).collect()}
+    assert base == {3}
+    syn = {r["docid"] for r in ix.search(
+        "fast", k=5, synonyms={"fast": ["quick", "rapid"]}).collect()}
+    assert syn == {2, 3, 4}
+
+
+def test_sort_by_attribute(feature_index):
+    ix, _ = feature_index
+    res = ix.search_sorted([("rating", "desc")], query="new york pizza", k=10).collect()
+    ratings = [r["rating"] for r in res]
+    assert ratings == sorted(ratings, reverse=True)
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    # query-less: whole universe with filter
+    res2 = ix.search_sorted([("rating", "asc")], filter_ast={"lang": "en"}, k=10).collect()
+    assert [r["docid"] for r in res2] == [0, 3, 2, 1]
+    # pagination on sorted results
+    page = ix.search_sorted([("rating", "asc")], filter_ast={"lang": "en"},
+                            k=2, offset=1).collect()
+    assert [r["docid"] for r in page] == [3, 2]
+
+
+def test_hybrid_merge(spark, feature_index):
+    import numpy as np
+
+    from search_engine_spark.query import hybrid_search
+
+    ix, docs = feature_index
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(5, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[3]]  # semantically identical to doc 3
+    res = hybrid_search(ix, emb, "pizza", q, k=5, semantic_ratio=0.5)
+    rows = res.collect()
+    assert rows[0]["rank"] == 1
+    got = {r["docid"] for r in rows}
+    assert 3 in got  # semantic side
+    kw_top = ix.search("pizza", k=1).collect()[0]["docid"]
+    assert kw_top in got  # keyword side
+    # ratio=1 -> purely semantic: doc 3 must win
+    pure = hybrid_search(ix, emb, "pizza", q, k=1, semantic_ratio=1.0).collect()
+    assert pure[0]["docid"] == 3
+
+
+def test_sources_enrich(spark, tmp_path):
+    from search_engine_spark.sources import enrich_documents, read_documents
+
+    pdf = pd.DataFrame(
+        {"url": ["ok-1", None, "bad id with spaces", "x" * 600],
+         "text": ["a", "b", "c", "d"]}
+    )
+    df = spark.createDataFrame(pdf)
+    valid, quarantine = enrich_documents(df, "url")
+    assert {r["url"] for r in valid.collect()} == {"ok-1"}
+    reasons = {r["reject_reason"] for r in quarantine.collect()}
+    assert reasons == {"missing_document_id", "invalid_document_id",
+                       "document_id_too_long"}
+    # autogenerate fills the missing pk deterministically
+    valid2, quarantine2 = enrich_documents(df, "url", autogenerate=True)
+    assert valid2.count() == 2
+    auto = [r["url"] for r in valid2.collect() if r["url"].startswith("auto-")]
+    assert len(auto) == 1
+    valid3, _ = enrich_documents(df, "url", autogenerate=True)
+    assert auto == [r["url"] for r in valid3.collect() if r["url"].startswith("auto-")]
+
+    # json / csv readers roundtrip
+    p = str(tmp_path / "docs.json")
+    pd.DataFrame({"url": ["a", "b"], "text": ["t1", "t2"]}).to_json(
+        p, orient="records", lines=True
+    )
+    got = read_documents(spark, p, fmt="json")
+    assert got.count() == 2 and set(got.columns) == {"url", "text"}
+    c = str(tmp_path / "docs.csv")
+    pd.DataFrame({"url": ["a"], "text": ["t1"]}).to_csv(c, index=False)
+    assert read_documents(spark, c, fmt="csv").count() == 1
