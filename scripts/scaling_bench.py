@@ -44,7 +44,7 @@ pages = spark.read.parquet(corpus)
 n_docs = pages.count()
 shutil.rmtree(idx_dir, ignore_errors=True)
 cfg = IndexConfig(text_col="text", pk_col="url", ts_col="warc_ts",
-                  attr_cols=("lang",), num_shards=8, num_buckets=8,
+                  attr_cols=("lang",), num_shards=16, num_buckets=8,
                   store_positions=False)
 t0 = time.time()
 build_index(spark, pages, idx_dir, cfg)
@@ -86,6 +86,18 @@ spark.stop()
 """
 
 
+def wait_quiet(max_wait: int = 600, thresh: float = 2.5) -> float:
+    """Block until host loadavg drops below thresh (shared-host steal guard);
+    returns the loadavg seen. Gives up after max_wait seconds."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        load = float(open("/proc/loadavg").read().split()[0])
+        if load < thresh:
+            return load
+        time.sleep(15)
+    return float(open("/proc/loadavg").read().split()[0])
+
+
 def run_worker(script: str, *args: str) -> dict | None:
     env = dict(os.environ, PYTHONPATH=REPO)
     p = subprocess.run(
@@ -103,20 +115,28 @@ def run_worker(script: str, *args: str) -> dict | None:
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH", "BASELINE.md")
     corpus = f"/tmp/scaling_corpus_{n_docs}"
 
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         run_worker(GEN, str(n_docs), corpus)
 
+    # Two runs per level, alternating order, min build_s per level: the host
+    # shares CPU with neighbors, so min-of-2 under a loadavg guard is the
+    # fairest single-machine estimator of quiet-machine wall time.
     results = {}
-    for cpus in ("8", "32"):
+    for attempt, cpus in enumerate(("8", "32", "32", "8")):
+        load = wait_quiet()
         t0 = time.time()
         r = run_worker(WORKER, cpus, corpus, f"/tmp/scaling_idx_{cpus}")
         r["wall_total_s"] = round(time.time() - t0, 1)
-        results[cpus] = r
-        print(f"local[{cpus}]: {r}")
+        r["loadavg_before"] = load
+        print(f"local[{cpus}] attempt: {r}")
+        if cpus not in results or r["build_s"] < results[cpus]["build_s"]:
+            results[cpus] = r
+    for cpus in ("8", "32"):
+        print(f"local[{cpus}] best: {results[cpus]}")
 
     t8, t32 = results["8"]["build_s"], results["32"]["build_s"]
     eff = round((t8 / t32) / 4, 3)
