@@ -65,7 +65,7 @@ def tokenize_with_positions(text: str) -> list[tuple[str, int]]:
     """
     if not text:
         return []
-    s = normalize(text)
+    s = normalize_fast(text)
     out: list[tuple[str, int]] = []
     pos = -1
     prev_end = 0
@@ -88,3 +88,114 @@ def tokenize_with_positions(text: str) -> list[tuple[str, int]]:
 def tokenize(text: str) -> list[str]:
     """Terms only (used for query parsing, dedup shingles, token counts)."""
     return [t for t, _ in tokenize_with_positions(text)]
+
+
+# --- exact-equivalent fast paths (hot extraction loop) ---------------------
+#
+# These produce byte-identical output to the reference functions above —
+# property-tested in tests/test_analysis.py — but skip work that provably
+# cannot change the result:
+#  * pure-ASCII text: NFKD is the identity and has no combining marks, so
+#    normalize() collapses to str.lower() (C-speed, no per-char Python).
+#  * token stream: one C-level findall() instead of the finditer loop,
+#    valid when no token can exceed MAX_WORD_LENGTH and no position can
+#    exceed MAX_POSITION (≤62-char tokens are ≤248 UTF-8 bytes; the worst
+#    case all-hard-gap position is 8·(n−1)). Docs that trip either guard
+#    fall back to the reference loop.
+
+def normalize_fast(text: str) -> str:
+    if text.isascii():
+        return text.lower()
+    return normalize(text)
+
+
+def tokenize_fast(text: str) -> list[str]:
+    """Same output as ``tokenize`` (terms only, no positions)."""
+    if not text:
+        return []
+    toks = _TOKEN_RE.findall(normalize_fast(text))
+    if not toks:
+        return []
+    if (
+        HARD_SEPARATOR_GAP * (len(toks) - 1) > MAX_POSITION
+        or max(map(len, toks)) > MAX_WORD_LENGTH // 4
+    ):
+        return [t for t, _ in tokenize_with_positions(text)]
+    return toks
+
+
+def tokenize_arrow_batch(texts):
+    """Fully vectorized tokenize of a ``pa.StringArray`` (no positions).
+
+    Returns ``(flat_tokens: pa.StringArray, flat_doc_idx: np.int64[],
+    counts: np.int64[len(texts)])`` where ``flat_tokens[flat_doc_idx == i]``
+    equals ``tokenize(texts[i])`` exactly (property-tested).
+
+    Pure-ASCII short docs never allocate a Python string: lowercasing,
+    edge-trimming, separator splitting, and length filtering all run in
+    Arrow C++ (RE2). This is what keeps the extract stage strong-scaling —
+    per-token PyObject churn was measured as kernel-time-bound (mmap/TLB)
+    at high parallelism. Docs that are non-ASCII, or big enough that the
+    MAX_POSITION emission stop could trigger (>16384 bytes), take the
+    frozen per-doc path.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    texts = pc.fill_null(texts, "")
+    nbytes = pc.binary_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    ascii_mask = (
+        pc.string_is_ascii(texts).to_numpy(zero_copy_only=False).astype(bool)
+    )
+    # n tokens need >= 2n-1 chars, so <16384 ASCII bytes caps tokens at 8192
+    # and the all-hard-gap worst case position at 8*8191 <= MAX_POSITION
+    fast_mask = ascii_mask & (nbytes < 2 * (MAX_POSITION // HARD_SEPARATOR_GAP))
+
+    counts = np.zeros(n, dtype=np.int64)
+    flats: list = []
+    idxs: list = []
+
+    fast_idx = np.flatnonzero(fast_mask)
+    if len(fast_idx):
+        sub = texts if len(fast_idx) == n else pc.take(texts, pa.array(fast_idx))
+        low = pc.ascii_lower(sub)
+        trimmed = pc.replace_substring_regex(
+            low, pattern=r"^[^a-z0-9]+|[^a-z0-9]+$", replacement=""
+        )
+        toks = pc.split_pattern_regex(trimmed, pattern="[^a-z0-9]+")
+        c = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        # "" sentinels (all-separator docs) and >MAX_WORD_LENGTH-byte tokens
+        bad = (lens == 0) | (lens > MAX_WORD_LENGTH)
+        di = np.repeat(fast_idx, c)
+        if bad.any():
+            keep = ~bad
+            drop = np.bincount(
+                np.repeat(np.arange(len(fast_idx)), c)[bad], minlength=len(fast_idx)
+            )
+            flat = flat.filter(pa.array(keep))
+            c = c - drop
+            di = di[keep]
+        counts[fast_idx] = c
+        flats.append(flat)
+        idxs.append(di)
+
+    for i in np.flatnonzero(~fast_mask):
+        toks = tokenize_fast(texts[i].as_py())
+        counts[i] = len(toks)
+        if toks:
+            flats.append(pa.array(toks, type=pa.string()))
+            idxs.append(np.full(len(toks), i, dtype=np.int64))
+
+    if not flats:
+        return pa.array([], type=pa.string()), np.empty(0, dtype=np.int64), counts
+    flat_all = (
+        pa.concat_arrays([f.cast(pa.string()) for f in flats])
+        if len(flats) > 1
+        else flats[0].cast(pa.string())
+    )
+    idx_all = np.concatenate(idxs) if len(idxs) > 1 else idxs[0]
+    return flat_all, idx_all, counts

@@ -43,17 +43,18 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from search_engine_spark.analysis import tokenize_with_positions
+from search_engine_spark.analysis import (
+    tokenize_arrow_batch,
+    tokenize_with_positions,
+)
 from search_engine_spark.codecs import encode_postings
 from search_engine_spark.config import IndexConfig
 from search_engine_spark.index import (
     CheckpointLog,
     IndexPaths,
-    parquet_dir_column_sums,
-    parquet_dir_rows,
     read_meta,
     staged_write,
     write_meta,
@@ -66,16 +67,58 @@ POSTINGS_SCHEMA = (
     "doc_off:long, tf_off:long, dl_off:long, pos_off:long>>"
 )
 
+# Extraction spill rows are map-side combined: one row per (term, shard)
+# per extract task, with parallel arrays (docids asc; tfs/dls/poss aligned).
+# This is the partial-aggregation analogue of the reference's per-chunk
+# grenad sorters (P9, helpers/grenad_helpers.rs:34-57): the shuffle that
+# feeds the encoder moves ~vocab-sized rows instead of one row per posting,
+# which at web scale cuts shuffle row count by orders of magnitude (the
+# bytes are the same; the per-row/LPT overhead is not).
+# Doc lengths ride along as one synthetic row per extract batch under
+# bucket = -1 (term='', shard=0, docids=[batch docids], tfs=[dl per doc]) —
+# partition pruning on bucket makes reading them free.
 TERM_DOC_SCHEMA = (
-    "bucket int, term string, shard int, docid long, tf int, dl int, positions array<int>"
+    "bucket int, term string, shard int, "
+    "docids array<long>, tfs array<int>, dls array<int>, poss array<array<int>>"
 )
 TERM_DOC_SCHEMA_NOPOS = (
-    "bucket int, term string, shard int, docid long, tf int, dl int"
+    "bucket int, term string, shard int, "
+    "docids array<long>, tfs array<int>, dls array<int>"
 )
+
+DL_BUCKET = -1
 
 
 def term_doc_schema(config: "IndexConfig") -> str:
     return TERM_DOC_SCHEMA if config.store_positions else TERM_DOC_SCHEMA_NOPOS
+
+
+def doc_lengths(term_doc: DataFrame) -> DataFrame:
+    """(docid, dl) rows from the bucket=-1 doc-length spill rows."""
+    z = term_doc.filter(F.col("bucket") == DL_BUCKET).select(
+        F.explode(F.arrays_zip("docids", "tfs")).alias("z")
+    )
+    return z.select(
+        F.col("z.docids").alias("docid"), F.col("z.tfs").alias("dl")
+    )
+
+
+def terms_agg(term_doc: DataFrame) -> DataFrame:
+    """Global (term, df, cf, max_tf) dictionary aggregation over array rows.
+
+    All JVM-side (size / aggregate / array_max) — no Python in the loop.
+    """
+    return (
+        term_doc.filter(F.col("bucket") != DL_BUCKET)
+        .groupBy("term")
+        .agg(
+            F.sum(F.size("docids")).alias("df"),
+            F.sum(
+                F.aggregate("tfs", F.lit(0).cast("long"), lambda a, x: a + x)
+            ).alias("cf"),
+            F.max(F.array_max("tfs")).alias("max_tf"),
+        )
+    )
 
 
 def assign_docids(
@@ -114,6 +157,143 @@ def assign_docids(
     return (out, acc) if return_count else out
 
 
+def dedupe_and_rank(
+    df: DataFrame, pk_col: str, ts_col: str | None, out_cols: list[tuple[str, str]],
+    n_parts: int,
+) -> tuple[DataFrame, int]:
+    """Last-write-wins dedupe by pk + deterministic dense docid in ONE
+    full-data shuffle (reference T1/T2 ``transform.rs:107-360`` fused with
+    docid assignment).
+
+    Plan: range-partition by pk, sort (pk asc, ts desc) within partitions,
+    persist; pass 1 counts distinct pks per partition (consecutive-compare
+    over the sort, no hash set — scale-safe); pass 2 keeps the first row of
+    each pk run and assigns ``docid = partition_offset + local_rank``.
+
+    Deterministic at any parallelism: docids depend only on the global pk
+    order, never on where sampled range boundaries land. The persist pins
+    one sampling of the boundaries for both passes; pass 2 cross-checks its
+    partition row count against pass 1 and fails loudly rather than emit
+    wrong docids (eviction + resample would be detected). At true scale,
+    replace the persist with a staging parquet write of the sorted run.
+
+    ``out_cols`` is ``[(src_name, out_name), ...]``; docid is prepended.
+    Returns (docs_df, n_docs).
+    """
+    import pyarrow as pa
+
+    sort_cols = [F.col(pk_col).asc()]
+    if ts_col and ts_col in df.columns:
+        sort_cols.append(F.col(ts_col).desc())
+    d = df.repartitionByRange(n_parts, F.col(pk_col)).sortWithinPartitions(*sort_cols)
+    d = d.persist()
+
+    def count_distinct_runs(batches):
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        carry = None
+        for batch in batches:
+            pk = batch.column(batch.schema.get_field_index(pk_col))
+            m = len(pk)
+            if m == 0:
+                continue
+            if carry is None or pk[0].as_py() != carry:
+                n += 1
+            if m > 1:
+                neq = pc.not_equal(pk.slice(1), pk.slice(0, m - 1))
+                n += int(pc.sum(neq).as_py() or 0)
+            carry = pk[m - 1].as_py()
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pid], type=pa.int32()), pa.array([n], type=pa.int64())],
+            names=["pid", "n"],
+        )
+
+    counts = {
+        r["pid"]: r["n"]
+        for r in d.mapInArrow(count_distinct_runs, "pid int, n long").collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    n_docs = acc
+
+    src_names = [s for s, _ in out_cols]
+    out_names = ["docid"] + [o for _, o in out_cols]
+    in_schema = {f.name: f for f in df.schema.fields}
+    spark_types = ", ".join(
+        ["docid long"]
+        + [f"{o} {in_schema[s].dataType.simpleString()}" for s, o in out_cols]
+    )
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        expected = counts.get(pid, 0)
+        emitted = 0
+        carry = None
+        out_schema_pa = None
+        for batch in batches:
+            pk = batch.column(batch.schema.get_field_index(pk_col))
+            m = len(pk)
+            if m == 0:
+                continue
+            import pyarrow.compute as pc
+
+            keep = np.empty(m, dtype=bool)
+            keep[0] = carry is None or pk[0].as_py() != carry
+            if m > 1:
+                keep[1:] = (
+                    pc.not_equal(pk.slice(1), pk.slice(0, m - 1))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(bool)
+                )
+            carry = pk[m - 1].as_py()
+            k = int(keep.sum())
+            if k == 0:
+                continue
+            keep_pa = pa.array(keep)
+            cols = [
+                pa.array(
+                    base + emitted + np.arange(k, dtype=np.int64), type=pa.int64()
+                )
+            ]
+            for s in src_names:
+                cols.append(
+                    batch.column(batch.schema.get_field_index(s)).filter(keep_pa)
+                )
+            emitted += k
+            if out_schema_pa is None:
+                out_schema_pa = pa.schema(
+                    [pa.field("docid", pa.int64())]
+                    + [
+                        pa.field(
+                            o,
+                            batch.schema.field(
+                                batch.schema.get_field_index(s)
+                            ).type,
+                        )
+                        for s, o in out_cols
+                    ]
+                )
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema_pa)
+        if emitted != expected:
+            raise BuildError(
+                f"dedupe_and_rank: partition {pid} emitted {emitted} rows, "
+                f"count pass saw {expected} — cached sorted run was lost and "
+                "resampled; re-run the build (or use staging-write mode)"
+            )
+
+    docs = d.mapInArrow(assign, spark_types)
+    return docs, n_docs
+
+
 def _dedupe_last_write_wins(df: DataFrame, pk_col: str, ts_col: str | None) -> DataFrame:
     if ts_col and ts_col in df.columns:
         w = Window.partitionBy(pk_col).orderBy(F.col(ts_col).desc())
@@ -121,169 +301,362 @@ def _dedupe_last_write_wins(df: DataFrame, pk_col: str, ts_col: str | None) -> D
     return df.dropDuplicates([pk_col])
 
 
+def _extract_arrow_schema(store_positions: bool):
+    import pyarrow as pa
+
+    fields = [
+        pa.field("bucket", pa.int32()),
+        pa.field("term", pa.string()),
+        pa.field("shard", pa.int32()),
+        pa.field("docids", pa.list_(pa.int64())),
+        pa.field("tfs", pa.list_(pa.int32())),
+        pa.field("dls", pa.list_(pa.int32())),
+    ]
+    if store_positions:
+        fields.append(pa.field("poss", pa.list_(pa.list_(pa.int32()))))
+    return pa.schema(fields)
+
+
 def make_extract_fn(config: IndexConfig):
-    """mapInPandas extractor: (docid, text) batches -> per-(docid, term) rows.
+    """mapInArrow extractor: (docid, text) batches -> (term, shard) array rows.
 
     The tokenizer is the frozen per-doc Python function shared with the
-    oracle (the byte-identical per-url invariant); EVERYTHING after it is
+    oracle (the byte-identical per-url invariant); EVERYTHING else is
     vectorized — term interning via ``pd.factorize`` (C), per-(doc, term)
     tf via ``np.unique`` on a combined key, bucket hashes computed once per
-    distinct term per batch instead of once per posting. The output columns
-    are numpy arrays end-to-end (a 300k-doc corpus emits ~66M rows; per-row
-    Python list appends here previously dominated the whole build).
+    distinct term per batch. Output is map-side combined (see
+    TERM_DOC_SCHEMA): one row per (term, shard) with docid/tf/dl arrays in
+    docid order, plus one bucket=-1 doc-length row per batch.
+
+    Why Arrow-native: the grouping already yields offsets+values form, and
+    ``pa.ListArray.from_arrays(offsets, values)`` builds the list columns
+    with zero per-element boxing. Both the per-posting-scalar-row variant
+    (Arrow transfer of one row per posting) and the pandas object-Series
+    variant (per-cell boxing on conversion) measured memory-bandwidth-bound
+    at high parallelism — THIS path is what keeps extract strong-scaling.
     """
+    import pyarrow as pa
+
     num_shards = config.num_shards
     num_buckets = config.num_buckets
     store_positions = config.store_positions
+    out_schema = _extract_arrow_schema(store_positions)
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            doc_ids = pdf["docid"].to_numpy(dtype=np.int64)
-            texts = pdf["text"].to_numpy()
+    def _offsets(counts: np.ndarray) -> "pa.Array":
+        return pa.array(
+            np.concatenate(([0], np.cumsum(counts, dtype=np.int64))).astype(np.int32),
+            type=pa.int32(),
+        )
+
+    def extract(batches) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            d_raw = batch.column(batch.schema.get_field_index("docid")).to_numpy(
+                zero_copy_only=False
+            )
+            text_i = batch.schema.get_field_index("text")
+            # docid-asc batch order makes every output array docid-sorted
+            order0 = np.argsort(d_raw, kind="stable")
+            doc_ids = np.ascontiguousarray(d_raw[order0], dtype=np.int64)
+            n_docs_b = len(doc_ids)
+
             tokens_flat: list[str] = []
             pos_flat: list[int] = []
-            lengths = np.zeros(len(doc_ids), dtype=np.int64)
-            for i, text in enumerate(texts):
-                toks = tokenize_with_positions(text if isinstance(text, str) else "")
-                lengths[i] = len(toks)
-                for t, p in toks:
-                    tokens_flat.append(t)
-                    pos_flat.append(p)
-            if not tokens_flat:
-                yield _empty_term_doc(store_positions)
-                continue
+            flat_arrow = None
+            doc_idx_arrow = None
+            if store_positions:
+                texts_raw = batch.column(text_i).to_pylist()
+                lengths = np.zeros(n_docs_b, dtype=np.int64)
+                for i, src in enumerate(order0):
+                    text = texts_raw[src]
+                    toks = tokenize_with_positions(
+                        text if isinstance(text, str) else ""
+                    )
+                    lengths[i] = len(toks)
+                    for t, p in toks:
+                        tokens_flat.append(t)
+                        pos_flat.append(p)
+            else:
+                texts_sorted = pc.take(
+                    batch.column(text_i), pa.array(order0, type=pa.int64())
+                )
+                flat_arrow, doc_idx_arrow, lengths = tokenize_arrow_batch(
+                    texts_sorted
+                )
 
-            doc_idx = np.repeat(np.arange(len(doc_ids)), lengths)
-            codes, uniques = pd.factorize(np.asarray(tokens_flat, dtype=object))
-            n_uniq = len(uniques)
-            key = doc_idx * n_uniq + codes
+            if n_docs_b:
+                # doc-length row: every doc in the batch, tokens or not
+                dl_cols = [
+                    pa.array([DL_BUCKET], type=pa.int32()),
+                    pa.array([""], type=pa.string()),
+                    pa.array([0], type=pa.int32()),
+                    pa.ListArray.from_arrays(
+                        _offsets(np.array([n_docs_b])), pa.array(doc_ids, type=pa.int64())
+                    ),
+                    pa.ListArray.from_arrays(
+                        _offsets(np.array([n_docs_b])),
+                        pa.array(lengths.astype(np.int32), type=pa.int32()),
+                    ),
+                    pa.ListArray.from_arrays(
+                        _offsets(np.array([0])), pa.array([], type=pa.int32())
+                    ),
+                ]
+                if store_positions:
+                    dl_cols.append(
+                        pa.ListArray.from_arrays(
+                            _offsets(np.array([0])),
+                            pa.ListArray.from_arrays(
+                                _offsets(np.empty(0, dtype=np.int64)),
+                                pa.array([], type=pa.int32()),
+                            ),
+                        )
+                    )
+                yield pa.RecordBatch.from_arrays(dl_cols, schema=out_schema)
 
             if store_positions:
+                if not tokens_flat:
+                    continue
+                doc_idx = np.repeat(np.arange(n_docs_b), lengths)
+                codes, uniques = pd.factorize(
+                    np.asarray(tokens_flat, dtype=object)
+                )
+                uniq_arr = np.asarray(uniques, dtype=object)
+                # (term, doc) grouping key, term-major then docid asc
+                key = codes.astype(np.int64) * n_docs_b + doc_idx
                 pos_arr = np.asarray(pos_flat, dtype=np.int64)
                 order = np.lexsort((pos_arr, key))
                 key_sorted = key[order]
-                uniq_keys, first_idx, tf = np.unique(
-                    key_sorted, return_index=True, return_counts=True
-                )
+                uniq_keys, tf = np.unique(key_sorted, return_counts=True)
                 pos_sorted = pos_arr[order]
-                positions = np.split(pos_sorted, np.cumsum(tf)[:-1])
             else:
+                if len(flat_arrow) == 0:
+                    continue
+                # C++ hash interning — the no-Python-strings analogue of
+                # pd.factorize; dictionary strings only materialize once
+                # per distinct term per batch
+                denc = pc.dictionary_encode(flat_arrow)
+                codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                uniq_arr = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+                key = codes * n_docs_b + doc_idx_arrow
                 uniq_keys, tf = np.unique(key, return_counts=True)
-                positions = None
+                pos_sorted = None
 
-            row_doc_idx = uniq_keys // n_uniq
-            row_code = (uniq_keys % n_uniq).astype(np.int64)
+            row_code = (uniq_keys // n_docs_b).astype(np.int64)
+            row_doc_idx = (uniq_keys % n_docs_b).astype(np.int64)
+            row_docid = doc_ids[row_doc_idx]
+            row_dl = lengths[row_doc_idx].astype(np.int32)
+            row_shard = (row_docid % num_shards).astype(np.int64)
+
+            # group posting rows by (term, shard); stable keeps docid order
+            gkey = row_code * num_shards + row_shard
+            order2 = np.argsort(gkey, kind="stable")
+            g_sorted = gkey[order2]
+            bounds = np.flatnonzero(g_sorted[1:] != g_sorted[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(g_sorted)]))
+            counts = ends - starts
+            docid_s = row_docid[order2]
+            tf_s = tf[order2].astype(np.int32)
+            dl_s = row_dl[order2]
+
             bucket_u = np.fromiter(
-                (zlib.crc32(t.encode("utf-8")) % num_buckets for t in uniques),
+                (zlib.crc32(t.encode("utf-8")) % num_buckets for t in uniq_arr),
                 dtype=np.int32,
-                count=n_uniq,
+                count=len(uniq_arr),
             )
-            out = {
-                "bucket": pd.Series(bucket_u[row_code], dtype="int32"),
-                "term": pd.Series(np.asarray(uniques, dtype=object)[row_code]),
-                "shard": pd.Series(
-                    (doc_ids[row_doc_idx] % num_shards).astype(np.int32), dtype="int32"
+            g_code = (g_sorted[starts] // num_shards).astype(np.int64)
+            g_shard = (g_sorted[starts] % num_shards).astype(np.int32)
+
+            cols = [
+                pa.array(bucket_u[g_code], type=pa.int32()),
+                pa.array(uniq_arr[g_code], type=pa.string()),
+                pa.array(g_shard, type=pa.int32()),
+                pa.ListArray.from_arrays(
+                    _offsets(counts), pa.array(docid_s, type=pa.int64())
                 ),
-                "docid": pd.Series(doc_ids[row_doc_idx], dtype="int64"),
-                "tf": pd.Series(tf.astype(np.int32), dtype="int32"),
-                "dl": pd.Series(lengths[row_doc_idx].astype(np.int32), dtype="int32"),
-            }
+                pa.ListArray.from_arrays(
+                    _offsets(counts), pa.array(tf_s, type=pa.int32())
+                ),
+                pa.ListArray.from_arrays(
+                    _offsets(counts), pa.array(dl_s, type=pa.int32())
+                ),
+            ]
             if store_positions:
-                out["positions"] = pd.Series(list(positions), dtype="object")
-            yield pd.DataFrame(out)
+                # flat positions gathered into group order: posting j's run
+                # starts at orig_starts[order2][j], length tf_s[j]
+                orig_starts = np.concatenate(([0], np.cumsum(tf)))[:-1]
+                starts_o = orig_starts[order2].astype(np.int64)
+                tf_s64 = tf_s.astype(np.int64)
+                tot = int(tf_s64.sum())
+                base = np.repeat(starts_o, tf_s64)
+                excl = np.concatenate(([0], np.cumsum(tf_s64)))[:-1]
+                within = np.arange(tot, dtype=np.int64) - np.repeat(excl, tf_s64)
+                pos_group_flat = pos_sorted[base + within].astype(np.int32)
+                inner = pa.ListArray.from_arrays(
+                    _offsets(tf_s64), pa.array(pos_group_flat, type=pa.int32())
+                )
+                cols.append(pa.ListArray.from_arrays(_offsets(counts), inner))
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return extract
 
 
-def _empty_term_doc(store_positions: bool) -> pd.DataFrame:
-    cols = {
-        "bucket": pd.Series([], dtype="int32"),
-        "term": pd.Series([], dtype="object"),
-        "shard": pd.Series([], dtype="int32"),
-        "docid": pd.Series([], dtype="int64"),
-        "tf": pd.Series([], dtype="int32"),
-        "dl": pd.Series([], dtype="int32"),
-    }
-    if store_positions:
-        cols["positions"] = pd.Series([], dtype="object")
-    return pd.DataFrame(cols)
+def _postings_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("bucket", pa.int32()),
+            pa.field("term", pa.string()),
+            pa.field("shard", pa.int32()),
+            pa.field("n_docs", pa.int32()),
+            pa.field("docs", pa.binary()),
+            pa.field("tfs", pa.binary()),
+            pa.field("dls", pa.binary()),
+            pa.field("poss", pa.binary()),
+            pa.field(
+                "block_meta",
+                pa.list_(
+                    pa.struct(
+                        [
+                            ("first_docid", pa.int64()),
+                            ("max_docid", pa.int64()),
+                            ("max_impact", pa.float64()),
+                            ("doc_off", pa.int64()),
+                            ("tf_off", pa.int64()),
+                            ("dl_off", pa.int64()),
+                            ("pos_off", pa.int64()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
 
 
 def make_encode_fn(config: IndexConfig, avgdl: float):
-    """applyInPandas encoder for one shard group -> one segment row per term.
+    """applyInArrow encoder for one shard group -> one segment row per term.
 
-    Grouping by shard (not (term, shard)) keeps the number of pandas groups
-    at num_buckets * num_shards — coarse enough that per-group UDF overhead
-    is negligible, fine enough that every core stays busy. The per-term
-    slicing happens vectorized inside (sort + boundary scan), which is the
-    grenad-sorter analogue (reference P9, ``helpers/grenad_helpers.rs:34-57``)
-    done by numpy instead of an external k-way merge. Memory per group =
-    total postings / (num_buckets * num_shards) — the scale knob.
+    Grouping by shard (not (term, shard)) keeps the number of groups at
+    num_buckets * num_shards — coarse enough that per-group UDF overhead
+    is negligible, fine enough that every core stays busy. Rows arrive as
+    (term, shard) array runs, one per extract task; per term the runs are
+    concatenated and merged with one stable argsort by docid — the grenad
+    k-way merge (reference P9, ``helpers/grenad_helpers.rs:34-57``) done by
+    numpy. Arrow-native I/O: list columns are decomposed to offsets+values
+    (no per-cell boxing), and memory per group = total postings /
+    (num_buckets * num_shards) — the scale knob.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     block_size = config.block_size
     store_positions = config.store_positions
     k1, b = config.k1, config.b
     num_buckets = config.num_buckets
+    out_schema = _postings_arrow_schema()
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = {
-            "bucket": pd.Series([], dtype="int32"),
-            "term": pd.Series([], dtype="object"),
-            "shard": pd.Series([], dtype="int32"),
-            "n_docs": pd.Series([], dtype="int32"),
-            "docs": pd.Series([], dtype="object"),
-            "tfs": pd.Series([], dtype="object"),
-            "dls": pd.Series([], dtype="object"),
-            "poss": pd.Series([], dtype="object"),
-            "block_meta": pd.Series([], dtype="object"),
-        }
-        if len(pdf) == 0:
-            return pd.DataFrame(cols)
-        pdf = pdf.sort_values(["term", "docid"], kind="mergesort")
-        terms_arr = pdf["term"].to_numpy()
-        docids_all = pdf["docid"].to_numpy(dtype=np.int64)
-        tfs_all = pdf["tf"].to_numpy(dtype=np.int64)
-        dls_all = pdf["dl"].to_numpy(dtype=np.int64)
-        poss_all = pdf["positions"].to_numpy() if store_positions else None
-        shard = int(pdf["shard"].iloc[0])
+    def _flat(tbl, name, np_t):
+        arr = tbl.column(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        lens = (
+            pc.list_value_length(arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = arr.flatten()
+        return offs, flat
 
-        bounds = np.flatnonzero(terms_arr[1:] != terms_arr[:-1]) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(terms_arr)]))
-
-        out = {k: [] for k in cols}
-        for s, e in zip(starts, ends):
-            term = terms_arr[s]
-            positions = (
-                [np.asarray(p, dtype=np.int64) for p in poss_all[s:e]]
-                if store_positions
-                else None
+    def encode(tbl: "pa.Table") -> "pa.Table":
+        if tbl.num_rows == 0:
+            return out_schema.empty_table()
+        terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+        order = np.argsort(terms, kind="stable")
+        d_off, d_flat = _flat(tbl, "docids", np.int64)
+        d_val = d_flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        t_off, t_flat = _flat(tbl, "tfs", np.int64)
+        t_val = t_flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        l_off, l_flat = _flat(tbl, "dls", np.int64)
+        l_val = l_flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        if store_positions:
+            outer = tbl.column("poss")
+            if isinstance(outer, pa.ChunkedArray):
+                outer = outer.combine_chunks()
+            o_lens = (
+                pc.list_value_length(outer)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
+            o_off = np.zeros(len(o_lens) + 1, dtype=np.int64)
+            np.cumsum(o_lens, out=o_off[1:])
+            inner = outer.flatten()
+            i_lens = (
+                pc.list_value_length(inner)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            i_off = np.zeros(len(i_lens) + 1, dtype=np.int64)
+            np.cumsum(i_lens, out=i_off[1:])
+            i_val = inner.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = int(tbl.column("shard")[0].as_py())
+
+        terms_sorted = terms[order]
+        bounds = np.flatnonzero(terms_sorted[1:] != terms_sorted[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(terms_sorted)]))
+
+        o_bucket, o_term, o_ndocs = [], [], []
+        o_docs, o_tfs, o_dls, o_poss, o_bm = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            term = terms_sorted[s]
+            rows = order[s:e]
+            docids = np.concatenate([d_val[d_off[r] : d_off[r + 1]] for r in rows])
+            tfs = np.concatenate([t_val[t_off[r] : t_off[r + 1]] for r in rows])
+            dls = np.concatenate([l_val[l_off[r] : l_off[r + 1]] for r in rows])
+            if store_positions:
+                positions = [
+                    i_val[i_off[j] : i_off[j + 1]]
+                    for r in rows
+                    for j in range(o_off[r], o_off[r + 1])
+                ]
+            else:
+                positions = None
+            if e - s > 1:
+                ordr = np.argsort(docids, kind="stable")
+                docids, tfs, dls = docids[ordr], tfs[ordr], dls[ordr]
+                if positions is not None:
+                    positions = [positions[i] for i in ordr]
             enc = encode_postings(
-                docids_all[s:e], tfs_all[s:e], dls_all[s:e], positions,
+                docids, tfs, dls, positions,
                 block_size=block_size, avgdl=avgdl, k1=k1, b=b,
             )
-            out["bucket"].append(zlib.crc32(term.encode()) % num_buckets)
-            out["term"].append(term)
-            out["shard"].append(shard)
-            out["n_docs"].append(enc.n_docs)
-            out["docs"].append(enc.docs)
-            out["tfs"].append(enc.tfs)
-            out["dls"].append(enc.dls)
-            out["poss"].append(enc.poss)
-            out["block_meta"].append(enc.block_meta_rows())
-        return pd.DataFrame(
-            {
-                "bucket": pd.Series(out["bucket"], dtype="int32"),
-                "term": out["term"],
-                "shard": pd.Series(out["shard"], dtype="int32"),
-                "n_docs": pd.Series(out["n_docs"], dtype="int32"),
-                "docs": out["docs"],
-                "tfs": out["tfs"],
-                "dls": out["dls"],
-                "poss": out["poss"],
-                "block_meta": out["block_meta"],
-            }
+            o_bucket.append(zlib.crc32(term.encode()) % num_buckets)
+            o_term.append(term)
+            o_ndocs.append(enc.n_docs)
+            o_docs.append(enc.docs)
+            o_tfs.append(enc.tfs)
+            o_dls.append(enc.dls)
+            o_poss.append(enc.poss)
+            o_bm.append(enc.block_meta_rows())
+        return pa.Table.from_arrays(
+            [
+                pa.array(o_bucket, type=pa.int32()),
+                pa.array(o_term, type=pa.string()),
+                pa.array([shard] * len(o_term), type=pa.int32()),
+                pa.array(o_ndocs, type=pa.int32()),
+                pa.array(o_docs, type=pa.binary()),
+                pa.array(o_tfs, type=pa.binary()),
+                pa.array(o_dls, type=pa.binary()),
+                pa.array(o_poss, type=pa.binary()),
+                pa.array(o_bm, type=out_schema.field("block_meta").type),
+            ],
+            schema=out_schema,
         )
 
     return encode
@@ -291,6 +664,24 @@ def make_encode_fn(config: IndexConfig, avgdl: float):
 
 class BuildError(RuntimeError):
     pass
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Fork + import-warm one Python UDF worker per core (see build_index)."""
+    n = spark.sparkContext.defaultParallelism
+
+    def _warm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({"x": pd.Series([len(pdf)], dtype="int64")})
+
+    (
+        spark.range(0, n, 1, n)
+        .withColumnRenamed("id", "x")
+        .mapInPandas(_warm, "x long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
 
 def build_index(
@@ -319,6 +710,15 @@ def build_index(
         if fail_after == stage:
             raise BuildError(f"injected failure after stage {stage!r}")
 
+    # Pre-warm the Arrow python-worker pool: one tiny mapInPandas job with
+    # exactly one partition per core forces every worker to fork + import
+    # pandas/numpy BEFORE the real stages. Without this, the first UDF stage
+    # pays N concurrent cold-starts (imports contend on CPU and page cache),
+    # which at high parallelism on short jobs erases the gain from added
+    # cores. On a long cluster build this cost amortizes to noise; paying it
+    # up front in one parallel wave makes every later stage scale-clean.
+    _prewarm_python_workers(spark)
+
     # ---- stage 1: docs (dedupe + docid assignment) --------------------
     if not log.done("docs"):
         t0 = time.time()
@@ -328,31 +728,42 @@ def build_index(
         for extra in (config.ts_col, config.docid_col):
             if extra and extra not in keep:
                 keep.append(extra)
-        deduped = _dedupe_last_write_wins(
-            pages.select(*keep), config.pk_col, config.ts_col
-        )
         n_docs = None
+        out_cols = [(config.pk_col, "pk"), (config.text_col, "text")] + [
+            (c, c) for c in config.attr_cols
+        ]
         if config.docid_col:
-            docs = deduped.withColumn("docid", F.col(config.docid_col).cast("long"))
-        else:
-            # rank the slim pk projection, hash-join docids back: the global
-            # range-sort (sampling pass + sort shuffle) only ever moves pks
-            ids, n_docs = assign_docids(
-                deduped.select(config.pk_col), config.pk_col, return_count=True
+            deduped = _dedupe_last_write_wins(
+                pages.select(*keep), config.pk_col, config.ts_col
             )
-            docs = deduped.join(ids, config.pk_col)
-        docs = docs.select(
-            "docid", F.col(config.pk_col).alias("pk"), F.col(config.text_col).alias("text"),
-            *[F.col(c) for c in config.attr_cols],
-        )
+            docs = deduped.withColumn(
+                "docid", F.col(config.docid_col).cast("long")
+            ).select(
+                "docid", F.col(config.pk_col).alias("pk"),
+                F.col(config.text_col).alias("text"),
+                *[F.col(c) for c in config.attr_cols],
+            )
+        else:
+            n_parts = config.extract_partitions or max(
+                spark.sparkContext.defaultParallelism * 2, 8
+            )
+            docs, n_docs = dedupe_and_rank(
+                pages.select(*keep), config.pk_col, config.ts_col,
+                out_cols, n_parts,
+            )
+        obs = Observation()
+        docs = docs.observe(obs, F.count(F.lit(1)).alias("rows"),
+                            F.max("docid").alias("max_docid"))
         staging, commit = staged_write(paths.docs)
         docs.write.mode("overwrite").parquet(staging)
         commit()
         spark.catalog.clearCache()
-        if n_docs is None:
-            n_docs = parquet_dir_rows(paths.docs)
+        got = obs.get
+        n_docs = int(got["rows"])
         log.commit("docs", inputs={"source": "caller DataFrame"},
-                   metrics={"n_docs": int(n_docs)}, wall_s=time.time() - t0)
+                   metrics={"n_docs": n_docs,
+                            "max_docid": int(got["max_docid"] if got["max_docid"] is not None else -1)},
+                   wall_s=time.time() - t0)
     maybe_fail("docs")
     n_docs = log.read("docs")["metrics"]["n_docs"]
 
@@ -371,15 +782,25 @@ def build_index(
         extracted = (
             docs_df.select("docid", "text")
             .repartition(n_extract)
-            .mapInPandas(make_extract_fn(config), schema=term_doc_schema(config))
+            .mapInArrow(make_extract_fn(config), schema=term_doc_schema(config))
+        )
+        obs = Observation()
+        extracted = extracted.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.when(F.col("bucket") != DL_BUCKET, F.size("docids")).otherwise(0)
+            ).alias("postings"),
         )
         os.makedirs(paths.term_doc, exist_ok=True)
         staging, commit = staged_write(paths.gen_dir(paths.term_doc, 0))
         extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         commit()
-        n_postings = parquet_dir_rows(paths.term_doc)
+        got = obs.get
         log.commit("extract", inputs={"docs": n_docs},
-                   metrics={"n_term_doc_rows": n_postings}, wall_s=time.time() - t0)
+                   metrics={"n_term_doc_rows": int(got["rows"]),
+                            "n_postings": int(got["postings"] or 0)},
+                   wall_s=time.time() - t0)
     maybe_fail("extract")
 
     term_doc = spark.read.parquet(paths.term_doc)
@@ -387,19 +808,23 @@ def build_index(
     # ---- stage 3: doc_stats + scalars ----------------------------------
     if not log.done("doc_stats"):
         t0 = time.time()
-        dl_df = term_doc.groupBy("docid").agg(F.first("dl").alias("dl"))
+        dl_df = doc_lengths(term_doc)
         stats = (
             docs_df.select("docid", "pk", *config.attr_cols)
             .join(dl_df, "docid", "left")
             .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int"))
         )
+        obs = Observation()
+        stats = stats.observe(obs, F.count(F.lit(1)).alias("rows"),
+                              F.sum("dl").alias("dl"))
         staging, commit = staged_write(paths.doc_stats)
         stats.write.mode("overwrite").parquet(staging)
         commit()
-        agg = parquet_dir_column_sums(paths.doc_stats, int_cols=("dl",))
-        avgdl = agg["dl"] / agg["rows"] if agg["rows"] else 0.0
+        got = obs.get
+        rows, total_dl = int(got["rows"]), int(got["dl"] or 0)
+        avgdl = total_dl / rows if rows else 0.0
         log.commit("doc_stats", inputs={"docs": n_docs},
-                   metrics={"n_docs": agg["rows"], "total_dl": agg["dl"],
+                   metrics={"n_docs": rows, "total_dl": total_dl,
                             "avgdl": avgdl},
                    wall_s=time.time() - t0)
     maybe_fail("doc_stats")
@@ -409,11 +834,7 @@ def build_index(
     # ---- stage 4: terms dictionary --------------------------------------
     if not log.done("terms"):
         t0 = time.time()
-        terms = term_doc.groupBy("term").agg(
-            F.count("*").alias("df"),
-            F.sum("tf").alias("cf"),
-            F.max("tf").alias("max_tf"),
-        )
+        terms = terms_agg(term_doc)
         # term_id = rank in term order. The dictionary is orders of magnitude
         # smaller than the corpus (the reference holds its whole words FST in
         # memory, src/index.rs:56), so a single-task global window is the
@@ -421,15 +842,17 @@ def build_index(
         # to assign_docids(terms, "term") (scalable two-pass rank).
         w = Window.orderBy("term")
         terms = terms.withColumn("term_id", F.row_number().over(w) - F.lit(1))
+        obs = Observation()
+        terms = terms.observe(obs, F.count(F.lit(1)).alias("rows"))
         os.makedirs(paths.terms, exist_ok=True)
         staging, commit = staged_write(paths.gen_dir(paths.terms, 0))
         terms.select("term", "term_id", "df", "cf", "max_tf").write.mode(
             "overwrite"
         ).parquet(staging)
         commit()
-        n_terms = parquet_dir_rows(paths.terms)
         log.commit("terms", inputs={"term_doc": "extract"},
-                   metrics={"n_terms": n_terms}, wall_s=time.time() - t0)
+                   metrics={"n_terms": int(obs.get["rows"])},
+                   wall_s=time.time() - t0)
     maybe_fail("terms")
 
     # ---- stage 5: postings segments, per bucket --------------------------
@@ -447,20 +870,26 @@ def build_index(
             return
         t0 = time.time()
         td_b = term_doc.filter(F.col("bucket") == b)
-        seg = td_b.groupBy("shard").applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
+        seg = td_b.groupBy("shard").applyInArrow(encode_fn, schema=POSTINGS_SCHEMA)
+        obs = Observation()
+        seg = seg.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum(
+                F.length("docs") + F.length("tfs") + F.length("dls")
+                + F.coalesce(F.length("poss"), F.lit(0))
+            ).alias("bytes"),
+        )
         bucket_dir = os.path.join(paths.gen_dir(paths.postings, 0), f"bucket={b}")
         staging, commit = staged_write(bucket_dir)
         seg.drop("bucket").write.mode("overwrite").parquet(staging)
         commit()
-        m = parquet_dir_column_sums(
-            bucket_dir, int_cols=("n_docs",),
-            binary_size_cols=("docs", "tfs", "dls", "poss"),
-        )
+        got = obs.get
         metrics = {
-            "segments_merged": m["rows"],
-            "postings_emitted": m["n_docs"],
-            "bytes_compressed": m["docs_bytes"] + m["tfs_bytes"]
-            + m["dls_bytes"] + m["poss_bytes"],
+            "segments_merged": int(got["rows"]),
+            "postings_emitted": int(got["n_docs"] or 0),
+            "bytes_compressed": int(got["bytes"] or 0),
         }
         with metrics_lock:
             metrics_rows.append({"stage": stage, "build_id": build_id, **metrics})
@@ -469,19 +898,6 @@ def build_index(
         maybe_fail(stage)
 
     metrics_lock = threading.Lock()
-    pending = [b for b in range(config.num_buckets) if not log.done(f"postings:bucket={b}")]
-    if pending:
-        # Pre-warm the Arrow python-worker pool with one tiny job: without
-        # this, N cold bucket jobs launched together each pay worker spawn +
-        # module import simultaneously (measured 6x slowdown per job).
-        (
-            term_doc.limit(64)
-            .groupBy("shard")
-            .applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
-            .write.mode("overwrite")
-            .format("noop")
-            .save()
-        )
     with ThreadPoolExecutor(max_workers=config.num_buckets) as pool:
         futures = [pool.submit(run_bucket, b) for b in range(config.num_buckets)]
         errs = [f.exception() for f in futures]
@@ -491,15 +907,13 @@ def build_index(
     maybe_fail("postings")
 
     # ---- stage 6: finalize ----------------------------------------------
-    from search_engine_spark.index import parquet_dir_column_max
-
     scalars = {
         "n_docs": int(ds_meta["n_docs"]),
         "avgdl": float(avgdl),
         "total_dl": int(ds_meta["total_dl"]),
         "n_terms": int(log.read("terms")["metrics"]["n_terms"]),
         "build_id": build_id,
-        "max_docid": int(parquet_dir_column_max(paths.doc_stats, "docid") or -1),
+        "max_docid": int(log.read("docs")["metrics"].get("max_docid", -1)),
         "n_deleted": 0,
         # per-generation avgdl used at encode time: query-side WAND scales
         # block-max bounds by max(1, query_avgdl / encode_avgdl) so pruning

@@ -41,10 +41,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.build import (
+    DL_BUCKET,
     POSTINGS_SCHEMA,
     _dedupe_last_write_wins,
+    doc_lengths,
     make_encode_fn,
     make_extract_fn,
+    terms_agg,
 )
 from search_engine_spark.config import IndexConfig
 from search_engine_spark.index import (
@@ -146,7 +149,7 @@ def add_documents(
     extracted = (
         docs_df.select("docid", "text")
         .repartition(n_extract)
-        .mapInPandas(make_extract_fn(config), schema=term_doc_schema(config))
+        .mapInArrow(make_extract_fn(config), schema=term_doc_schema(config))
     )
     staging, commit = staged_write(paths.gen_dir(paths.term_doc, gen))
     extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
@@ -154,7 +157,7 @@ def add_documents(
     td_gen = spark.read.parquet(paths.gen_dir(paths.term_doc, gen))
 
     # doc_stats append for the new docs
-    dl_df = td_gen.groupBy("docid").agg(F.first("dl").alias("dl"))
+    dl_df = doc_lengths(td_gen)
     stats = (
         docs_df.select("docid", "pk", *config.attr_cols)
         .join(dl_df, "docid", "left")
@@ -163,9 +166,7 @@ def add_documents(
     stats.write.mode("append").parquet(paths.doc_stats)
 
     # per-generation dictionary
-    terms = td_gen.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf"), F.max("tf").alias("max_tf")
-    )
+    terms = terms_agg(td_gen)
     tw = Window.orderBy("term")
     terms = terms.withColumn("term_id", F.row_number().over(tw) - F.lit(1))
     staging, commit = staged_write(paths.gen_dir(paths.terms, gen))
@@ -179,7 +180,11 @@ def add_documents(
 
     # postings for the new generation, encoded with the fresh avgdl
     encode_fn = make_encode_fn(config, avgdl)
-    seg = td_gen.groupBy("shard").applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
+    seg = (
+        td_gen.filter(F.col("bucket") != DL_BUCKET)
+        .groupBy("shard")
+        .applyInArrow(encode_fn, schema=POSTINGS_SCHEMA)
+    )
     staging, commit = staged_write(paths.gen_dir(paths.postings, gen))
     seg.write.mode("overwrite").partitionBy("bucket").parquet(staging)
     commit()
@@ -228,7 +233,12 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     stats_all = spark.read.parquet(paths.doc_stats)
     docs_all = spark.read.parquet(paths.docs)
     if deleted is not None:
-        td_live = td_live.join(deleted, "docid", "left_anti")
+        # term_doc rows are (term, shard) docid-array runs — tombstones are
+        # removed by slicing the parallel arrays (np.isin, Arrow-batched),
+        # not a join. Tombstone sets are explicit user deletes, bounded and
+        # driver-collectable; docs at true scale live in the arrays.
+        del_ids = [r["docid"] for r in deleted.collect()]
+        td_live = _filter_deleted_from_arrays(td_live, del_ids, config)
         stats_all = stats_all.join(deleted, "docid", "left_anti")
         docs_all = docs_all.join(deleted, "docid", "left_anti")
 
@@ -259,9 +269,7 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     td = spark.read.parquet(paths.term_doc)
 
     # dictionary
-    terms = td.groupBy("term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf"), F.max("tf").alias("max_tf")
-    )
+    terms = terms_agg(td)
     tw = Window.orderBy("term")
     terms = terms.withColumn("term_id", F.row_number().over(tw) - F.lit(1))
     staging, commit = staged_write(paths.terms + ".compact")
@@ -274,7 +282,12 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 
     # postings: one merged generation
     encode_fn = make_encode_fn(config, avgdl)
-    seg = td.drop("gen").groupBy("shard").applyInPandas(encode_fn, schema=POSTINGS_SCHEMA)
+    seg = (
+        td.drop("gen")
+        .filter(F.col("bucket") != DL_BUCKET)
+        .groupBy("shard")
+        .applyInArrow(encode_fn, schema=POSTINGS_SCHEMA)
+    )
     staging, commit = staged_write(paths.postings + ".compact")
     seg.write.mode("overwrite").partitionBy("bucket").parquet(staging)
     commit()
@@ -303,6 +316,53 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+
+
+def _filter_deleted_from_arrays(
+    td: DataFrame, del_ids: list, config: IndexConfig
+) -> DataFrame:
+    """Remove tombstoned docids from term_doc array rows (vectorized)."""
+    import numpy as np
+    import pandas as pd
+
+    del_arr = np.asarray(sorted(int(d) for d in del_ids), dtype=np.int64)
+    store_positions = config.store_positions
+    schema = td.schema
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(del_arr) == 0:
+                yield pdf
+                continue
+            docids_new, tfs_new, dls_new, poss_new, keep = [], [], [], [], []
+            poss_col = pdf["poss"] if store_positions and "poss" in pdf else None
+            for i in range(len(pdf)):
+                d = np.asarray(pdf["docids"].iloc[i], dtype=np.int64)
+                mask = ~np.isin(d, del_arr)
+                if not mask.any():
+                    keep.append(False)
+                    continue
+                keep.append(True)
+                docids_new.append(d[mask])
+                t = np.asarray(pdf["tfs"].iloc[i], dtype=np.int32)
+                tfs_new.append(t[mask] if len(t) == len(d) else t)
+                dl = np.asarray(pdf["dls"].iloc[i], dtype=np.int32)
+                dls_new.append(dl[mask] if len(dl) == len(d) else dl)
+                if poss_col is not None:
+                    cell = poss_col.iloc[i]
+                    p = [] if cell is None else list(cell)
+                    poss_new.append(
+                        [p[j] for j in np.flatnonzero(mask)] if len(p) == len(d) else p
+                    )
+            out = pdf.loc[keep].reset_index(drop=True)
+            out["docids"] = pd.Series(docids_new, dtype="object")
+            out["tfs"] = pd.Series(tfs_new, dtype="object")
+            out["dls"] = pd.Series(dls_new, dtype="object")
+            if poss_col is not None:
+                out["poss"] = pd.Series(poss_new, dtype="object")
+            yield out
+
+    return td.mapInPandas(fn, schema)
 
 
 def _append_tombstones(spark: SparkSession, paths: IndexPaths, tomb: DataFrame):

@@ -5,6 +5,10 @@ import pytest
 
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 
+from search_engine_spark.session import apply_runtime_env  # noqa: E402
+
+apply_runtime_env()
+
 TEST_CPUS = os.environ.get("SPARK_GRAFT_TEST_CPUS", "4")
 
 

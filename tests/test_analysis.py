@@ -57,3 +57,52 @@ def test_ascii_equiv_regex():
 
     s = "key agg row scan slow fast table value part hash"
     assert tokenize(s) == re.findall(r"[a-z0-9]+", s)
+
+
+def test_fast_paths_exactly_match_reference():
+    """tokenize_fast / normalize_fast must be byte-identical to the frozen
+    reference implementations on adversarial and random inputs."""
+    import random
+    import string
+
+    from search_engine_spark.analysis import normalize, normalize_fast, tokenize, tokenize_fast
+
+    cases = [
+        "", " ", "hello world", "Héllo, WÖRLD!", "ﬁsh", "a.b!c?d",
+        "x" * 300, ("word " * 9000) + "tail",  # MAX_POSITION overflow
+        "a" * 63, "a" * 62, "é" * 80, "Привет мир 42", "foo_bar .,. baz",
+        "\n\n.!?", "mixed ASCII und ünïcode tëxt 123",
+    ]
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + " .,!?;:()[]{}|\"…éüñßЖ中"
+    for _ in range(200):
+        cases.append("".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 400))))
+    for s in cases:
+        assert normalize_fast(s) == normalize(s), repr(s)
+        assert tokenize_fast(s) == tokenize(s), repr(s)
+
+
+def test_tokenize_arrow_batch_matches_reference():
+    import random
+    import string
+
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_spark.analysis import tokenize, tokenize_arrow_batch
+
+    rng = random.Random(11)
+    alphabet = string.ascii_letters + string.digits + " .,!?;:()[]{}|\"…éüñЖ中_-"
+    cases = ["", " ", None, "...", "Hello, World!", "x" * 300,
+             "a" * 251 + " ok", "a" * 250 + " ok", ("w " * 9000) + "end",
+             "ünïcode hërе", "foo_bar baz"]
+    for _ in range(300):
+        cases.append("".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 300))))
+    arr = pa.array(cases, type=pa.string())
+    flat, doc_idx, counts = tokenize_arrow_batch(arr)
+    flat_py = flat.to_pylist()
+    for i, s in enumerate(cases):
+        want = tokenize(s) if s else []
+        got = [flat_py[j] for j in np.flatnonzero(doc_idx == i)]
+        assert got == want, (i, repr(s), got, want)
+        assert counts[i] == len(want)
