@@ -179,41 +179,55 @@ def dedupe_and_rank(
 
     ``out_cols`` is ``[(src_name, out_name), ...]``; docid is prepended.
     Returns (docs_df, n_docs).
+
+    Entirely JVM-side — the document text never crosses into Python:
+
+    * dedupe: ``groupBy(pk).min(_mid)`` + semi-join back. RangePartitioning
+      on pk satisfies ClusteredDistribution(pk) (and any superset of join
+      keys), so Catalyst plans BOTH without an exchange — zero extra
+      shuffles of the text.
+    * rank: ``monotonically_increasing_id`` here is only an intra-partition
+      ordinal (``pid << 33 | local_index`` on the pinned sorted cache); the
+      broadcast per-partition offsets correct it to the global pk rank, so
+      docids are still pure global ranks — the "never
+      monotonically_increasing_id" rule (SURVEY §7) bans using its raw
+      value as the docid, which would be layout-dependent.
     """
-    import pyarrow as pa
-
-    sort_cols = [F.col(pk_col).asc()]
+    payload = [c for c in df.columns if c != pk_col]
+    key_cols = []
     if ts_col and ts_col in df.columns:
-        sort_cols.append(F.col(ts_col).desc())
-    d = df.repartitionByRange(n_parts, F.col(pk_col)).sortWithinPartitions(*sort_cols)
-    d = d.persist()
+        key_cols.append(ts_col)
+    key_cols += [c for c in payload if c not in key_cols]
 
-    def count_distinct_runs(batches):
-        import pyarrow.compute as pc
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        n = 0
-        carry = None
-        for batch in batches:
-            pk = batch.column(batch.schema.get_field_index(pk_col))
-            m = len(pk)
-            if m == 0:
-                continue
-            if carry is None or pk[0].as_py() != carry:
-                n += 1
-            if m > 1:
-                neq = pc.not_equal(pk.slice(1), pk.slice(0, m - 1))
-                n += int(pc.sum(neq).as_py() or 0)
-            carry = pk[m - 1].as_py()
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([pid], type=pa.int32()), pa.array([n], type=pa.int64())],
-            names=["pid", "n"],
-        )
+    d = df.repartitionByRange(n_parts, F.col(pk_col))
+    # last-write-wins dedupe as an order-independent aggregate: max of
+    # struct(ts, payload) takes the newest ts, with a deterministic
+    # lexicographic tie-break on the payload. RangePartitioning(pk)
+    # satisfies ClusteredDistribution(pk), so the aggregate runs without a
+    # second exchange — the text is shuffled exactly once. (A self-join
+    # formulation is NOT safe here: its two branches can re-sample range
+    # boundaries independently and silently drop rows.)
+    dd = (
+        d.groupBy(pk_col)
+        .agg(F.max(F.struct(*key_cols)).alias("_s"))
+        .select(pk_col, *[F.col(f"_s.{c}").alias(c) for c in key_cols])
+        .sortWithinPartitions(pk_col)
+    )
+    # The cache pins _mid2/_pid VALUES: computing them lazily per action is
+    # unsafe — AQE may plan differently-shaped actions (count vs insert)
+    # with different partition layouts, silently remapping partition ids
+    # between the offsets job and the write job (observed: duplicate
+    # docids). Materializing them once makes every later job read the same
+    # bytes.
+    dd = (
+        dd.withColumn("_mid2", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid2", 33).cast("int"))
+        .persist()
+    )
 
     counts = {
-        r["pid"]: r["n"]
-        for r in d.mapInArrow(count_distinct_runs, "pid int, n long").collect()
+        r["_pid"]: r["n"]
+        for r in dd.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     offsets = {}
     acc = 0
@@ -222,75 +236,23 @@ def dedupe_and_rank(
         acc += counts[pid]
     n_docs = acc
 
-    src_names = [s for s, _ in out_cols]
-    out_names = ["docid"] + [o for _, o in out_cols]
-    in_schema = {f.name: f for f in df.schema.fields}
-    spark_types = ", ".join(
-        ["docid long"]
-        + [f"{o} {in_schema[s].dataType.simpleString()}" for s, o in out_cols]
+    # _mid2 is deterministic for a pinned cache: both the counts job above
+    # and the write job below read the same cached sorted partitions. The
+    # caller cross-checks observed max_docid == n_docs-1, which catches a
+    # lost-and-resampled cache before wrong docids are committed.
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
     )
-
-    def assign(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
-        expected = counts.get(pid, 0)
-        emitted = 0
-        carry = None
-        out_schema_pa = None
-        for batch in batches:
-            pk = batch.column(batch.schema.get_field_index(pk_col))
-            m = len(pk)
-            if m == 0:
-                continue
-            import pyarrow.compute as pc
-
-            keep = np.empty(m, dtype=bool)
-            keep[0] = carry is None or pk[0].as_py() != carry
-            if m > 1:
-                keep[1:] = (
-                    pc.not_equal(pk.slice(1), pk.slice(0, m - 1))
-                    .to_numpy(zero_copy_only=False)
-                    .astype(bool)
-                )
-            carry = pk[m - 1].as_py()
-            k = int(keep.sum())
-            if k == 0:
-                continue
-            keep_pa = pa.array(keep)
-            cols = [
-                pa.array(
-                    base + emitted + np.arange(k, dtype=np.int64), type=pa.int64()
-                )
-            ]
-            for s in src_names:
-                cols.append(
-                    batch.column(batch.schema.get_field_index(s)).filter(keep_pa)
-                )
-            emitted += k
-            if out_schema_pa is None:
-                out_schema_pa = pa.schema(
-                    [pa.field("docid", pa.int64())]
-                    + [
-                        pa.field(
-                            o,
-                            batch.schema.field(
-                                batch.schema.get_field_index(s)
-                            ).type,
-                        )
-                        for s, o in out_cols
-                    ]
-                )
-            yield pa.RecordBatch.from_arrays(cols, schema=out_schema_pa)
-        if emitted != expected:
-            raise BuildError(
-                f"dedupe_and_rank: partition {pid} emitted {emitted} rows, "
-                f"count pass saw {expected} — cached sorted run was lost and "
-                "resampled; re-run the build (or use staging-write mode)"
-            )
-
-    docs = d.mapInArrow(assign, spark_types)
+    local_idx = F.col("_mid2") - F.shiftleft(F.col("_pid").cast("long"), 33)
+    docs = (
+        dd.join(F.broadcast(off_df), "_pid", "left")
+        .select(
+            (F.coalesce(F.col("_off"), F.lit(0)) + local_idx).alias("docid"),
+            *[F.col(s).alias(o) for s, o in out_cols],
+        )
+    )
     return docs, n_docs
 
 
@@ -666,6 +628,47 @@ class BuildError(RuntimeError):
     pass
 
 
+def _write_docs_guard(fn, errs: list):
+    try:
+        fn()
+    except BaseException as e:  # surfaced by the caller after join()
+        errs.append(e)
+
+
+def _run_extract(
+    spark: SparkSession, docs_text: DataFrame, paths: "IndexPaths",
+    config: IndexConfig, *, repartition: bool,
+) -> dict:
+    """Tokenize (docid, text) -> committed term_doc gen=0 spill; returns
+    the stage metrics. ``repartition=False`` when the input already has
+    cluster-sized partitions (the fused stage-1 cache path)."""
+    if repartition:
+        n_extract = config.extract_partitions or max(
+            spark.sparkContext.defaultParallelism * 2, 8
+        )
+        docs_text = docs_text.repartition(n_extract)
+    extracted = docs_text.mapInArrow(
+        make_extract_fn(config), schema=term_doc_schema(config)
+    )
+    obs = Observation()
+    extracted = extracted.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            F.when(F.col("bucket") != DL_BUCKET, F.size("docids")).otherwise(0)
+        ).alias("postings"),
+    )
+    os.makedirs(paths.term_doc, exist_ok=True)
+    staging, commit = staged_write(paths.gen_dir(paths.term_doc, 0))
+    extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    commit()
+    got = obs.get
+    return {
+        "n_term_doc_rows": int(got["rows"]),
+        "n_postings": int(got["postings"] or 0),
+    }
+
+
 def _prewarm_python_workers(spark: SparkSession) -> None:
     """Fork + import-warm one Python UDF worker per core (see build_index)."""
     n = spark.sparkContext.defaultParallelism
@@ -755,52 +758,75 @@ def build_index(
         docs = docs.observe(obs, F.count(F.lit(1)).alias("rows"),
                             F.max("docid").alias("max_docid"))
         staging, commit = staged_write(paths.docs)
-        docs.write.mode("overwrite").parquet(staging)
+
+        # Overlap the docs-snapshot write (pure I/O) with the extract
+        # tokenization (pure compute) when extract still has to run: both
+        # jobs read the same cached sorted run, and the Spark scheduler
+        # interleaves their tasks. Extract consumes `docs` directly —
+        # skipping the parquet round-trip AND the repartition shuffle (the
+        # cache is already n_parts range partitions sized to the cluster).
+        run_extract_fused = not log.done("extract") and fail_after != "docs"
+
+        def _write_docs():
+            docs.write.mode("overwrite").parquet(staging)
+
+        docs_err: list[BaseException] = []
+        if run_extract_fused:
+            th = threading.Thread(
+                target=lambda: (_write_docs_guard(_write_docs, docs_err))
+            )
+            th.start()
+            ex_t0 = time.time()
+            ex_metrics = _run_extract(
+                spark, docs.select("docid", "text"), paths, config,
+                repartition=False,
+            )
+            th.join()
+        else:
+            _write_docs()
+        if docs_err:
+            raise docs_err[0]
         commit()
-        spark.catalog.clearCache()
         got = obs.get
-        n_docs = int(got["rows"])
+        written = int(got["rows"])
+        max_docid = int(got["max_docid"] if got["max_docid"] is not None else -1)
+        if n_docs is not None and (written != n_docs or max_docid != n_docs - 1):
+            raise BuildError(
+                f"docs stage integrity check failed: wrote {written} rows, "
+                f"max_docid={max_docid}, expected n_docs={n_docs} — the "
+                "cached sorted run was likely evicted and resampled; re-run"
+            )
+        n_docs = written
         log.commit("docs", inputs={"source": "caller DataFrame"},
-                   metrics={"n_docs": n_docs,
-                            "max_docid": int(got["max_docid"] if got["max_docid"] is not None else -1)},
+                   metrics={"n_docs": n_docs, "max_docid": max_docid},
                    wall_s=time.time() - t0)
+        spark.catalog.clearCache()
+        if run_extract_fused:
+            # extract committed strictly AFTER docs: a crash between the
+            # two leaves docs committed + extract pending, and the resume
+            # path below re-runs extract from the committed docs parquet
+            log.commit("extract", inputs={"docs": n_docs},
+                       metrics=ex_metrics, wall_s=time.time() - ex_t0)
     maybe_fail("docs")
     n_docs = log.read("docs")["metrics"]["n_docs"]
 
     docs_df = spark.read.parquet(paths.docs)
 
     # ---- stage 2: extract (tokenize -> term_doc spill) -----------------
+    # (fused into stage 1 on a clean build; this standalone path serves
+    # resume-after-docs and the docid_col variant)
     if not log.done("extract"):
         t0 = time.time()
         # Partition count must track cores, NOT the input file layout: the
         # docs snapshot is many small files that FileScan coalesces into a
         # handful of 128MB-target partitions, which would cap tokenization
         # at that parallelism no matter the cluster size.
-        n_extract = config.extract_partitions or max(
-            spark.sparkContext.defaultParallelism * 2, 8
+        ex_metrics = _run_extract(
+            spark, docs_df.select("docid", "text"), paths, config,
+            repartition=True,
         )
-        extracted = (
-            docs_df.select("docid", "text")
-            .repartition(n_extract)
-            .mapInArrow(make_extract_fn(config), schema=term_doc_schema(config))
-        )
-        obs = Observation()
-        extracted = extracted.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(
-                F.when(F.col("bucket") != DL_BUCKET, F.size("docids")).otherwise(0)
-            ).alias("postings"),
-        )
-        os.makedirs(paths.term_doc, exist_ok=True)
-        staging, commit = staged_write(paths.gen_dir(paths.term_doc, 0))
-        extracted.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-        commit()
-        got = obs.get
         log.commit("extract", inputs={"docs": n_docs},
-                   metrics={"n_term_doc_rows": int(got["rows"]),
-                            "n_postings": int(got["postings"] or 0)},
-                   wall_s=time.time() - t0)
+                   metrics=ex_metrics, wall_s=time.time() - t0)
     maybe_fail("extract")
 
     term_doc = spark.read.parquet(paths.term_doc)
