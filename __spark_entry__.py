@@ -162,6 +162,41 @@ def _q_typo_expand(spark, sf_dir):
     )
 
 
+def _q_bm25_negated(spark, sf_dir):
+    """Reference Q1 negation (`-word` excludes matching docs)."""
+    return _bm25_df(spark, sf_dir, "table join -merge", mode="exhaustive")
+
+
+def _q_bm25_synonyms(spark, sf_dir):
+    """Reference Q5: settings-driven synonym expansion scored alongside."""
+    idx = _index(spark, sf_dir)
+    res = idx.search("merge", k=10, mode="exhaustive",
+                     synonyms={"merge": ["join"]})
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
+def _q_bm25_match_all(spark, sf_dir):
+    """Reference TermsMatchingStrategy::All (src/search/mod.rs:226-238):
+    conjunctive — every scoring term must occur in the doc."""
+    idx = _index(spark, sf_dir)
+    res = idx.search("table join merge", k=10, mode="exhaustive",
+                     match_all=True)
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
+def _q_hybrid_rank(spark, sf_dir):
+    """Reference K12 hybrid.rs: ratio-weighted keyword+semantic merge."""
+    from search_engine_spark.query import hybrid_search
+
+    idx = _index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 0)
+    res = hybrid_search(idx, _embs(spark, sf_dir), "table join merge", qv,
+                        k=10, semantic_ratio=0.5, pool=30)
+    return res.select(
+        "rank", "docid", F.round("score", SCORE_ROUND).alias("score")
+    )
+
+
 def _q_bm25_paginated(spark, sf_dir):
     """Reference K10 pagination: page 2 (offset=5, k=5) of a BM25 ranking."""
     idx = _index(spark, sf_dir)
@@ -315,6 +350,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_expand": _q_prefix_expand,
         "typo_expand": _q_typo_expand,
         "bm25_paginated": _q_bm25_paginated,
+        "bm25_negated": _q_bm25_negated,
+        "bm25_synonyms": _q_bm25_synonyms,
+        "bm25_match_all": _q_bm25_match_all,
+        "hybrid_rank": _q_hybrid_rank,
         "sort_by_attr": _q_sort_by_attr,
         # filters + facets (§2.5/§2.9)
         "filter_where": _q_filter_where,
@@ -370,7 +409,8 @@ corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM stats)
 """
 
 
-def _bm25_sql(terms: list[str], where: str = "TRUE", k: int = 10) -> str:
+def _bm25_sql(terms: list[str], where: str = "TRUE", k: int = 10,
+              having: str = "TRUE") -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     return f"""
 WITH {_TOKS},
@@ -385,6 +425,7 @@ scores AS (
   CROSS JOIN corpus c
   WHERE td.term IN ({tl}) AND ({where})
   GROUP BY td.doc_id
+  HAVING {having}
 )
 SELECT doc_id AS docid, round(score, {SCORE_ROUND}) AS score
 FROM scores ORDER BY score DESC, doc_id LIMIT {k}
@@ -491,6 +532,39 @@ SELECT rank, docid, score FROM (
 ) WHERE rank > 5 AND rank <= 10
 """
 
+    sql["bm25_negated"] = _bm25_sql(
+        ["table", "join"],
+        where="td.doc_id NOT IN (SELECT doc_id FROM tdoc WHERE term = 'merge')",
+    )
+    sql["bm25_synonyms"] = _bm25_sql(["merge", "join"])
+    sql["bm25_match_all"] = _bm25_sql(
+        ["table", "join", "merge"], having="count(DISTINCT td.term) = 3"
+    )
+    sql["hybrid_rank"] = f"""
+WITH {_TOKS},
+kwscore AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td JOIN dict di USING (term) JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN ('table', 'join', 'merge')
+  GROUP BY td.doc_id
+),
+kwpool AS (SELECT doc_id, score FROM kwscore ORDER BY score DESC, doc_id LIMIT 30),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+sems AS (SELECT e.vec_id AS doc_id, {_COS_EXPR} AS sim FROM embeddings e, q),
+sempool AS (SELECT doc_id, sim FROM sems ORDER BY sim DESC, doc_id LIMIT 30),
+fused AS (
+  SELECT coalesce(k.doc_id, s.doc_id) AS docid,
+         0.5 * coalesce(s.sim / (SELECT max(sim) FROM sempool), 0)
+       + 0.5 * coalesce(k.score / (SELECT max(score) FROM kwpool), 0) AS score
+  FROM kwpool k FULL OUTER JOIN sempool s ON k.doc_id = s.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, docid) AS rank,
+       docid, round(score, {SCORE_ROUND}) AS score
+FROM fused ORDER BY score DESC, docid LIMIT 10
+"""
     sql["sort_by_attr"] = f"""
 WITH {_TOKS},
 cand AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table')

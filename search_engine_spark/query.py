@@ -64,6 +64,12 @@ class QueryPlan:
     phrases: list[list[str]]
     negated: list[str]
     k: int
+    # TermsMatchingStrategy::All (reference ``src/search/mod.rs:226-238``):
+    # candidates must contain EVERY scoring term. Deviation note: the
+    # reference applies All per original query word with derivations
+    # OR-grouped; we apply it over the flat scoring-term set, so use it
+    # with exact-word plans (no prefix/typo expansion).
+    match_all: bool = False
 
 
 class SearchIndex:
@@ -185,6 +191,7 @@ class SearchIndex:
         *,
         ngrams: bool = False,
         synonyms: dict[str, list[str]] | None = None,
+        match_all: bool = False,
     ) -> QueryPlan:
         """Query plan: exact/prefix/typo lookups plus optional derivations.
 
@@ -214,7 +221,8 @@ class SearchIndex:
             scoring.update(self._expand_typo(ty))
         weights = {t: bm25_idf(self.n_docs, df) for t, df in scoring.items()}
         return QueryPlan(
-            term_weights=weights, phrases=pq.phrases, negated=pq.negated, k=k
+            term_weights=weights, phrases=pq.phrases, negated=pq.negated, k=k,
+            match_all=match_all,
         )
 
     # -- execution ---------------------------------------------------------
@@ -325,12 +333,15 @@ class SearchIndex:
             | {w for ph in plan.phrases for w in ph}
         )
 
-        use_wand = mode == "wand" or (
-            mode == "auto"
-            and not plan.phrases
-            and not plan.negated
-            and filter_ast is None
-        )
+        use_wand = (
+            mode == "wand"
+            or (
+                mode == "auto"
+                and not plan.phrases
+                and not plan.negated
+                and filter_ast is None
+            )
+        ) and not plan.match_all
         score_fn = make_shard_scorer(
             term_weights=plan.term_weights,
             phrases=plan.phrases,
@@ -341,6 +352,7 @@ class SearchIndex:
             k1=self.config.k1,
             b=self.config.b,
             use_wand=use_wand,
+            match_all=plan.match_all,
             has_filter=filter_ast is not None,
             gen_avgdl=self.gen_avgdl,
             deleted=self._deleted,
@@ -484,6 +496,7 @@ def make_shard_scorer(
     b: float,
     use_wand: bool,
     has_filter: bool,
+    match_all: bool = False,
     gen_avgdl: dict[int, float] | None = None,
     deleted: np.ndarray | None = None,
 ):
@@ -529,12 +542,12 @@ def make_shard_scorer(
                 else np.zeros(0, dtype=np.int64)
             )
 
-        if use_wand and not phrases and not neg_set and allowed is None:
+        if use_wand and not phrases and not neg_set and allowed is None and not match_all:
             pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b, deleted)
         else:
             pairs = _exhaustive_topk(
                 readers, term_weights, phrases, neg_set, allowed, k, avgdl, k1, b,
-                deleted,
+                deleted, match_all=match_all,
             )
         if not pairs:
             return _empty()
@@ -557,18 +570,26 @@ def _exhaustive_topk(
     k1: float,
     b: float,
     deleted: np.ndarray | None = None,
+    match_all: bool = False,
 ) -> list[tuple[int, float]]:
     """Vectorized full-decode scoring: concatenate (docid, idf*impact) across
     terms (and segment generations), aggregate per docid with np.add.at,
-    apply phrase/negation/filter/tombstone constraints, bounded top-k."""
+    apply phrase/negation/filter/tombstone/match-all constraints, top-k."""
     doc_chunks, score_chunks = [], []
+    per_term_docs: list[np.ndarray] = []
     for term, idf in term_weights.items():
+        t_docs = []
         for r, _scale in readers.get(term, ()):  # scores use current avgdl
             docids, tfs, dls = r.decode_all()
             tfs_f = tfs.astype(np.float64)
             norm = k1 * (1.0 - b + b * dls.astype(np.float64) / max(avgdl, 1e-12))
             doc_chunks.append(docids)
             score_chunks.append(idf * tfs_f / (tfs_f + norm))
+            t_docs.append(docids)
+        if match_all:
+            per_term_docs.append(
+                np.concatenate(t_docs) if t_docs else np.zeros(0, dtype=np.int64)
+            )
     if not doc_chunks:
         return []
     docs = np.concatenate(doc_chunks)
@@ -578,6 +599,9 @@ def _exhaustive_topk(
     np.add.at(agg, inv, scores)
 
     mask = np.ones(len(uniq), dtype=bool)
+    if match_all:
+        for t_docs in per_term_docs:
+            mask &= np.isin(uniq, t_docs)
     for ph in phrases:
         mask &= np.isin(uniq, _phrase_docids(readers, ph))
     for t in neg_set:

@@ -55,6 +55,24 @@ def test_synonym_expansion(feature_index):
     assert syn == {2, 3, 4}
 
 
+def test_match_all_is_conjunctive(feature_index):
+    """TermsMatchingStrategy::All (reference src/search/mod.rs:226-238):
+    only docs containing EVERY scoring term survive; scores match the
+    disjunctive scores for those docs."""
+    ix, _ = feature_index
+    last = {r["docid"]: r["score"] for r in ix.search("new york", k=5).collect()}
+    assert set(last) == {1, 2}  # disjunctive would include partial matches
+    both = {r["docid"]: r["score"]
+            for r in ix.search("york pizza", k=5).collect()}
+    assert set(both) == {0, 1, 2, 4}
+    allq = {r["docid"]: r["score"]
+            for r in ix.search("york pizza", k=5, match_all=True).collect()}
+    assert allq == {}  # no doc has both
+    allq2 = {r["docid"]: r["score"]
+             for r in ix.search("new york", k=5, match_all=True).collect()}
+    assert allq2 == {d: s for d, s in last.items() if d in (1, 2)}
+
+
 def test_sort_by_attribute(feature_index):
     ix, _ = feature_index
     res = ix.search_sorted([("rating", "desc")], query="new york pizza", k=10).collect()
