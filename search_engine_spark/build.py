@@ -4,16 +4,16 @@ Pipeline (each stage checkpointed, see ``index.py``):
 
 1. ``docs``      — last-write-wins dedupe by primary key (reference
    ``Transform::read_documents`` + ``ReplaceDocuments``,
-   ``src/update/index_documents/transform.rs:107-360``) and deterministic
-   docid assignment: docid = global rank of pk, computed with a scalable
-   two-pass range-sort (never ``monotonically_increasing_id`` — docids must
-   be identical at any parallelism).
-2. ``extract``   — Arrow-batched ``mapInPandas`` tokenization (reference P1,
-   ``extract_docid_word_positions.rs:26-127``) emitting one row per
-   (docid, term): tf, sorted positions, dl. Per-doc aggregation happens
-   inside the UDF, so the ONLY shuffle in the whole build is the
-   repartition-by-(term, shard) in stage 5. Output is spilled to parquet
-   partitioned by term-bucket — this is the per-partition extraction
+   ``src/update/index_documents/transform.rs:107-360``) fused with
+   deterministic docid assignment (docid = global rank of pk) in ONE range
+   shuffle of the text (``dedupe_and_rank``). On a clean build the parquet
+   snapshot write overlaps stage 2.
+2. ``extract``   — Arrow-native ``mapInArrow`` tokenization (reference P1,
+   ``extract_docid_word_positions.rs:26-127``), map-side combined: one
+   (term, shard) row per extract task with docid/tf/dl arrays (see
+   TERM_DOC_SCHEMA), doc lengths as bucket=-1 rows. Reads the stage-1
+   cached sorted run directly on a clean build (no extra shuffle).
+   Output spills to parquet partitioned by term-bucket — the extraction
    checkpoint.
 3. ``doc_stats`` — (docid, pk, dl, attrs) + scalars N/avgdl (reference P4
    generalized to exact doc lengths — the data BM25 needs and the reference
@@ -21,14 +21,17 @@ Pipeline (each stage checkpointed, see ``index.py``):
 4. ``terms``     — global dictionary (term, term_id, df, cf, max_tf)
    (reference words FST, ``src/index.rs:56``). df is computed globally
    BEFORE sharding, so BM25 idf is exact regardless of salting.
-5. ``postings``  — per term-bucket: ``groupBy(term, shard).applyInPandas``
-   encodes sorted-docid delta+varint blocks with block-max metadata
-   (reference P2 ``extract_word_docids.rs`` + codec
-   ``cbo_roaring_bitmap_codec.rs`` replaced per the north rule).
+5. ``postings``  — per term-bucket: ``groupBy(shard).applyInArrow``
+   merges each term's sorted runs and encodes sorted-docid delta+varint
+   blocks with block-max metadata (reference P2 ``extract_word_docids.rs``
+   + codec ``cbo_roaring_bitmap_codec.rs`` replaced per the north rule).
    ``shard = docid % num_shards`` is the skew salt: a head term's postings
    split into num_shards bounded groups, and query-time scoring is
    document-partitioned (per-shard top-k + global merge).
 6. ``finalize``  — meta.json commit (the "snapshot publish").
+
+Full-data exchanges in the whole build: the stage-1 range shuffle and the
+stage-5 groupBy(shard) — everything else is map-side or metadata.
 """
 
 from __future__ import annotations
