@@ -35,19 +35,18 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    from pyspark.sql import SparkSession
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("search_engine_spark_bench")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 16)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    from search_engine_spark.session import build_session
+
+    spark = build_session(
+        f"local[{cpus}]",
+        app_name="search_engine_spark_bench",
+        shuffle_partitions=max(int(cpus) * 2, 16),
+        spark__driver__memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        spark__ui__enabled="false",
+        spark__ui__showConsoleProgress="false",
     )
     spark.sparkContext.setLogLevel("ERROR")
 
