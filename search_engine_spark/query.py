@@ -58,6 +58,19 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _pick_algo(mode: str, plan: "QueryPlan", has_filter: bool) -> str:
+    """mode -> scoring algorithm. 'auto' prefers vectorized block-max
+    MaxScore (rank-identical, batch-friendly); 'wand' keeps the classic
+    per-posting heap WAND (north-rule parity path); both silently fall
+    back to exhaustive for phrases/negation/filter/match_all inside the
+    scorer."""
+    if mode in ("wand", "maxscore", "exhaustive"):
+        return mode
+    if plan.phrases or plan.negated or has_filter or plan.match_all:
+        return "exhaustive"
+    return "maxscore"
+
+
 @dataclass
 class QueryPlan:
     term_weights: dict[str, float]  # scoring term -> idf
@@ -110,6 +123,11 @@ class SearchIndex:
         # Spark jobs; above it, lookups fall back to DataFrame point reads.
         self._local_dict_max_terms = 2_000_000
         self._dict: dict[str, int] | None = None
+        # execute(execution='auto') runs the query driver-side when the
+        # posting slices it touches total at most this many postings
+        # (point-read path; ~ms latency). Head terms at web scale exceed it
+        # and fall back to the document-partitioned cluster path.
+        self.driver_exec_max_postings = 2_000_000
 
     def _load_deleted(self) -> "np.ndarray":
         """Tombstoned docids as a sorted array, read locally (small relative
@@ -239,16 +257,19 @@ class SearchIndex:
         mode: str = "auto",
         filter_ast: dict | None = None,
         offset: int = 0,
+        execution: str = "auto",
         **plan_kw,
     ) -> DataFrame:
         """-> DataFrame(rank int, docid long, pk string, score double).
 
         ``offset`` implements the reference's skip/limit pagination
         (``bucket_sort.rs:49-75``): top-(offset+k) heap, slice the tail.
+        ``execution`` selects driver point-read vs cluster scoring (see
+        ``execute``).
         """
         return self.execute(
             self.plan(query, k, **plan_kw), mode=mode, filter_ast=filter_ast,
-            offset=offset,
+            offset=offset, execution=execution,
         )
 
     def matching_docids(self, terms: list[str]) -> DataFrame:
@@ -322,8 +343,18 @@ class SearchIndex:
 
     def execute(
         self, plan: QueryPlan, mode: str = "auto", filter_ast: dict | None = None,
-        offset: int = 0,
+        offset: int = 0, execution: str = "auto",
     ) -> DataFrame:
+        """``execution``: 'cluster' always runs the document-partitioned
+        shard top-k; 'driver' forces the point-read path; 'auto' picks
+        'driver' when the query's posting slices are small enough
+        (sum(df) <= driver_exec_max_postings) and no attribute filter is
+        involved. The driver path is the analogue of the reference's
+        per-word LMDB point reads (src/search/db_cache.rs): partition- and
+        row-group-pruned pyarrow reads + the SAME scorer functions, so the
+        two paths are rank-identical (tested). Head terms at web scale blow
+        the threshold and take the cluster path automatically.
+        """
         spark = self.spark
         if not plan.term_weights:
             return spark.createDataFrame([], OUT_SCHEMA)
@@ -333,15 +364,13 @@ class SearchIndex:
             | {w for ph in plan.phrases for w in ph}
         )
 
-        use_wand = (
-            mode == "wand"
-            or (
-                mode == "auto"
-                and not plan.phrases
-                and not plan.negated
-                and filter_ast is None
-            )
-        ) and not plan.match_all
+        if execution != "cluster" and filter_ast is None:
+            dfs = self._lookup_exact(all_terms)
+            small = sum(dfs.values()) <= self.driver_exec_max_postings
+            if execution == "driver" or (execution == "auto" and small):
+                return self._execute_driver(plan, mode, offset, all_terms)
+
+        algo = _pick_algo(mode, plan, filter_ast is not None)
         score_fn = make_shard_scorer(
             term_weights=plan.term_weights,
             phrases=plan.phrases,
@@ -351,7 +380,7 @@ class SearchIndex:
             avgdl=self.avgdl,
             k1=self.config.k1,
             b=self.config.b,
-            use_wand=use_wand,
+            algo=algo,
             match_all=plan.match_all,
             has_filter=filter_ast is not None,
             gen_avgdl=self.gen_avgdl,
@@ -384,6 +413,68 @@ class SearchIndex:
             .filter(F.col("rank") > offset)
             .select("rank", "docid", "pk", "score")
             .orderBy("rank")
+        )
+
+    def _execute_driver(
+        self, plan: QueryPlan, mode: str, offset: int, all_terms: list[str]
+    ) -> DataFrame:
+        """Point-read execution: prune to the query's buckets/terms with
+        pyarrow (hive partition pruning on gen/bucket + row-group stats on
+        term), score in-process with the same _wand_topk/_exhaustive_topk
+        used by the shard UDFs. Latency is ~ms instead of a Spark job."""
+        import pyarrow.dataset as ds
+
+        buckets = [int(term_bucket(t, self.config.num_buckets)) for t in all_terms]
+        dataset = ds.dataset(self.paths.postings, format="parquet",
+                             partitioning="hive")
+        flt = ds.field("bucket").isin(sorted(set(buckets))) & ds.field(
+            "term"
+        ).isin(all_terms)
+        tbl = dataset.to_table(filter=flt)
+        readers: dict[str, list[tuple[PostingReader, float]]] = {}
+        for row in tbl.to_pylist():
+            r = PostingReader.from_row(row, self.config.block_size)
+            enc_avgdl = self.gen_avgdl.get(int(row.get("gen", 0)), self.avgdl)
+            scale = max(1.0, self.avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
+            readers.setdefault(row["term"], []).append((r, scale))
+
+        deleted = self._deleted if len(self._deleted) else None
+        algo = _pick_algo(mode, plan, False)
+        plain = not plan.phrases and not plan.negated and not plan.match_all
+        k = plan.k + offset
+        if algo == "wand" and plain:
+            pairs = _wand_topk(
+                readers, plan.term_weights, k, self.avgdl,
+                self.config.k1, self.config.b, deleted,
+            )
+        elif algo == "maxscore" and plain:
+            pairs = _maxscore_topk(
+                readers, plan.term_weights, k, self.avgdl,
+                self.config.k1, self.config.b, deleted,
+            )
+        else:
+            pairs = _exhaustive_topk(
+                readers, plan.term_weights, plan.phrases, set(plan.negated),
+                None, k, self.avgdl, self.config.k1, self.config.b, deleted,
+                match_all=plan.match_all,
+            )
+        pairs = pairs[offset:]
+        if not pairs:
+            return self.spark.createDataFrame([], OUT_SCHEMA)
+
+        docids = [d for d, _ in pairs]
+        stats = ds.dataset(self.paths.doc_stats, format="parquet")
+        pk_tbl = stats.to_table(columns=["docid", "pk"],
+                                filter=ds.field("docid").isin(docids))
+        pk_map = dict(zip(pk_tbl.column("docid").to_pylist(),
+                          pk_tbl.column("pk").to_pylist()))
+        rows = [
+            (offset + i + 1, int(d), pk_map.get(int(d)), float(s))
+            for i, (d, s) in enumerate(pairs)
+        ]
+        pk_t = self._doc_stats.schema["pk"].dataType.simpleString()
+        return self.spark.createDataFrame(
+            rows, f"rank int, docid long, pk {pk_t}, score double"
         )
 
     # convenience for tests / oracle comparison
@@ -494,7 +585,7 @@ def make_shard_scorer(
     avgdl: float,
     k1: float,
     b: float,
-    use_wand: bool,
+    algo: str,
     has_filter: bool,
     match_all: bool = False,
     gen_avgdl: dict[int, float] | None = None,
@@ -542,8 +633,11 @@ def make_shard_scorer(
                 else np.zeros(0, dtype=np.int64)
             )
 
-        if use_wand and not phrases and not neg_set and allowed is None and not match_all:
+        plain = not phrases and not neg_set and allowed is None and not match_all
+        if algo == "wand" and plain:
             pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b, deleted)
+        elif algo == "maxscore" and plain:
+            pairs = _maxscore_topk(readers, term_weights, k, avgdl, k1, b, deleted)
         else:
             pairs = _exhaustive_topk(
                 readers, term_weights, phrases, neg_set, allowed, k, avgdl, k1, b,
@@ -712,6 +806,136 @@ class _Cursor:
             self._load(nbi)
         self.i = int(np.searchsorted(self.docids, target, side="left"))
         # block's max_docid >= target guarantees i < len(docids)
+
+
+def _maxscore_topk(
+    readers: dict[str, list[tuple[PostingReader, float]]],
+    term_weights: dict[str, float],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    deleted: np.ndarray | None = None,
+) -> list[tuple[int, float]]:
+    """Vectorized block-max MaxScore (Turtle & Flood 1995 + block-max
+    refinement): rank-identical to exhaustive scoring, never slower than it
+    asymptotically, and — unlike per-posting heap WAND — every inner step
+    is a numpy batch, so it wins even on head-term-only queries where
+    pruning cannot fire.
+
+    Phase 1: process terms in DESCENDING max block impact bound; after each
+    term, theta = k-th best partial score. Once the sum of the remaining
+    terms' bounds is STRICTLY below theta, no unseen doc can reach the
+    top-k, so the remaining ("non-essential") terms only need lookups for
+    already-seen candidates.
+    Phase 2: prune candidates whose partial score + remaining bounds fall
+    strictly below theta (ties kept — (score desc, docid asc) total order
+    decides, exactly like the WAND path), then decode ONLY the blocks of
+    non-essential terms that contain surviving candidates (binary search
+    over block_meta first/max docid — the block-max skip).
+
+    Scores can differ from the exhaustive path by ~1 ulp (per-doc sums are
+    accumulated term-by-term here vs one np.add.at pass there); ranks and
+    6-decimal score values are identical, which is what the oracle gate
+    compares.
+    """
+    terms = [t for t in term_weights if readers.get(t)]
+    if not terms:
+        return []
+    bounds = {}
+    for t in terms:
+        mx = 0.0
+        for r, scale in readers[t]:
+            if r.n_blocks:
+                mx = max(mx, float(np.max(r.max_impact)) * scale)
+        bounds[t] = term_weights[t] * mx
+    order = sorted(terms, key=lambda t: (-bounds[t], t))
+    rem_after = np.concatenate(
+        (np.cumsum([bounds[t] for t in order][::-1])[::-1][1:], [0.0])
+    )
+
+    def _contrib(t: str):
+        idf = term_weights[t]
+        for r, _scale in readers[t]:
+            docids, tfs, dls = r.decode_all()
+            if deleted is not None and len(deleted):
+                keep = ~np.isin(docids, deleted)
+                docids, tfs, dls = docids[keep], tfs[keep], dls[keep]
+            tfs_f = tfs.astype(np.float64)
+            norm = k1 * (1.0 - b + b * dls.astype(np.float64) / max(avgdl, 1e-12))
+            yield docids, idf * tfs_f / (tfs_f + norm)
+
+    uniq = np.zeros(0, dtype=np.int64)
+    agg = np.zeros(0, dtype=np.float64)
+    theta = -np.inf
+    ness_start = len(order)
+    for i, t in enumerate(order):
+        chunks_d, chunks_s = [uniq], [agg]
+        for d, s in _contrib(t):
+            chunks_d.append(d)
+            chunks_s.append(s)
+        docs = np.concatenate(chunks_d)
+        scores = np.concatenate(chunks_s)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        agg = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(agg, inv, scores)
+        if len(uniq) >= k:
+            theta = np.partition(agg, len(agg) - k)[len(agg) - k]
+        if rem_after[i] < theta:
+            ness_start = i + 1
+            break
+
+    if ness_start < len(order):
+        # candidate pruning: strict-inequality only, ties survive
+        ub = agg + rem_after[ness_start - 1]
+        keep = ub >= theta
+        cand, cscore = uniq[keep], agg[keep]
+        for j in range(ness_start, len(order)):
+            t = order[j]
+            idf = term_weights[t]
+            for r, _scale in readers[t]:
+                if r.n_blocks == 0 or len(cand) == 0:
+                    continue
+                # block of each candidate: last block with first_docid <= c
+                bi = np.searchsorted(r.first_docid, cand, side="right") - 1
+                ok_idx = np.flatnonzero(
+                    (bi >= 0) & (cand <= r.max_docid[np.clip(bi, 0, None)])
+                )
+                if len(ok_idx) == 0:
+                    continue
+                # group candidates by block so each block is probed only
+                # with its own candidates (cand is sorted, so ok_idx is
+                # already grouped by ascending block)
+                bi_ok = bi[ok_idx]
+                bnds = np.flatnonzero(bi_ok[1:] != bi_ok[:-1]) + 1
+                for grp in np.split(ok_idx, bnds):
+                    bidx = int(bi[grp[0]])
+                    d_b, tf_b, dl_b = r.decode_block(bidx)
+                    sub = cand[grp]
+                    pos = np.searchsorted(d_b, sub)
+                    pos_ok = pos < len(d_b)
+                    hit = np.zeros(len(sub), dtype=bool)
+                    hit[pos_ok] = (
+                        d_b[np.clip(pos, 0, len(d_b) - 1)][pos_ok] == sub[pos_ok]
+                    )
+                    if not hit.any():
+                        continue
+                    hp = pos[hit]
+                    tfs_f = tf_b[hp].astype(np.float64)
+                    norm = k1 * (
+                        1.0 - b + b * dl_b[hp].astype(np.float64) / max(avgdl, 1e-12)
+                    )
+                    cscore[grp[hit]] += idf * tfs_f / (tfs_f + norm)
+        if deleted is not None and len(deleted) and len(cand):
+            keepd = ~np.isin(cand, deleted)
+            cand, cscore = cand[keepd], cscore[keepd]
+        uniq, agg = cand, cscore
+
+    if len(uniq) == 0:
+        return []
+    kk = min(k, len(uniq))
+    idx = np.lexsort((uniq, -agg))[:kk]
+    return [(int(uniq[i]), float(agg[i])) for i in idx]
 
 
 def _wand_topk(

@@ -45,6 +45,19 @@ def test_rank_identity_wand(search_index, oracle_idx, qid, query, k):
     assert_rank_identical(engine, oracle, qid, query)
 
 
+@pytest.mark.parametrize(
+    "qid,query,k",
+    [q for q in QUERIES if "-" not in q[1] and '"' not in q[1]],
+    ids=[f"q{q[0]}" for q in QUERIES if "-" not in q[1] and '"' not in q[1]],
+)
+def test_rank_identity_maxscore(search_index, oracle_idx, qid, query, k):
+    """Vectorized block-max MaxScore must be rank-identical to the oracle
+    (hence to WAND and exhaustive) on every fixture query."""
+    engine = search_index.search_list(query, k=k, mode="maxscore")
+    oracle = oracle_search(oracle_idx, query, k=k)
+    assert_rank_identical(engine, oracle, qid, query)
+
+
 def test_nonempty_results(search_index):
     # sanity: the headline query matches documents at all
     res = search_index.search_list("web search engine", k=10)

@@ -144,3 +144,24 @@ def test_sources_enrich(spark, tmp_path):
     c = str(tmp_path / "docs.csv")
     pd.DataFrame({"url": ["a"], "text": ["t1"]}).to_csv(c, index=False)
     assert read_documents(spark, c, fmt="csv").count() == 1
+
+
+def test_driver_execution_rank_identical_to_cluster(feature_index):
+    """The driver point-read path must reproduce the cluster shard top-k
+    exactly (same scorer functions over the same postings bytes)."""
+    ix, _ = feature_index
+    cases = [
+        dict(query="new york pizza", mode="wand"),
+        dict(query="new york pizza", mode="exhaustive"),
+        dict(query="york pizza -tokyo", mode="exhaustive"),
+        dict(query='"new york" guide', mode="exhaustive"),
+        dict(query="new york", mode="exhaustive", match_all=True),
+        dict(query="new york pizza", mode="exhaustive", offset=2),
+    ]
+    for kw in cases:
+        a = [(r["rank"], r["docid"], r["pk"], round(r["score"], 9))
+             for r in ix.search(k=4, execution="driver", **kw).collect()]
+        b = [(r["rank"], r["docid"], r["pk"], round(r["score"], 9))
+             for r in ix.search(k=4, execution="cluster", **kw).collect()]
+        assert a == b, (kw, a, b)
+    assert ix.search("zzzmissing", k=3, execution="driver").collect() == []
