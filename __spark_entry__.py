@@ -184,6 +184,14 @@ def _q_bm25_match_all(spark, sf_dir):
     return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
 
 
+def _q_bm25_word_split(spark, sf_dir):
+    """Reference Q6 word splits (query_graph.rs:398-453): 'tablejoin'
+    derives the split pair (table, join) from the dictionary."""
+    idx = _index(spark, sf_dir)
+    res = idx.search("tablejoin", k=10, mode="exhaustive", splits=True)
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
 def _q_hybrid_rank(spark, sf_dir):
     """Reference K12 hybrid.rs: ratio-weighted keyword+semantic merge."""
     from search_engine_spark.query import hybrid_search
@@ -353,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_negated": _q_bm25_negated,
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_match_all": _q_bm25_match_all,
+        "bm25_word_split": _q_bm25_word_split,
         "hybrid_rank": _q_hybrid_rank,
         "sort_by_attr": _q_sort_by_attr,
         # filters + facets (§2.5/§2.9)
@@ -540,6 +549,7 @@ SELECT rank, docid, score FROM (
     sql["bm25_match_all"] = _bm25_sql(
         ["table", "join", "merge"], having="count(DISTINCT td.term) = 3"
     )
+    sql["bm25_word_split"] = _bm25_sql(["table", "join"])
     sql["hybrid_rank"] = f"""
 WITH {_TOKS},
 kwscore AS (

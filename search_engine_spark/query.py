@@ -209,6 +209,8 @@ class SearchIndex:
         *,
         ngrams: bool = False,
         synonyms: dict[str, list[str]] | None = None,
+        splits: bool = False,
+        split_take_n: int = 4,
         match_all: bool = False,
     ) -> QueryPlan:
         """Query plan: exact/prefix/typo lookups plus optional derivations.
@@ -218,6 +220,14 @@ class SearchIndex:
         "new york" also matches the indexed term "newyork").
         ``synonyms`` maps a query word to replacement words scored alongside
         it (reference Q5, settings-driven synonym map).
+        ``splits=True`` derives two-word splits of each query word whose
+        halves both exist in the dictionary ("newyork" also matches
+        "new york"; reference Q6, ``query_graph.rs:398-453``). Deviation:
+        the reference ranks candidate splits by pair-proximity-1 frequency,
+        which needs the pair-proximity DB we deliberately don't build; we
+        rank by min(df(left), df(right)) descending and keep the top
+        ``split_take_n`` (reference ``split_take_n=4``,
+        ``src/update/split_config.rs``).
         """
         pq: ParsedQuery = parse_query(query)
         scoring: dict[str, int] = {}
@@ -233,6 +243,16 @@ class SearchIndex:
                 for i in range(max(0, len(words) - n + 1))
             ]
             scoring.update(self._lookup_exact(grams))
+        if splits:
+            for w in pq.words:
+                cands = []
+                for i in range(1, len(w)):
+                    halves = self._lookup_exact([w[:i], w[i:]])
+                    if len(halves) == 2:
+                        cands.append((min(halves.values()), w[:i], w[i:]))
+                cands.sort(key=lambda c: (-c[0], c[1]))
+                for _, left, right in cands[:split_take_n]:
+                    scoring.update(self._lookup_exact([left, right]))
         for pref in pq.prefixes:
             scoring.update(self._expand_prefix(pref))
         for ty in pq.typos:

@@ -165,3 +165,13 @@ def test_driver_execution_rank_identical_to_cluster(feature_index):
              for r in ix.search(k=4, execution="cluster", **kw).collect()]
         assert a == b, (kw, a, b)
     assert ix.search("zzzmissing", k=3, execution="driver").collect() == []
+
+
+def test_word_split_expansion(feature_index):
+    """Q6 word splits: 'newyork' in the query also matches docs containing
+    'new' and 'york' as separate indexed words."""
+    ix, _ = feature_index
+    plain = {r["docid"] for r in ix.search("newyork", k=5).collect()}
+    assert plain == {0}  # only the doc with the concatenated token
+    with_splits = {r["docid"] for r in ix.search("newyork", k=5, splits=True).collect()}
+    assert {0, 1, 2} <= with_splits  # split halves match the two-word docs
