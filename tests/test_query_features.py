@@ -175,3 +175,50 @@ def test_word_split_expansion(feature_index):
     assert plain == {0}  # only the doc with the concatenated token
     with_splits = {r["docid"] for r in ix.search("newyork", k=5, splits=True).collect()}
     assert {0, 1, 2} <= with_splits  # split halves match the two-word docs
+
+
+def test_maxscore_randomized_against_exhaustive(spark, tmp_path):
+    """Adversarial randomized check of the MaxScore pruning bounds: on a
+    random corpus with a skewed vocabulary, every random query must give
+    the same docids and (to 1e-9) scores as exhaustive scoring, for
+    several k, under all three algorithms."""
+    import random
+
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+
+    rng = random.Random(123)
+    vocab_hot = ["the", "of", "and", "data", "page"]
+    vocab_cold = [f"w{i}" for i in range(60)]
+    rows = []
+    for d in range(300):
+        n = rng.randrange(3, 40)
+        words = [
+            rng.choice(vocab_hot) if rng.random() < 0.5 else rng.choice(vocab_cold)
+            for _ in range(n)
+        ]
+        rows.append((d, " ".join(words), "en"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    cfg = IndexConfig(text_col="text", pk_col="doc_id", ts_col=None,
+                      docid_col="doc_id", attr_cols=("lang",),
+                      num_shards=3, num_buckets=2, block_size=8)
+    d = str(tmp_path / "ms_idx")
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    ix = SearchIndex(spark, d)
+
+    def norm(rows):
+        return [(r[0], round(r[1], 9)) for r in rows]
+
+    for trial in range(25):
+        nq = rng.randrange(1, 4)
+        q = " ".join(
+            rng.choice(vocab_hot) if rng.random() < 0.5 else rng.choice(vocab_cold)
+            for _ in range(nq)
+        )
+        k = rng.choice([1, 3, 10, 50])
+        ex = norm(ix.search_list(q, k=k, mode="exhaustive", execution="driver"))
+        ms = norm(ix.search_list(q, k=k, mode="maxscore", execution="driver"))
+        wd = norm(ix.search_list(q, k=k, mode="wand", execution="driver"))
+        assert ms == ex, (trial, q, k, ms[:5], ex[:5])
+        assert wd == ex, (trial, q, k, wd[:5], ex[:5])
