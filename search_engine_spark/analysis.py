@@ -124,6 +124,129 @@ def tokenize_fast(text: str) -> list[str]:
     return toks
 
 
+def tokenize_positions_arrow_batch(texts):
+    """Vectorized tokenize WITH positions for a ``pa.StringArray``.
+
+    Returns ``(flat_tokens, flat_doc_idx, counts, flat_positions)`` such
+    that zipping tokens/positions per doc equals
+    ``tokenize_with_positions(texts[i])`` exactly (property-tested).
+
+    The hard-separator position rule vectorizes via a two-level split:
+
+    1. literal ``#`` (itself a soft separator) is canonicalized to ``-``;
+    2. every separator run CONTAINING a hard separator collapses to one
+       ``#``; remaining (soft) runs collapse to one space;
+    3. split by ``#`` → segments, split segments by space → tokens.
+       With gaps between tokens now exactly one char, position becomes
+       pure index math: ``pos = token_index + (GAP-1) * segment_index``
+       (each hard gap adds GAP where a soft gap adds 1).
+
+    Tokens longer than MAX_WORD_LENGTH advance the position but are not
+    emitted (reference semantics) — they are dropped after position
+    assignment. Non-ASCII or MAX_POSITION-risk docs take the frozen
+    per-doc path.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    texts = pc.fill_null(texts, "")
+    nbytes = pc.binary_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+    ascii_mask = (
+        pc.string_is_ascii(texts).to_numpy(zero_copy_only=False).astype(bool)
+    )
+    fast_mask = ascii_mask & (nbytes < 2 * (MAX_POSITION // HARD_SEPARATOR_GAP))
+
+    counts = np.zeros(n, dtype=np.int64)
+    flats: list = []
+    idxs: list = []
+    poss: list = []
+
+    fast_idx = np.flatnonzero(fast_mask)
+    if len(fast_idx):
+        sub = texts if len(fast_idx) == n else pc.take(texts, pa.array(fast_idx))
+        low = pc.ascii_lower(sub)
+        s0 = pc.replace_substring(low, pattern="#", replacement="-")
+        s0 = pc.replace_substring_regex(
+            s0, pattern=r"^[^a-z0-9]+|[^a-z0-9]+$", replacement=""
+        )
+        hard = '.!?;:\n\r()\\[\\]{}|"'
+        s1 = pc.replace_substring_regex(
+            s0,
+            pattern=f"[^a-z0-9]*[{hard}][^a-z0-9]*",
+            replacement="#",
+        )
+        s2 = pc.replace_substring_regex(
+            s1, pattern="[^a-z0-9#]+", replacement=" "
+        )
+        segs = pc.split_pattern(s2, pattern="#")  # list<str> per doc
+        seg_per_doc = (
+            pc.list_value_length(segs).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        seg_flat = segs.flatten()
+        toks = pc.split_pattern(seg_flat, pattern=" ")  # list<str> per segment
+        tok_per_seg = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = toks.flatten()
+        n_tok = len(flat)
+
+        # doc index of each segment / token
+        seg_doc = np.repeat(np.arange(len(fast_idx)), seg_per_doc)
+        tok_doc = np.repeat(seg_doc, tok_per_seg)
+        # token index within doc (0-based) and segment index within doc
+        doc_tok_counts = np.bincount(tok_doc, minlength=len(fast_idx))
+        doc_starts = np.zeros(len(fast_idx) + 1, dtype=np.int64)
+        np.cumsum(doc_tok_counts, out=doc_starts[1:])
+        tok_i = np.arange(n_tok, dtype=np.int64) - np.repeat(
+            doc_starts[:-1], doc_tok_counts
+        )
+        seg_starts = np.zeros(len(fast_idx) + 1, dtype=np.int64)
+        np.cumsum(seg_per_doc, out=seg_starts[1:])
+        seg_i_global = np.repeat(np.arange(len(seg_flat), dtype=np.int64), tok_per_seg)
+        seg_i = seg_i_global - np.repeat(seg_starts[:-1], doc_tok_counts)
+        positions = tok_i + (HARD_SEPARATOR_GAP - SOFT_SEPARATOR_GAP) * seg_i
+
+        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        bad = (lens == 0) | (lens > MAX_WORD_LENGTH)
+        if bad.any():
+            keep = ~bad
+            drop = np.bincount(tok_doc[bad], minlength=len(fast_idx))
+            flat = flat.filter(pa.array(keep))
+            doc_tok_counts = doc_tok_counts - drop
+            tok_doc = tok_doc[keep]
+            positions = positions[keep]
+        counts[fast_idx] = doc_tok_counts
+        flats.append(flat)
+        idxs.append(fast_idx[tok_doc])
+        poss.append(positions)
+
+    for i in np.flatnonzero(~fast_mask):
+        tp = tokenize_with_positions(texts[i].as_py())
+        counts[i] = len(tp)
+        if tp:
+            flats.append(pa.array([t for t, _ in tp], type=pa.string()))
+            idxs.append(np.full(len(tp), i, dtype=np.int64))
+            poss.append(np.asarray([p for _, p in tp], dtype=np.int64))
+
+    if not flats:
+        return (
+            pa.array([], type=pa.string()),
+            np.empty(0, dtype=np.int64),
+            counts,
+            np.empty(0, dtype=np.int64),
+        )
+    flat_all = (
+        pa.concat_arrays([f.cast(pa.string()) for f in flats])
+        if len(flats) > 1
+        else flats[0].cast(pa.string())
+    )
+    idx_all = np.concatenate(idxs) if len(idxs) > 1 else idxs[0]
+    pos_all = np.concatenate(poss) if len(poss) > 1 else poss[0]
+    return flat_all, idx_all, counts, pos_all
+
+
 def tokenize_arrow_batch(texts):
     """Fully vectorized tokenize of a ``pa.StringArray`` (no positions).
 

@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 
 from search_engine_spark.analysis import (
     tokenize_arrow_batch,
-    tokenize_with_positions,
+    tokenize_positions_arrow_batch,
 )
 from search_engine_spark.codecs import encode_postings
 from search_engine_spark.config import IndexConfig
@@ -326,29 +326,18 @@ def make_extract_fn(config: IndexConfig):
             doc_ids = np.ascontiguousarray(d_raw[order0], dtype=np.int64)
             n_docs_b = len(doc_ids)
 
-            tokens_flat: list[str] = []
-            pos_flat: list[int] = []
-            flat_arrow = None
-            doc_idx_arrow = None
+            texts_sorted = pc.take(
+                batch.column(text_i), pa.array(order0, type=pa.int64())
+            )
             if store_positions:
-                texts_raw = batch.column(text_i).to_pylist()
-                lengths = np.zeros(n_docs_b, dtype=np.int64)
-                for i, src in enumerate(order0):
-                    text = texts_raw[src]
-                    toks = tokenize_with_positions(
-                        text if isinstance(text, str) else ""
-                    )
-                    lengths[i] = len(toks)
-                    for t, p in toks:
-                        tokens_flat.append(t)
-                        pos_flat.append(p)
-            else:
-                texts_sorted = pc.take(
-                    batch.column(text_i), pa.array(order0, type=pa.int64())
+                flat_arrow, doc_idx_arrow, lengths, pos_flat_np = (
+                    tokenize_positions_arrow_batch(texts_sorted)
                 )
+            else:
                 flat_arrow, doc_idx_arrow, lengths = tokenize_arrow_batch(
                     texts_sorted
                 )
+                pos_flat_np = None
 
             if n_docs_b:
                 # doc-length row: every doc in the batch, tokens or not
@@ -379,33 +368,22 @@ def make_extract_fn(config: IndexConfig):
                     )
                 yield pa.RecordBatch.from_arrays(dl_cols, schema=out_schema)
 
+            if len(flat_arrow) == 0:
+                continue
+            # C++ hash interning — the no-Python-strings analogue of
+            # pd.factorize; dictionary strings only materialize once per
+            # distinct term per batch
+            denc = pc.dictionary_encode(flat_arrow)
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq_arr = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+            # (term, doc) grouping key, term-major then docid asc
+            key = codes * n_docs_b + doc_idx_arrow
             if store_positions:
-                if not tokens_flat:
-                    continue
-                doc_idx = np.repeat(np.arange(n_docs_b), lengths)
-                codes, uniques = pd.factorize(
-                    np.asarray(tokens_flat, dtype=object)
-                )
-                uniq_arr = np.asarray(uniques, dtype=object)
-                # (term, doc) grouping key, term-major then docid asc
-                key = codes.astype(np.int64) * n_docs_b + doc_idx
-                pos_arr = np.asarray(pos_flat, dtype=np.int64)
-                order = np.lexsort((pos_arr, key))
+                order = np.lexsort((pos_flat_np, key))
                 key_sorted = key[order]
                 uniq_keys, tf = np.unique(key_sorted, return_counts=True)
-                pos_sorted = pos_arr[order]
+                pos_sorted = pos_flat_np[order]
             else:
-                if len(flat_arrow) == 0:
-                    continue
-                # C++ hash interning — the no-Python-strings analogue of
-                # pd.factorize; dictionary strings only materialize once
-                # per distinct term per batch
-                denc = pc.dictionary_encode(flat_arrow)
-                codes = denc.indices.to_numpy(zero_copy_only=False).astype(
-                    np.int64
-                )
-                uniq_arr = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-                key = codes * n_docs_b + doc_idx_arrow
                 uniq_keys, tf = np.unique(key, return_counts=True)
                 pos_sorted = None
 

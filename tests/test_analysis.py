@@ -106,3 +106,34 @@ def test_tokenize_arrow_batch_matches_reference():
         got = [flat_py[j] for j in np.flatnonzero(doc_idx == i)]
         assert got == want, (i, repr(s), got, want)
         assert counts[i] == len(want)
+
+
+def test_tokenize_positions_arrow_batch_matches_reference():
+    import random
+    import string
+
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_spark.analysis import (
+        tokenize_positions_arrow_batch,
+        tokenize_with_positions,
+    )
+
+    rng = random.Random(31)
+    alphabet = (string.ascii_letters + string.digits
+                + " .,!?;:()[]{}|\"…#\n\r-_éüñЖ中" + "  ..")
+    cases = ["", " ", None, "...", "Hello, World! Bye.", "a#b", "a # b",
+             "a. .b", "x.!y", "a" * 251 + ". ok", ("w. " * 9000) + "end",
+             "ünïcode. hërе", "(a)[b]{c}|d\"e\"", "a\nb\rc", "#", "a#"]
+    for _ in range(400):
+        cases.append("".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 200))))
+    arr = pa.array(cases, type=pa.string())
+    flat, doc_idx, counts, pos = tokenize_positions_arrow_batch(arr)
+    flat_py = flat.to_pylist()
+    for i, s in enumerate(cases):
+        want = tokenize_with_positions(s) if s else []
+        sel = np.flatnonzero(doc_idx == i)
+        got = [(flat_py[j], int(pos[j])) for j in sel]
+        assert got == want, (i, repr(s), got[:6], want[:6])
+        assert counts[i] == len(want)
