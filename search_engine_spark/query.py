@@ -497,6 +497,17 @@ class SearchIndex:
             rows, f"rank int, docid long, pk {pk_t}, score double"
         )
 
+    def fetch_documents(self, results: DataFrame) -> DataFrame:
+        """Join ranked results back to the canonical document snapshot
+        (reference O2 ``obkv_to_json``, ``src/lib.rs:209-234``): returns
+        rank/score plus every stored document column, rank order."""
+        docs = self.spark.read.parquet(self.paths.docs)
+        return (
+            results.select("rank", "docid", "score")
+            .join(docs, "docid", "left")
+            .orderBy("rank")
+        )
+
     # convenience for tests / oracle comparison
     def search_list(self, query: str, k: int = 10, **kw) -> list[tuple[int, float]]:
         rows = self.search(query, k=k, **kw).collect()

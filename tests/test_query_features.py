@@ -222,3 +222,14 @@ def test_maxscore_randomized_against_exhaustive(spark, tmp_path):
         wd = norm(ix.search_list(q, k=k, mode="wand", execution="driver"))
         assert ms == ex, (trial, q, k, ms[:5], ex[:5])
         assert wd == ex, (trial, q, k, wd[:5], ex[:5])
+
+
+def test_fetch_documents_returns_stored_fields(feature_index):
+    ix, _ = feature_index
+    res = ix.search("pizza", k=3)
+    docs = ix.fetch_documents(res).collect()
+    assert [r["rank"] for r in docs] == list(range(1, len(docs) + 1))
+    assert all("pizza" in r["text"] for r in docs)
+    assert {"rank", "docid", "score", "pk", "text", "lang", "rating"} <= set(
+        docs[0].asDict()
+    )
