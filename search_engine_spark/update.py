@@ -52,7 +52,6 @@ from search_engine_spark.build import (
 from search_engine_spark.config import IndexConfig
 from search_engine_spark.index import (
     IndexPaths,
-    parquet_dir_column_sums,
     parquet_dir_rows,
     read_meta,
     staged_write,
@@ -244,13 +243,24 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 
     # rewrite docs + doc_stats (live rows only); latest row per docid wins
     # (append-mode docs/doc_stats never duplicate docids, but be defensive)
+    from pyspark.sql import Observation
+
     t0 = time.time()
     staging, commit = staged_write(paths.docs + ".compact")
     docs_all.write.mode("overwrite").parquet(staging)
     commit()
+    obs = Observation()
+    stats_all = stats_all.observe(
+        obs, F.count(F.lit(1)).alias("rows"), F.sum("dl").alias("dl"),
+        F.max("docid").alias("max_docid"),
+    )
     staging, commit = staged_write(paths.doc_stats + ".compact")
     stats_all.write.mode("overwrite").parquet(staging)
     commit()
+    got = obs.get
+    n_live = int(got["rows"])
+    total_dl = int(got["dl"] or 0)
+    max_docid = int(got["max_docid"] if got["max_docid"] is not None else -1)
     staging, commit = staged_write(paths.term_doc + ".compact")
     td_live.write.mode("overwrite").partitionBy("bucket").parquet(staging)
     commit()
@@ -264,17 +274,19 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     os.replace(paths.term_doc + ".compact", os.path.join(paths.term_doc + ".tmpwrap", "gen=0"))
     os.replace(paths.term_doc + ".tmpwrap", paths.term_doc)
 
-    agg = parquet_dir_column_sums(paths.doc_stats, int_cols=("dl",))
-    avgdl = agg["dl"] / agg["rows"] if agg["rows"] else 0.0
+    avgdl = total_dl / n_live if n_live else 0.0
     td = spark.read.parquet(paths.term_doc)
 
     # dictionary
     terms = terms_agg(td)
     tw = Window.orderBy("term")
     terms = terms.withColumn("term_id", F.row_number().over(tw) - F.lit(1))
+    tobs = Observation()
+    terms = terms.observe(tobs, F.count(F.lit(1)).alias("rows"))
     staging, commit = staged_write(paths.terms + ".compact")
     terms.select("term", "term_id", "df", "cf", "max_tf").write.mode("overwrite").parquet(staging)
     commit()
+    n_terms = int(tobs.get["rows"])
     shutil.rmtree(paths.terms)
     os.makedirs(paths.terms + ".tmpwrap", exist_ok=True)
     os.replace(paths.terms + ".compact", os.path.join(paths.terms + ".tmpwrap", "gen=0"))
@@ -298,16 +310,14 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 
     shutil.rmtree(paths.deletes, ignore_errors=True)
 
-    from search_engine_spark.index import parquet_dir_column_max
-
     meta.update(
-        n_docs=int(agg["rows"]),
+        n_docs=n_live,
         avgdl=float(avgdl),
-        total_dl=int(agg["dl"]),
-        n_terms=int(parquet_dir_rows(paths.terms)),
+        total_dl=total_dl,
+        n_terms=n_terms,
         n_deleted=0,
-        max_docid=int(parquet_dir_column_max(paths.doc_stats, "docid") or -1),
-        generations={"0": {"avgdl": float(avgdl), "n_docs": int(agg["rows"])}},
+        max_docid=max_docid,
+        generations={"0": {"avgdl": float(avgdl), "n_docs": n_live}},
         compacted_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         compact_wall_s=round(time.time() - t0, 2),
     )
