@@ -1,0 +1,64 @@
+"""Structured Streaming ingestion (streaming.index_stream): micro-batches
+become segment generations; drain-and-stop with availableNow; compaction
+threshold folds generations back to one."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+
+
+def test_stream_ingest_into_index(spark, tmp_path):
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.index import IndexPaths, read_meta
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.streaming import index_stream
+
+    # seed index
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                      attr_cols=("lang",), num_shards=2, num_buckets=2)
+    idx = str(tmp_path / "idx")
+    seed = pd.DataFrame([("s0", "alpha beta gamma", "en")],
+                        columns=["url", "text", "lang"])
+    build_index(spark, spark.createDataFrame(seed), idx, cfg)
+
+    # a file-source stream: two json files = (at least) one micro-batch each
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [{"url": "d1", "text": "delta epsilon", "lang": "en"}]
+    rows2 = [{"url": "d2", "text": "zeta eta theta", "lang": "de"},
+             {"url": "d3", "text": "delta theta", "lang": "en"}]
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for r in rows1:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(src, "b.json"), "w") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("url string, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = index_stream(stream, idx, ckpt, compact_every=100,
+                     trigger_available_now=True)
+    q.awaitTermination(120)
+
+    meta = read_meta(IndexPaths(idx))
+    assert meta["n_docs"] == 4
+    assert len(meta["generations"]) >= 2  # seed + >=1 streamed generation
+
+    ix = SearchIndex(spark, idx)
+    assert [p for p, _ in ((r["pk"], r["score"])
+            for r in ix.search("epsilon", k=5).collect())] == ["d1"]
+    hits = {r["pk"] for r in ix.search("theta", k=5).collect()}
+    assert hits == {"d2", "d3"}
+    # exactly-once under restart: re-running the drained stream adds nothing
+    q2 = index_stream(stream, idx, ckpt, trigger_available_now=True)
+    q2.awaitTermination(120)
+    assert read_meta(IndexPaths(idx))["n_docs"] == 4
+
+    shutil.rmtree(ckpt, ignore_errors=True)
