@@ -3,6 +3,7 @@ hybrid merge (K12)."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -233,3 +234,33 @@ def test_fetch_documents_returns_stored_fields(feature_index):
     assert {"rank", "docid", "score", "pk", "text", "lang", "rating"} <= set(
         docs[0].asDict()
     )
+
+
+def test_text_from_html_byte_identical(spark):
+    """The extraction invariant: text extracted from the html column equals
+    the ground-truth text column byte-for-byte, per url."""
+    from search_engine_spark.corpus import generate_pages
+    from search_engine_spark.sources import text_from_html
+
+    pdf = generate_pages(n_docs=50, seed=9)
+    df = spark.createDataFrame(pdf).withColumnRenamed("text", "want")
+    got = text_from_html(df, out_col="text")
+    bad = got.filter(F.col("want") != F.col("text")).count()
+    assert bad == 0
+    # entities + scripts + nesting
+    rows = [("u1", b"<html><script>var x=1;</script><body>A &amp; B<!-- c --> <b>ok</b></body></html>")]
+    one = text_from_html(spark.createDataFrame(rows, "url string, html binary"))
+    assert one.collect()[0]["text"] == "A & B ok"
+
+
+def test_highlight_crop(spark):
+    from search_engine_spark.sources import highlight_crop
+
+    rows = [(1, "x " * 50 + "the needle word here " + "y " * 50)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = highlight_crop(df, ["needle"], crop_length=40).collect()[0]["snippet"]
+    assert "<em>needle</em>" in out
+    assert out.startswith("…") and out.endswith("…")
+    assert len(out) <= 42
+    full = highlight_crop(df, ["needle"]).collect()[0]["snippet"]
+    assert "<em>needle</em>" in full and len(full) > 100
