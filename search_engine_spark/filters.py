@@ -40,7 +40,12 @@ def _field_col(name: str, norm: bool) -> Column:
 
 
 def _condition(field: str, op: str, value, norm_strings: bool) -> Column:
-    norm = norm_strings and isinstance(value, str)
+    if op in ("$in", "$between"):
+        # element-wise ops normalize like the $eq they expand to (reference
+        # F4: IN = union of normalized equals, filter.rs:373-392)
+        norm = norm_strings and any(isinstance(x, str) for x in value)
+    else:
+        norm = norm_strings and isinstance(value, str)
     c = _field_col(field, norm)
     v = _norm_value(value) if norm_strings else value
     if op == "$eq":
@@ -61,7 +66,7 @@ def _condition(field: str, op: str, value, norm_strings: bool) -> Column:
         return c.between(F.lit(_norm_value(lo) if norm_strings else lo),
                          F.lit(_norm_value(hi) if norm_strings else hi))
     if op == "$in":
-        vals = [_norm_value(x) if norm_strings else x for x in value]
+        vals = [_norm_value(x) if norm else x for x in value]
         return c.isin(vals)
     if op == "$exists":
         return c.isNotNull() if value else c.isNull()
@@ -90,7 +95,10 @@ def to_column(ast, norm_strings: bool = True) -> Column:
         elif key == "$or":
             cols.append(_fold(val, lambda a, b: a | b, norm_strings))
         elif key == "$not":
-            cols.append(~to_column(val, norm_strings))
+            # reference NOT = all_docs − matching (filter.rs:487-513):
+            # docs where the inner predicate is NULL (missing field) are
+            # NOT matching, so they survive the negation
+            cols.append(~F.coalesce(to_column(val, norm_strings), F.lit(False)))
         elif isinstance(val, dict):
             for op, v in val.items():
                 cols.append(_condition(key, op, v, norm_strings))
