@@ -400,3 +400,43 @@ def _live_stats(spark: SparkSession, paths: IndexPaths) -> tuple[int, float, int
 def _rewrite_meta(paths: IndexPaths, config: IndexConfig, meta: dict):
     scalars = {k: v for k, v in meta.items() if k != "config"}
     write_meta(paths, config, scalars)
+
+
+def reindex(spark: SparkSession, index_dir: str, new_config: IndexConfig) -> dict:
+    """Settings change -> full rebuild from the canonical document store
+    (reference T8 ``Settings::execute`` + ``reindex``,
+    ``src/update/settings.rs:865+``): the docs snapshot is re-extracted
+    under ``new_config`` (block size, shards/buckets, positions flag, BM25
+    params, attr set) without touching the original input. docids are
+    preserved (the snapshot already carries them), so external references
+    stay valid across the settings change — same guarantee the reference's
+    in-place reindex gives.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from search_engine_spark.build import build_index
+
+    paths, meta, _old = _load(spark, index_dir)
+    docs = spark.read.parquet(paths.docs)
+    deleted = _deleted_df(spark, paths)
+    if deleted is not None:
+        docs = docs.join(deleted, "docid", "left_anti")
+
+    cfg = IndexConfig.from_dict(
+        {**new_config.to_dict(), "pk_col": "pk", "text_col": "text",
+         "ts_col": None, "docid_col": "docid"}
+    )
+    staging = tempfile.mkdtemp(prefix="reindex-", dir=os.path.dirname(index_dir.rstrip("/")) or ".")
+    try:
+        build_index(spark, docs, staging, cfg)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    old = index_dir.rstrip("/") + ".pre-reindex"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(index_dir, old)
+    os.replace(staging, index_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return read_meta(IndexPaths(index_dir))

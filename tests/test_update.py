@@ -120,3 +120,31 @@ def test_compact_equals_clean_rebuild(spark, small_index, tmp_path):
         assert a == b, (q, a, b)
         assert _pk_results(ix, q, mode="wand") == a
     shutil.rmtree(clean_dir, ignore_errors=True)
+
+
+def test_reindex_with_new_settings(spark, small_index):
+    """T8: settings change triggers a rebuild from the document store;
+    docids survive, results identical modulo the changed setting."""
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import reindex
+
+    before = SearchIndex(spark, small_index)
+    ranked_before = _pk_results(before, "spark query")
+    ids_before = {r["pk"]: r["docid"]
+                  for r in spark.read.parquet(small_index + "/docs")
+                  .select("pk", "docid").collect()}
+
+    new_cfg = IndexConfig(attr_cols=("lang",), num_shards=3, num_buckets=4,
+                          block_size=2, store_positions=True)
+    meta = reindex(spark, small_index, new_cfg)
+    assert meta["config"]["num_buckets"] == 4
+
+    after = SearchIndex(spark, small_index)
+    assert _pk_results(after, "spark query") == ranked_before
+    ids_after = {r["pk"]: r["docid"]
+                 for r in spark.read.parquet(small_index + "/docs")
+                 .select("pk", "docid").collect()}
+    assert ids_after == ids_before
+    # phrase works because the new settings store positions
+    assert after.search('"spark index"', k=5).collect()
