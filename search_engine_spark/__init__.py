@@ -11,9 +11,13 @@ Apache Spark DataFrames:
                    repartition-by-term, per-stage checkpoints, metrics
 * ``update``     — incremental upsert/delete as segment generations +
                    tombstones, compaction = segment merge (reference T1-T4)
-* ``query``      — BM25 top-k: per-shard scoring (vectorized exhaustive or
-                   block-max WAND) + global top-k merge; phrase, prefix,
-                   negation, typo expansion
+* ``query``      — BM25 top-k: per-shard scoring (vectorized block-max
+                   MaxScore default, heap WAND parity path, exhaustive) +
+                   global top-k merge, driver point-read path for small
+                   slices; phrase, prefix, negation, synonyms, ngrams,
+                   splits, match-all, typo expansion, hybrid fusion
+* ``session``    — allocator env + recommended Spark conf (load-bearing
+                   for many-worker scaling; see its docstring)
 * ``filters``    — MongoDB-ish filter AST -> Spark Column (reference F1-F7)
 * ``facets``     — facet distribution / facet value search (FD1-FD2)
 * ``oracle``     — single-process pure-Python reference implementation used
@@ -25,5 +29,32 @@ Apache Spark DataFrames:
 
 from search_engine_spark.config import IndexConfig
 
-__all__ = ["IndexConfig"]
+
+def __getattr__(name):
+    # lazy convenience re-exports (keep `import search_engine_spark` free of
+    # a pyspark import so packaging/tooling can introspect the version)
+    lazy = {
+        "build_index": ("search_engine_spark.build", "build_index"),
+        "SearchIndex": ("search_engine_spark.query", "SearchIndex"),
+        "hybrid_search": ("search_engine_spark.query", "hybrid_search"),
+        "add_documents": ("search_engine_spark.update", "add_documents"),
+        "delete_documents": ("search_engine_spark.update", "delete_documents"),
+        "compact": ("search_engine_spark.update", "compact"),
+        "reindex": ("search_engine_spark.update", "reindex"),
+        "build_session": ("search_engine_spark.session", "build_session"),
+        "apply_runtime_env": ("search_engine_spark.session", "apply_runtime_env"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "IndexConfig", "build_index", "SearchIndex", "hybrid_search",
+    "add_documents", "delete_documents", "compact", "reindex",
+    "build_session", "apply_runtime_env",
+]
 __version__ = "0.1.0"
