@@ -411,7 +411,7 @@ stats AS (
   LEFT JOIN (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1) t USING (doc_id)
 ),
 dict AS (
-  SELECT term, count(*) AS df, sum(tf) AS cf, max(tf) AS max_tf
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf, max(tf) AS max_tf
   FROM tdoc GROUP BY 1
 ),
 corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM stats)
@@ -473,7 +473,7 @@ bits AS (
 ),
 sh AS (
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
   FROM bits GROUP BY 1
 )
 """
@@ -750,7 +750,7 @@ ORDER BY sim DESC, e.vec_id LIMIT 10
 WITH {_TOKS},
 agg AS (
   SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq,
-         sum(length(term)) AS n_chars_tok
+         CAST(sum(length(term)) AS BIGINT) AS n_chars_tok
   FROM toks GROUP BY 1
 )
 SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,

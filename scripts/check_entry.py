@@ -58,6 +58,18 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            # The driver hashes *typed* values: an int64 Spark column vs a
+            # HUGEINT/float oracle column hash-mismatches even when the
+            # numbers are equal. Mirror that strictness here.
+            ak = "f" if np.issubdtype(av.dtype, np.floating) else (
+                "i" if np.issubdtype(av.dtype, np.integer) else "o")
+            bk = "f" if np.issubdtype(bv.dtype, np.floating) else (
+                "i" if np.issubdtype(bv.dtype, np.integer) else "o")
+            if ak != bk:
+                problems.append(
+                    f"col {c}: numeric-kind mismatch spark={av.dtype} duck={bv.dtype} "
+                    f"(driver hashes typed values — CAST the oracle column)"
+                )
             if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
                 bad = ~np.isclose(
                     av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True

@@ -746,7 +746,17 @@ def build_index(
         # interleaves their tasks. Extract consumes `docs` directly —
         # skipping the parquet round-trip AND the repartition shuffle (the
         # cache is already n_parts range partitions sized to the cluster).
-        run_extract_fused = not log.done("extract") and fail_after != "docs"
+        # Fusion is ONLY safe over the pinned cache built by
+        # dedupe_and_rank: in the docid_col branch there is no persist, so
+        # the two forked jobs would independently recompute
+        # _dedupe_last_write_wins (nondeterministic for duplicate pks) and
+        # the committed docs snapshot could disagree with the postings on
+        # which duplicate won. There, write docs first and let the
+        # standalone extract stage read the committed parquet.
+        run_extract_fused = (
+            not log.done("extract") and fail_after != "docs"
+            and config.docid_col is None
+        )
 
         def _write_docs():
             docs.write.mode("overwrite").parquet(staging)
@@ -777,6 +787,24 @@ def build_index(
                 f"max_docid={max_docid}, expected n_docs={n_docs} — the "
                 "cached sorted run was likely evicted and resampled; re-run"
             )
+        if n_docs is not None:
+            # count+max alone is NOT airtight: a cache-evicted/resampled run
+            # whose per-partition counts shift (e.g. [2,2,2] -> [3,1,2])
+            # yields duplicate docids plus a gap with the total count and
+            # max unchanged. n distinct non-negative values with
+            # max == n-1 and count == n IS exactly {0..n-1}, so verify
+            # distinctness against the COMMITTED parquet (column-pruned
+            # scan of the docid column — one cheap extra job).
+            n_distinct = (
+                spark.read.parquet(paths.docs)
+                .agg(F.count_distinct("docid").alias("d")).collect()[0]["d"]
+            )
+            if n_distinct != n_docs:
+                raise BuildError(
+                    f"docs stage integrity check failed: {n_distinct} distinct "
+                    f"docids for {n_docs} rows — duplicate docids from a "
+                    "resampled cache; re-run the build"
+                )
         n_docs = written
         log.commit("docs", inputs={"source": "caller DataFrame"},
                    metrics={"n_docs": n_docs, "max_docid": max_docid},

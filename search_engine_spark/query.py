@@ -384,6 +384,12 @@ class SearchIndex:
             | {w for ph in plan.phrases for w in ph}
         )
 
+        if execution == "driver" and filter_ast is not None:
+            raise ValueError(
+                "execution='driver' cannot be combined with filter_ast: the "
+                "driver point-read path has no attribute store; use "
+                "execution='cluster' or 'auto' for filtered search"
+            )
         if execution != "cluster" and filter_ast is None:
             dfs = self._lookup_exact(all_terms)
             small = sum(dfs.values()) <= self.driver_exec_max_postings
@@ -573,31 +579,40 @@ def hybrid_search(
     from search_engine_spark.pipelines.similarity import cosine_topk
 
     pool = pool or 3 * k
-    kw = ix.search(query, k=pool).select(
+    # Each retriever is a top-k job whose result is k-bounded (pool rows,
+    # default 30) — driver-sized by construction. Collect each pool ONCE and
+    # fuse driver-side: the previous plan ran `.agg(max).collect()` for the
+    # normalizers and then re-executed both retrievers inside the join, so
+    # the full BM25 search job ran twice per hybrid query.
+    kw_rows = ix.search(query, k=pool).select(
         "docid", F.col("score").alias("kw")
+    ).collect()
+    sem_rows = cosine_topk(
+        emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias("docid"), F.col("sim").alias("sem")).collect()
+
+    # BM25 scores are >= 0: clamp the divisor so an empty/all-zero pool
+    # normalizes to 0 instead of dividing by 0.
+    kw_den = max(max((r["kw"] for r in kw_rows), default=0.0), 1e-9)
+    # Cosine can be negative. Divide by max(sim) as long as it is positive
+    # (matches the reference-oracle normalization); if every pooled sim is
+    # <= 0, dividing by a negative max would INVERT the semantic ordering —
+    # fall back to max|sim| so order is preserved and scores stay in [-1, 0].
+    sem_max = max((r["sem"] for r in sem_rows), default=0.0)
+    sem_den = sem_max if sem_max > 0 else max(
+        max((abs(r["sem"]) for r in sem_rows), default=0.0), 1e-9
     )
-    sem = cosine_topk(emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col).select(
-        F.col("vec_id").alias("docid"), F.col("sim").alias("sem")
-    )
-    kw_max = kw.agg(F.max("kw")).collect()[0][0] or 1.0
-    sem_max = sem.agg(F.max("sem")).collect()[0][0] or 1.0
-    fused = (
-        kw.join(sem, "docid", "full_outer")
-        .select(
-            "docid",
-            (
-                F.lit(semantic_ratio) * F.coalesce(F.col("sem") / sem_max, F.lit(0.0))
-                + F.lit(1.0 - semantic_ratio)
-                * F.coalesce(F.col("kw") / kw_max, F.lit(0.0))
-            ).alias("score"),
+    scores: dict[int, float] = {}
+    for r in kw_rows:
+        scores[r["docid"]] = (1.0 - semantic_ratio) * r["kw"] / kw_den
+    for r in sem_rows:
+        scores[r["docid"]] = (
+            scores.get(r["docid"], 0.0) + semantic_ratio * r["sem"] / sem_den
         )
-    )
-    w = Window.orderBy(F.col("score").desc(), F.col("docid").asc())
-    return (
-        fused.orderBy(F.col("score").desc(), F.col("docid").asc())
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w))
-        .select("rank", "docid", "score")
+    top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+    return ix.spark.createDataFrame(
+        [(i + 1, int(d), float(s)) for i, (d, s) in enumerate(top)],
+        "rank int, docid long, score double",
     )
 
 
