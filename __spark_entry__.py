@@ -192,6 +192,28 @@ def _q_bm25_word_split(spark, sf_dir):
     return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
 
 
+def _q_bm25_typo_penalty(spark, sf_dir):
+    """Reference K3 TypoRule (ranking/typo.rs): typo-derived terms score
+    TYPO_PENALTY**distance * idf, so exact matches outrank 1-typo matches."""
+    return _bm25_df(spark, sf_dir, "tabl~", mode="exhaustive")
+
+
+def _q_bm25_prefix_rank(spark, sf_dir):
+    """Reference K6 ExactnessRule analogue for prefixes: prefix-derived
+    terms score PREFIX_PENALTY * idf (the exact term itself keeps 1.0)."""
+    return _bm25_df(spark, sf_dir, "sc*", mode="exhaustive")
+
+
+def _q_bm25_proximity(spark, sf_dir):
+    """Reference K4 ProximityRule (ranking/proximity.rs:16-227): each
+    consecutive query word pair adds prox_weight/minprox (minprox <= 7,
+    reference asymmetric distance) to the BM25 score, so docs with the
+    words near each other outrank docs with them far apart."""
+    idx = _index(spark, sf_dir)
+    res = idx.search("table join", k=10, mode="exhaustive", proximity=1.0)
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
 def _q_hybrid_rank(spark, sf_dir):
     """Reference K12 hybrid.rs: ratio-weighted keyword+semantic merge."""
     from search_engine_spark.query import hybrid_search
@@ -362,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_match_all": _q_bm25_match_all,
         "bm25_word_split": _q_bm25_word_split,
+        "bm25_typo_penalty": _q_bm25_typo_penalty,
+        "bm25_prefix_rank": _q_bm25_prefix_rank,
+        "bm25_proximity": _q_bm25_proximity,
         "hybrid_rank": _q_hybrid_rank,
         "sort_by_attr": _q_sort_by_attr,
         # filters + facets (§2.5/§2.9)
@@ -418,14 +443,26 @@ corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM stats)
 """
 
 
-def _bm25_sql(terms: list[str], where: str = "TRUE", k: int = 10,
-              having: str = "TRUE") -> str:
+def _bm25_sql(terms: "list[str] | dict[str, float]", where: str = "TRUE",
+              k: int = 10, having: str = "TRUE") -> str:
+    """``terms`` may be a list (every term weighted 1.0) or a dict
+    term -> derivation-penalty multiplier (config.py K3/K6 penalties —
+    derived terms score penalty * idf, mirroring SearchIndex.plan)."""
+    if not isinstance(terms, dict):
+        terms = {t: 1.0 for t in terms}
     tl = ", ".join(f"'{t}'" for t in terms)
+    if all(w == 1.0 for w in terms.values()):
+        wexpr = "1.0"
+    else:
+        cases = " ".join(
+            f"WHEN '{t}' THEN {w!r}" for t, w in sorted(terms.items())
+        )
+        wexpr = f"(CASE td.term {cases} ELSE 1.0 END)"
     return f"""
 WITH {_TOKS},
 scores AS (
   SELECT td.doc_id,
-         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+         sum( {wexpr} * ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
               * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
   FROM tdoc td
   JOIN dict di USING (term)
@@ -545,11 +582,93 @@ SELECT rank, docid, score FROM (
         ["table", "join"],
         where="td.doc_id NOT IN (SELECT doc_id FROM tdoc WHERE term = 'merge')",
     )
-    sql["bm25_synonyms"] = _bm25_sql(["merge", "join"])
+    # synonym-derived 'join' carries SYNONYM_PENALTY=0.5 (config.py)
+    sql["bm25_synonyms"] = _bm25_sql({"merge": 1.0, "join": 0.5})
     sql["bm25_match_all"] = _bm25_sql(
         ["table", "join", "merge"], having="count(DISTINCT td.term) = 3"
     )
-    sql["bm25_word_split"] = _bm25_sql(["table", "join"])
+    # both halves of the split are derived terms: SPLIT_PENALTY=0.5 each
+    sql["bm25_word_split"] = _bm25_sql({"table": 0.5, "join": 0.5})
+    # typo expansion of 'tabl' (budget 1): candidates ranked (dist, term),
+    # capped at 20, each weighted TYPO_PENALTY**dist — mirrors
+    # SearchIndex.plan + _expand_typo exactly (config.py frozen penalties)
+    sql["bm25_typo_penalty"] = f"""
+WITH {_TOKS},
+cand AS (
+  SELECT term, levenshtein(term, 'tabl') AS dist
+  FROM dict
+  WHERE abs(length(term) - 4) <= 1 AND levenshtein(term, 'tabl') <= 1
+  ORDER BY dist, term LIMIT 20
+),
+scores AS (
+  SELECT td.doc_id,
+         sum( power(0.5, cd.dist)
+              * ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td
+  JOIN cand cd USING (term)
+  JOIN dict di USING (term)
+  JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  GROUP BY td.doc_id
+)
+SELECT doc_id AS docid, round(score, {SCORE_ROUND}) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # prefix expansion of 'sc': every dict term LIKE 'sc%' weighted
+    # PREFIX_PENALTY=0.8 (the bare term 'sc' itself, if indexed, keeps 1.0)
+    sql["bm25_prefix_rank"] = f"""
+WITH {_TOKS},
+cand AS (
+  SELECT term, CASE WHEN term = 'sc' THEN 1.0 ELSE 0.8 END AS w
+  FROM dict WHERE term LIKE 'sc%'
+),
+scores AS (
+  SELECT td.doc_id,
+         sum( cd.w * ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td
+  JOIN cand cd USING (term)
+  JOIN dict di USING (term)
+  JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  GROUP BY td.doc_id
+)
+SELECT doc_id AS docid, round(score, {SCORE_ROUND}) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # proximity: min over occurrence pairs of the reference's asymmetric
+    # distance (forward pb-pa, backward pa-pb+1), bonus 1/minprox if <= 7
+    sql["bm25_proximity"] = f"""
+WITH {_TOKS},
+prox AS (
+  SELECT ta.doc_id,
+         min(CASE WHEN tb.pos > ta.pos THEN tb.pos - ta.pos
+                  ELSE ta.pos - tb.pos + 1 END) AS mp
+  FROM toks ta JOIN toks tb ON ta.doc_id = tb.doc_id
+  WHERE ta.term = 'table' AND tb.term = 'join'
+  GROUP BY 1
+),
+scores AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td
+  JOIN dict di USING (term)
+  JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN ('table', 'join')
+  GROUP BY td.doc_id
+)
+SELECT sc.doc_id AS docid,
+       round(sc.score + coalesce(CASE WHEN p.mp <= 7 THEN 1.0 / greatest(p.mp, 1) END, 0.0),
+             {SCORE_ROUND}) AS score
+FROM scores sc LEFT JOIN prox p ON p.doc_id = sc.doc_id
+ORDER BY score DESC, docid LIMIT 10
+"""
+
     sql["hybrid_rank"] = f"""
 WITH {_TOKS},
 kwscore AS (

@@ -31,6 +31,21 @@ TYPO_ONE_MIN_LEN = 4
 TYPO_TWO_MIN_LEN = 7
 TYPO_MAX_EXPANSIONS = 20
 
+# Derivation penalties (reference K3 TypoRule ``src/search/ranking/typo.rs``
+# + K6 ExactnessRule ``src/search/ranking/exactness.rs:16-95`` analogues,
+# folded into BM25 term weights): a derived scoring term contributes
+# ``penalty * idf`` instead of full idf, so documents matching the exact
+# query words outrank documents reached only through typo / prefix /
+# synonym / split / ngram derivations — the reference expresses the same
+# preference as rank buckets (exact > 1-typo > 2-typo; exact > derived).
+# FROZEN: the single-process oracle and every DuckDB oracle SQL entry
+# mirror these numbers exactly (rank-identity gate).
+TYPO_PENALTY = 0.5      # per edit distance: weight = idf * 0.5**distance
+PREFIX_PENALTY = 0.8    # prefix-derived term; the exact term itself stays 1.0
+SYNONYM_PENALTY = 0.5   # reference costs synonym like a one-typo word
+NGRAM_PENALTY = 0.5     # reference query_graph.rs gives ngrams typo-cost 1
+SPLIT_PENALTY = 0.5
+
 # prefix materialization — reference src/update/words_prefixes_fst.rs:17-18
 PREFIX_MAX_LEN = 4
 PREFIX_MIN_WORDS = 100

@@ -25,8 +25,18 @@ from dataclasses import dataclass, field
 import pandas as pd
 
 from search_engine_spark.analysis import tokenize_with_positions
-from search_engine_spark.config import BM25_B, BM25_K1
-from search_engine_spark.query_parse import ParsedQuery, parse_query, typo_candidates
+from search_engine_spark.config import (
+    BM25_B,
+    BM25_K1,
+    PREFIX_PENALTY,
+    TYPO_PENALTY,
+)
+from search_engine_spark.query_parse import (
+    ParsedQuery,
+    levenshtein,
+    parse_query,
+    typo_candidates,
+)
 
 
 @dataclass
@@ -123,11 +133,24 @@ def _expand_prefix(idx: OracleIndex, prefix: str) -> list[str]:
     return sorted(t for t in idx.postings if t.startswith(prefix))
 
 
+def _min_prox(pa: list[int], pb: list[int]) -> float:
+    """Reference asymmetric word distance (``src/proximity.rs:7-15``):
+    min over occurrence pairs of (pb - pa) forward, (pa - pb + 1) backward,
+    clamped to >= 1."""
+    best = float("inf")
+    for x in pa:
+        for y in pb:
+            d = (y - x) if y > x else (x - y + 1)
+            best = min(best, d)
+    return max(best, 1.0)
+
+
 def oracle_search(
     idx: OracleIndex,
     query: str,
     k: int = 10,
     allowed_docids: set[int] | None = None,
+    prox_weight: float = 0.0,
 ) -> list[tuple[int, float]]:
     """-> [(docid, score)] top-k, ties (score desc, docid asc).
 
@@ -139,36 +162,37 @@ def oracle_search(
     """
     pq: ParsedQuery = parse_query(query)
 
-    # scoring terms: words + phrase members + expansions
+    # scoring terms: words + phrase members + expansions. Derived terms
+    # carry the frozen derivation penalties (config.py, reference K3/K6
+    # analogue); a term reachable both exactly and derived keeps the
+    # larger weight — mirrors SearchIndex.plan exactly.
     term_weights: list[tuple[str, float]] = []
     candidate_docs: set[int] = set()
 
-    def add_scoring_term(t: str):
+    weight_of: dict[str, float] = {}
+
+    def add_scoring_term(t: str, penalty: float = 1.0):
         if idx.df(t) == 0:
             return
-        term_weights.append((t, idx.idf(t)))
+        w = idx.idf(t) * penalty
+        if t in weight_of:
+            weight_of[t] = max(weight_of[t], w)
+            return
+        weight_of[t] = w
         candidate_docs.update(idx.postings[t])
 
-    seen: set[str] = set()
     for w in pq.words:
-        if w not in seen:
-            seen.add(w)
-            add_scoring_term(w)
+        add_scoring_term(w)
     for pref in pq.prefixes:
         for t in _expand_prefix(idx, pref):
-            if t not in seen:
-                seen.add(t)
-                add_scoring_term(t)
+            add_scoring_term(t, 1.0 if t == pref else PREFIX_PENALTY)
     for ty in pq.typos:
         for t in typo_candidates(ty, idx.postings.keys()):
-            if t not in seen:
-                seen.add(t)
-                add_scoring_term(t)
+            add_scoring_term(t, TYPO_PENALTY ** levenshtein(ty, t, cap=3))
     for ph in pq.phrases:
         for w in ph:
-            if w not in seen:
-                seen.add(w)
-                add_scoring_term(w)
+            add_scoring_term(w)
+    term_weights = sorted(weight_of.items())
 
     # phrase constraint: candidates must contain every phrase adjacently
     # (phrase terms are scoring terms, so phrase docs ⊆ current candidates)
@@ -183,6 +207,28 @@ def oracle_search(
     if allowed_docids is not None:
         candidate_docs &= allowed_docids
 
-    scored = [(d, _bm25_score(idx, term_weights, d)) for d in candidate_docs]
+    # proximity bonus (reference K4, frozen spec shared with QueryPlan):
+    # consecutive query word pairs (exact words, a != b, both indexed) add
+    # prox_weight / minprox when minprox <= 7
+    prox_pairs: list[tuple[str, str]] = []
+    if prox_weight:
+        prox_pairs = [
+            (a, b)
+            for a, b in zip(pq.words, pq.words[1:])
+            if a != b and idx.df(a) and idx.df(b)
+        ]
+
+    def total_score(d: int) -> float:
+        s = _bm25_score(idx, term_weights, d)
+        for a, b in prox_pairs:
+            pa = idx.positions.get(a, {}).get(d)
+            pb = idx.positions.get(b, {}).get(d)
+            if pa and pb:
+                mp = _min_prox(pa, pb)
+                if mp <= 7:
+                    s += prox_weight / mp
+        return s
+
+    scored = [(d, total_score(d)) for d in candidate_docs]
     scored.sort(key=lambda x: (-x[1], x[0]))
     return scored[:k]

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import heapq
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field as dc_field
 
 import numpy as np
 import pandas as pd
@@ -43,8 +43,16 @@ from search_engine_spark.codecs import PostingReader
 from search_engine_spark.config import IndexConfig
 from search_engine_spark.filters import to_column
 from search_engine_spark.index import IndexPaths, read_meta, term_bucket
+from search_engine_spark.config import (
+    NGRAM_PENALTY,
+    PREFIX_PENALTY,
+    SPLIT_PENALTY,
+    SYNONYM_PENALTY,
+    TYPO_PENALTY,
+)
 from search_engine_spark.query_parse import (
     ParsedQuery,
+    levenshtein,
     max_typos_for,
     parse_query,
     typo_candidates,
@@ -62,18 +70,19 @@ def _pick_algo(mode: str, plan: "QueryPlan", has_filter: bool) -> str:
     """mode -> scoring algorithm. 'auto' prefers vectorized block-max
     MaxScore (rank-identical, batch-friendly); 'wand' keeps the classic
     per-posting heap WAND (north-rule parity path); both silently fall
-    back to exhaustive for phrases/negation/filter/match_all inside the
-    scorer."""
+    back to exhaustive for phrases/negation/filter/match_all/proximity
+    inside the scorer."""
     if mode in ("wand", "maxscore", "exhaustive"):
         return mode
-    if plan.phrases or plan.negated or has_filter or plan.match_all:
+    if (plan.phrases or plan.negated or has_filter or plan.match_all
+            or plan.prox_pairs):
         return "exhaustive"
     return "maxscore"
 
 
 @dataclass
 class QueryPlan:
-    term_weights: dict[str, float]  # scoring term -> idf
+    term_weights: dict[str, float]  # scoring term -> idf * derivation penalty
     phrases: list[list[str]]
     negated: list[str]
     k: int
@@ -83,6 +92,16 @@ class QueryPlan:
     # OR-grouped; we apply it over the flat scoring-term set, so use it
     # with exact-word plans (no prefix/typo expansion).
     match_all: bool = False
+    # Proximity ranking (reference K4 ProximityRule,
+    # ``src/search/ranking/proximity.rs:16-227`` + ``src/proximity.rs:7-15``):
+    # consecutive original-query word pairs; each pair adds
+    # ``prox_weight / minprox`` to the doc's BM25 score when the pair's
+    # minimum proximity (reference distance: pb-pa forward, pa-pb+1
+    # backward, over all occurrence pairs) is <= 7, else nothing — so
+    # "new york" adjacent outranks "new ... york" 500 words apart.
+    # FROZEN spec, mirrored by the oracle + DuckDB SQL.
+    prox_pairs: list[tuple[str, str]] = dc_field(default_factory=list)
+    prox_weight: float = 0.0
 
 
 class SearchIndex:
@@ -212,6 +231,7 @@ class SearchIndex:
         splits: bool = False,
         split_take_n: int = 4,
         match_all: bool = False,
+        proximity: float = 0.0,
     ) -> QueryPlan:
         """Query plan: exact/prefix/typo lookups plus optional derivations.
 
@@ -231,10 +251,25 @@ class SearchIndex:
         """
         pq: ParsedQuery = parse_query(query)
         scoring: dict[str, int] = {}
-        scoring.update(self._lookup_exact(pq.all_scoring_words()))
+        # per-term derivation penalty (reference K3/K6 analogue, see
+        # config.py): exact query words carry 1.0; derived terms carry the
+        # frozen penalty for their derivation route. A term reachable by
+        # several routes keeps the LARGEST weight (exact beats derived).
+        penalty: dict[str, float] = {}
+
+        def add(stats: dict[str, int], pen: float):
+            for t, df in stats.items():
+                scoring[t] = df
+                if pen > penalty.get(t, 0.0):
+                    penalty[t] = pen
+
+        add(self._lookup_exact(pq.all_scoring_words()), 1.0)
         if synonyms:
             syn = [s for w in pq.words for s in synonyms.get(w, ())]
-            scoring.update(self._lookup_exact([t for s in syn for t in s.split()]))
+            add(
+                self._lookup_exact([t for s in syn for t in s.split()]),
+                SYNONYM_PENALTY,
+            )
         if ngrams:
             words = pq.words
             grams = [
@@ -242,7 +277,7 @@ class SearchIndex:
                 for n in (2, 3)
                 for i in range(max(0, len(words) - n + 1))
             ]
-            scoring.update(self._lookup_exact(grams))
+            add(self._lookup_exact(grams), NGRAM_PENALTY)
         if splits:
             for w in pq.words:
                 cands = []
@@ -252,15 +287,36 @@ class SearchIndex:
                         cands.append((min(halves.values()), w[:i], w[i:]))
                 cands.sort(key=lambda c: (-c[0], c[1]))
                 for _, left, right in cands[:split_take_n]:
-                    scoring.update(self._lookup_exact([left, right]))
+                    add(self._lookup_exact([left, right]), SPLIT_PENALTY)
         for pref in pq.prefixes:
-            scoring.update(self._expand_prefix(pref))
+            for t, df in self._expand_prefix(pref).items():
+                add({t: df}, 1.0 if t == pref else PREFIX_PENALTY)
         for ty in pq.typos:
-            scoring.update(self._expand_typo(ty))
-        weights = {t: bm25_idf(self.n_docs, df) for t, df in scoring.items()}
+            for t, df in self._expand_typo(ty).items():
+                add({t: df}, TYPO_PENALTY ** levenshtein(ty, t, cap=3))
+        weights = {
+            t: bm25_idf(self.n_docs, df) * penalty[t]
+            for t, df in scoring.items()
+        }
+        prox_pairs: list[tuple[str, str]] = []
+        if proximity:
+            if not self.config.store_positions:
+                raise ValueError(
+                    "proximity ranking needs positions: the index was built "
+                    "with store_positions=False"
+                )
+            # consecutive original-query word pairs whose members both made
+            # it into the scoring set (exact words only — derivations have
+            # no query position); self-pairs are meaningless, skip
+            prox_pairs = [
+                (a, b)
+                for a, b in zip(pq.words, pq.words[1:])
+                if a != b and a in weights and b in weights
+            ]
         return QueryPlan(
             term_weights=weights, phrases=pq.phrases, negated=pq.negated, k=k,
-            match_all=match_all,
+            match_all=match_all, prox_pairs=prox_pairs,
+            prox_weight=float(proximity),
         )
 
     # -- execution ---------------------------------------------------------
@@ -411,6 +467,8 @@ class SearchIndex:
             has_filter=filter_ast is not None,
             gen_avgdl=self.gen_avgdl,
             deleted=self._deleted,
+            prox_pairs=plan.prox_pairs,
+            prox_weight=plan.prox_weight,
         )
 
         pq_df = self._postings_for(all_terms)
@@ -466,7 +524,8 @@ class SearchIndex:
 
         deleted = self._deleted if len(self._deleted) else None
         algo = _pick_algo(mode, plan, False)
-        plain = not plan.phrases and not plan.negated and not plan.match_all
+        plain = (not plan.phrases and not plan.negated and not plan.match_all
+                 and not plan.prox_pairs)
         k = plan.k + offset
         if algo == "wand" and plain:
             pairs = _wand_topk(
@@ -483,6 +542,7 @@ class SearchIndex:
                 readers, plan.term_weights, plan.phrases, set(plan.negated),
                 None, k, self.avgdl, self.config.k1, self.config.b, deleted,
                 match_all=plan.match_all,
+                prox_pairs=plan.prox_pairs, prox_weight=plan.prox_weight,
             )
         pairs = pairs[offset:]
         if not pairs:
@@ -636,6 +696,8 @@ def make_shard_scorer(
     match_all: bool = False,
     gen_avgdl: dict[int, float] | None = None,
     deleted: np.ndarray | None = None,
+    prox_pairs: list[tuple[str, str]] | None = None,
+    prox_weight: float = 0.0,
 ):
     """Build the per-shard scoring function (cogroup signature).
 
@@ -655,6 +717,7 @@ def make_shard_scorer(
     neg_set = set(negated)
     gen_avgdl = gen_avgdl or {}
     deleted = deleted if deleted is not None and len(deleted) else None
+    prox_pairs = prox_pairs or []
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
@@ -679,7 +742,8 @@ def make_shard_scorer(
                 else np.zeros(0, dtype=np.int64)
             )
 
-        plain = not phrases and not neg_set and allowed is None and not match_all
+        plain = (not phrases and not neg_set and allowed is None
+                 and not match_all and not prox_pairs)
         if algo == "wand" and plain:
             pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b, deleted)
         elif algo == "maxscore" and plain:
@@ -688,6 +752,7 @@ def make_shard_scorer(
             pairs = _exhaustive_topk(
                 readers, term_weights, phrases, neg_set, allowed, k, avgdl, k1, b,
                 deleted, match_all=match_all,
+                prox_pairs=prox_pairs, prox_weight=prox_weight,
             )
         if not pairs:
             return _empty()
@@ -711,10 +776,13 @@ def _exhaustive_topk(
     b: float,
     deleted: np.ndarray | None = None,
     match_all: bool = False,
+    prox_pairs: list[tuple[str, str]] | None = None,
+    prox_weight: float = 0.0,
 ) -> list[tuple[int, float]]:
     """Vectorized full-decode scoring: concatenate (docid, idf*impact) across
     terms (and segment generations), aggregate per docid with np.add.at,
-    apply phrase/negation/filter/tombstone/match-all constraints, top-k."""
+    apply phrase/negation/filter/tombstone/match-all constraints, add the
+    pair-proximity bonus (reference K4) from stored positions, top-k."""
     doc_chunks, score_chunks = [], []
     per_term_docs: list[np.ndarray] = []
     for term, idf in term_weights.items():
@@ -738,6 +806,14 @@ def _exhaustive_topk(
     agg = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(agg, inv, scores)
 
+    if prox_weight and prox_pairs:
+        for a, b in prox_pairs:
+            pd_docs, pd_bonus = _pair_prox_bonus(readers, a, b, prox_weight)
+            if len(pd_docs):
+                pos = np.searchsorted(uniq, pd_docs)
+                ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == pd_docs)
+                np.add.at(agg, pos[ok], pd_bonus[ok])
+
     mask = np.ones(len(uniq), dtype=bool)
     if match_all:
         for t_docs in per_term_docs:
@@ -759,6 +835,57 @@ def _exhaustive_topk(
     kk = min(k, len(uniq))
     idx = np.lexsort((uniq, -agg))[:kk]
     return [(int(uniq[i]), float(agg[i])) for i in idx]
+
+
+def _pos_map(
+    readers: dict[str, list[tuple[PostingReader, float]]], term: str
+) -> dict[int, np.ndarray]:
+    """docid -> sorted positions for one term, merged across generations
+    (docids are disjoint across a term's generations)."""
+    pmap: dict[int, np.ndarray] = {}
+    for r, _scale in readers.get(term, ()):
+        docids, _, _ = r.decode_all()
+        positions = r.decode_all_positions()
+        pmap.update({int(d): p for d, p in zip(docids, positions)})
+    return pmap
+
+
+def _pair_prox_bonus(
+    readers: dict[str, list[tuple[PostingReader, float]]],
+    a: str,
+    b: str,
+    prox_weight: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc proximity bonus for one consecutive query word pair
+    (reference K4, frozen spec in QueryPlan): for docs containing both
+    terms, minprox = min over occurrence pairs of (pb - pa) when pb > pa
+    else (pa - pb + 1) — the reference's asymmetric word distance
+    (``src/proximity.rs:7-15``) — clamped to >= 1; bonus
+    ``prox_weight / minprox`` when minprox <= 7, else no bonus.
+    -> (sorted docids, bonus) arrays, only rows with a bonus."""
+    amap = _pos_map(readers, a)
+    bmap = _pos_map(readers, b)
+    common = sorted(amap.keys() & bmap.keys())
+    out_d, out_b = [], []
+    for d in common:
+        pa, pb = amap[d], bmap[d]
+        i = np.searchsorted(pb, pa, side="left")
+        best = np.inf
+        fwd = i < len(pb)
+        if fwd.any():
+            best = min(best, float((pb[i[fwd]] - pa[fwd]).min()))
+        j = i - 1
+        bwd = j >= 0
+        if bwd.any():
+            best = min(best, float((pa[bwd] - pb[j[bwd]] + 1).min()))
+        best = max(best, 1.0)
+        if best <= 7:
+            out_d.append(d)
+            out_b.append(prox_weight / best)
+    return (
+        np.asarray(out_d, dtype=np.int64),
+        np.asarray(out_b, dtype=np.float64),
+    )
 
 
 def _phrase_docids(

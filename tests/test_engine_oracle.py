@@ -58,6 +58,53 @@ def test_rank_identity_maxscore(search_index, oracle_idx, qid, query, k):
     assert_rank_identical(engine, oracle, qid, query)
 
 
+@pytest.mark.parametrize(
+    "qid,query,k",
+    [q for q in QUERIES if "-" not in q[1] and '"' not in q[1]
+     and len(q[1].split()) >= 2],
+    ids=[f"q{q[0]}" for q in QUERIES if "-" not in q[1] and '"' not in q[1]
+         and len(q[1].split()) >= 2],
+)
+def test_rank_identity_proximity(search_index, oracle_idx, qid, query, k):
+    """Proximity-boosted BM25 (reference K4) must be rank-identical between
+    the distributed engine and the oracle on every multi-word fixture query."""
+    engine = search_index.search_list(
+        query, k=k, mode="exhaustive", proximity=1.0
+    )
+    oracle = oracle_search(oracle_idx, query, k=k, prox_weight=1.0)
+    assert_rank_identical(engine, oracle, qid, f"{query} [prox]")
+
+
+def test_proximity_boost_changes_order(search_index, oracle_idx):
+    """Docs where the query words are adjacent must gain score vs plain
+    BM25; the bonus per pair is at most prox_weight (minprox >= 1)."""
+    plain = dict(search_index.search_list("search engine", k=50))
+    boosted = dict(
+        search_index.search_list("search engine", k=50, proximity=1.0)
+    )
+    assert any(
+        boosted.get(d, 0.0) > s + 1e-12 for d, s in plain.items()
+        if d in boosted
+    ), "no doc gained a proximity bonus"
+    for d, s in boosted.items():
+        if d in plain:
+            gain = s - plain[d]
+            assert -1e-9 <= gain <= 1.0 + 1e-9
+
+
+def test_proximity_requires_positions(spark, pages_pdf, tmp_path):
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+
+    d = str(tmp_path / "noposs")
+    cfg = IndexConfig(num_shards=2, num_buckets=2, store_positions=False)
+    build_index(spark, spark.createDataFrame(pages_pdf.head(50)), d, cfg)
+    ix = SearchIndex(spark, d)
+    with pytest.raises(ValueError, match="store_positions"):
+        ix.search("search engine", proximity=1.0)
+
+
 def test_nonempty_results(search_index):
     # sanity: the headline query matches documents at all
     res = search_index.search_list("web search engine", k=10)

@@ -264,3 +264,42 @@ def test_highlight_crop(spark):
     assert len(out) <= 42
     full = highlight_crop(df, ["needle"]).collect()[0]["snippet"]
     assert "<em>needle</em>" in full and len(full) > 100
+
+
+def test_min_prox_spec():
+    """Frozen reference asymmetric distance (src/proximity.rs:7-15)."""
+    from search_engine_spark.oracle.bm25 import _min_prox
+
+    assert _min_prox([0], [1]) == 1          # adjacent forward
+    assert _min_prox([5], [2]) == 4          # backward: 5-2+1
+    assert _min_prox([0, 10], [12, 3]) == 2  # best pair is 10 -> 12
+
+
+def test_derivation_penalties_in_plan(search_index):
+    """K3/K6 analogue: derived scoring terms carry penalty * idf
+    (config.py frozen penalties), exact words full idf."""
+    from search_engine_spark.config import (
+        SYNONYM_PENALTY,
+        TYPO_PENALTY,
+    )
+    from search_engine_spark.query import bm25_idf
+
+    n = search_index.n_docs
+    df_table = search_index._lookup_exact(["table"])["table"]
+    plan = search_index.plan("tabl~")
+    assert "table" in plan.term_weights
+    assert abs(
+        plan.term_weights["table"] - bm25_idf(n, df_table) * TYPO_PENALTY
+    ) < 1e-12
+
+    df_engine = search_index._lookup_exact(["engine"])["engine"]
+    df_index = search_index._lookup_exact(["index"])["index"]
+    plan2 = search_index.plan("engine", synonyms={"engine": ["index"]})
+    assert abs(plan2.term_weights["engine"] - bm25_idf(n, df_engine)) < 1e-12
+    assert abs(
+        plan2.term_weights["index"] - bm25_idf(n, df_index) * SYNONYM_PENALTY
+    ) < 1e-12
+
+    # a term reachable both exactly and via derivation keeps the full weight
+    plan3 = search_index.plan("index engine", synonyms={"engine": ["index"]})
+    assert abs(plan3.term_weights["index"] - bm25_idf(n, df_index)) < 1e-12
