@@ -73,6 +73,33 @@ def _index(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return _INDEX_CACHE[key]
 
 
+_INDEX_MF_CACHE: dict[str, SearchIndex] = {}
+
+
+def _index_mf(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """Multi-field (BM25F) index over the driver's ``documents`` table:
+    text weight 1, source weight 2 (reference K5 field weights)."""
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_MF_CACHE:
+        return _INDEX_MF_CACHE[key]
+    tag = hashlib.md5(f"{ENGINE_TAG}:mf:{key}".encode()).hexdigest()[:12]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"seg_idx_{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        cfg = IndexConfig(
+            field_cols=(("text", 1), ("source", 2)),
+            pk_col="doc_id",
+            ts_col=None,
+            docid_col="doc_id",
+            attr_cols=("lang",),
+            num_shards=4,
+            num_buckets=8,
+            block_size=64,
+        )
+        build_index(spark, _docs(spark, sf_dir), idx_dir, cfg)
+    _INDEX_MF_CACHE[key] = SearchIndex(spark, idx_dir)
+    return _INDEX_MF_CACHE[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 (block-max WAND path) over sf0.001."""
     idx = _index(spark, "/root/testdata/sf0.001")
@@ -204,6 +231,17 @@ def _q_bm25_prefix_rank(spark, sf_dir):
     return _bm25_df(spark, sf_dir, "sc*", mode="exhaustive")
 
 
+def _q_bm25f(spark, sf_dir):
+    """Reference K5 AttributeRule / word_fid_docids as BM25F with integer
+    field boosts (text w=1, source w=2): tf_w = sum_f w_f*tf_f,
+    dl_w = sum_f w_f*dl_f, standard BM25 over the weighted values — a
+    source-field hit counts double, so docs whose source matches the query
+    outrank body-only matches."""
+    idx = _index_mf(spark, sf_dir)
+    res = idx.search("src1 table", k=10, mode="exhaustive")
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
 def _q_bm25_proximity(spark, sf_dir):
     """Reference K4 ProximityRule (ranking/proximity.rs:16-227): each
     consecutive query word pair adds prox_weight/minprox (minprox <= 7,
@@ -212,6 +250,15 @@ def _q_bm25_proximity(spark, sf_dir):
     idx = _index(spark, sf_dir)
     res = idx.search("table join", k=10, mode="exhaustive", proximity=1.0)
     return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
+def _q_score_details(spark, sf_dir):
+    """Reference K9 score_details (src/score_details.rs:31-57): per-term
+    BM25 contribution rows for the top-10 docs; sum(part) per docid equals
+    the search score."""
+    idx = _index(spark, sf_dir)
+    det = idx.score_details("table join merge", k=10, mode="exhaustive")
+    return det.select("docid", "term", F.round("part", SCORE_ROUND).alias("part"))
 
 
 def _q_hybrid_rank(spark, sf_dir):
@@ -387,6 +434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_typo_penalty": _q_bm25_typo_penalty,
         "bm25_prefix_rank": _q_bm25_prefix_rank,
         "bm25_proximity": _q_bm25_proximity,
+        "bm25f": _q_bm25f,
+        "score_details": _q_score_details,
         "hybrid_rank": _q_hybrid_rank,
         "sort_by_attr": _q_sort_by_attr,
         # filters + facets (§2.5/§2.9)
@@ -633,6 +682,67 @@ scores AS (
   JOIN dict di USING (term)
   JOIN stats s ON s.doc_id = td.doc_id
   CROSS JOIN corpus c
+  GROUP BY td.doc_id
+)
+SELECT doc_id AS docid, round(score, {SCORE_ROUND}) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+    # per-term contribution rows for the top-10 of 'table join merge'
+    sql["score_details"] = f"""
+WITH {_TOKS},
+scores AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td JOIN dict di USING (term) JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN ('table', 'join', 'merge')
+  GROUP BY td.doc_id
+),
+top AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+SELECT td.doc_id AS docid, td.term,
+       round( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)),
+              {SCORE_ROUND}) AS part
+FROM tdoc td
+JOIN top USING (doc_id)
+JOIN dict di USING (term)
+JOIN stats s ON s.doc_id = td.doc_id
+CROSS JOIN corpus c
+WHERE td.term IN ('table', 'join', 'merge')
+"""
+
+    # BM25F (field_cols text w=1, source w=2): weighted tf/dl, df = docs
+    # containing the term in ANY field, avgdl over weighted dls
+    sql["bm25f"] = f"""
+WITH ftoks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term, 1 AS w
+  FROM documents
+  UNION ALL
+  SELECT doc_id, unnest(regexp_extract_all(source, '[a-z0-9]+')) AS term, 2 AS w
+  FROM documents
+),
+ftdoc AS (
+  SELECT doc_id, term, CAST(sum(w) AS BIGINT) AS tf FROM ftoks GROUP BY 1, 2
+),
+fstats AS (
+  SELECT d.doc_id, coalesce(t.dl, 0) AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, CAST(sum(w) AS BIGINT) AS dl FROM ftoks GROUP BY 1) t
+    USING (doc_id)
+),
+fdict AS (SELECT term, count(*) AS df FROM ftdoc GROUP BY 1),
+fcorpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM fstats),
+scores AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM ftdoc td
+  JOIN fdict di USING (term)
+  JOIN fstats s ON s.doc_id = td.doc_id
+  CROSS JOIN fcorpus c
+  WHERE td.term IN ('src1', 'table')
   GROUP BY td.doc_id
 )
 SELECT doc_id AS docid, round(score, {SCORE_ROUND}) AS score

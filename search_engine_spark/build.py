@@ -306,6 +306,14 @@ def make_extract_fn(config: IndexConfig):
     num_buckets = config.num_buckets
     store_positions = config.store_positions
     out_schema = _extract_arrow_schema(store_positions)
+    # BM25F multi-field (config.field_cols, reference K5): tokenize each
+    # field separately, pack positions fid<<16|pos (reference
+    # src/lib.rs:183-190), and REPLICATE each token weight-times — the
+    # Lucene content-boost identity: tf_w = sum_f w_f*tf_f and
+    # dl_w = sum_f w_f*dl_f fall out of the unchanged downstream kernel,
+    # and len(positions) == tf stays true so the codec is untouched.
+    fields = config.searchable_fields()
+    multi_field = fields != (("text", 1),)
 
     def _offsets(counts: np.ndarray) -> "pa.Array":
         return pa.array(
@@ -320,24 +328,65 @@ def make_extract_fn(config: IndexConfig):
             d_raw = batch.column(batch.schema.get_field_index("docid")).to_numpy(
                 zero_copy_only=False
             )
-            text_i = batch.schema.get_field_index("text")
             # docid-asc batch order makes every output array docid-sorted
             order0 = np.argsort(d_raw, kind="stable")
+            take_idx = pa.array(order0, type=pa.int64())
             doc_ids = np.ascontiguousarray(d_raw[order0], dtype=np.int64)
             n_docs_b = len(doc_ids)
 
-            texts_sorted = pc.take(
-                batch.column(text_i), pa.array(order0, type=pa.int64())
-            )
-            if store_positions:
-                flat_arrow, doc_idx_arrow, lengths, pos_flat_np = (
-                    tokenize_positions_arrow_batch(texts_sorted)
+            if not multi_field:
+                texts_sorted = pc.take(
+                    batch.column(batch.schema.get_field_index("text")), take_idx
                 )
+                if store_positions:
+                    flat_arrow, doc_idx_arrow, lengths, pos_flat_np = (
+                        tokenize_positions_arrow_batch(texts_sorted)
+                    )
+                else:
+                    flat_arrow, doc_idx_arrow, lengths = tokenize_arrow_batch(
+                        texts_sorted
+                    )
+                    pos_flat_np = None
             else:
-                flat_arrow, doc_idx_arrow, lengths = tokenize_arrow_batch(
-                    texts_sorted
+                flats, idxs, poss_l = [], [], []
+                lengths = np.zeros(n_docs_b, dtype=np.int64)
+                for fid, (fname, w) in enumerate(fields):
+                    col_sorted = pc.take(
+                        batch.column(batch.schema.get_field_index(fname)),
+                        take_idx,
+                    )
+                    if store_positions:
+                        fa, di, ln, pf = tokenize_positions_arrow_batch(
+                            col_sorted
+                        )
+                        pf = pf.astype(np.int64) + (fid << 16)
+                    else:
+                        fa, di, ln = tokenize_arrow_batch(col_sorted)
+                        pf = None
+                    if w != 1:
+                        rep = pa.array(
+                            np.repeat(np.arange(len(fa), dtype=np.int64), w)
+                        )
+                        fa = pc.take(fa, rep)
+                        di = np.repeat(di, w)
+                        if pf is not None:
+                            pf = np.repeat(pf, w)
+                    lengths = lengths + ln.astype(np.int64) * w
+                    flats.append(fa.cast(pa.string()))
+                    idxs.append(np.asarray(di, dtype=np.int64))
+                    if pf is not None:
+                        poss_l.append(pf)
+                flat_arrow = (
+                    pa.concat_arrays(flats) if len(flats) > 1 else flats[0]
                 )
-                pos_flat_np = None
+                doc_idx_arrow = (
+                    np.concatenate(idxs) if idxs else np.zeros(0, np.int64)
+                )
+                pos_flat_np = (
+                    (np.concatenate(poss_l) if poss_l
+                     else np.zeros(0, np.int64))
+                    if store_positions else None
+                )
 
             if n_docs_b:
                 # doc-length row: every doc in the batch, tokens or not
@@ -708,13 +757,22 @@ def build_index(
         t0 = time.time()
         # project before any shuffle: html & co. never enter the dedupe or
         # rank exchanges (at CC scale the raw html dominates row size)
-        keep = [config.pk_col, config.text_col, *config.attr_cols]
+        # searchable source columns: text_col aliased to canonical 'text'
+        # for single-field indexes; multi-field (BM25F) keeps source names
+        if config.field_cols:
+            search_src = [(c, c) for c, _w in config.field_cols]
+        else:
+            search_src = [(config.text_col, "text")]
+        keep = list(dict.fromkeys(
+            [config.pk_col, *[c for c, _ in search_src], *config.attr_cols]
+        ))
         for extra in (config.ts_col, config.docid_col):
             if extra and extra not in keep:
                 keep.append(extra)
         n_docs = None
-        out_cols = [(config.pk_col, "pk"), (config.text_col, "text")] + [
-            (c, c) for c in config.attr_cols
+        snap_names = {dst for _, dst in search_src}
+        out_cols = [(config.pk_col, "pk"), *search_src] + [
+            (c, c) for c in config.attr_cols if c not in snap_names
         ]
         if config.docid_col:
             deduped = _dedupe_last_write_wins(
@@ -724,8 +782,8 @@ def build_index(
                 "docid", F.col(config.docid_col).cast("long")
             ).select(
                 "docid", F.col(config.pk_col).alias("pk"),
-                F.col(config.text_col).alias("text"),
-                *[F.col(c) for c in config.attr_cols],
+                *[F.col(src).alias(dst) for src, dst in search_src],
+                *[F.col(c) for c in config.attr_cols if c not in snap_names],
             )
         else:
             n_parts = config.extract_partitions or max(
@@ -769,7 +827,7 @@ def build_index(
             th.start()
             ex_t0 = time.time()
             ex_metrics = _run_extract(
-                spark, docs.select("docid", "text"), paths, config,
+                spark, docs.select("docid", *[c for c, _ in config.searchable_fields()]), paths, config,
                 repartition=False,
             )
             th.join()
@@ -831,7 +889,7 @@ def build_index(
         # handful of 128MB-target partitions, which would cap tokenization
         # at that parallelism no matter the cluster size.
         ex_metrics = _run_extract(
-            spark, docs_df.select("docid", "text"), paths, config,
+            spark, docs_df.select("docid", *[c for c, _ in config.searchable_fields()]), paths, config,
             repartition=True,
         )
         log.commit("extract", inputs={"docs": n_docs},

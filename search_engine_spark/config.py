@@ -69,6 +69,18 @@ class IndexConfig:
     """
 
     text_col: str = "text"
+    # Field-weighted search (reference K5 AttributeRule,
+    # ``src/search/ranking/attribute.rs:18-238`` + per-field postings
+    # ``word_fid_docids``, ``src/index.rs:121-122``), as BM25F with integer
+    # field boosts — Lucene-style content-duplication semantics, exact
+    # arithmetic: tf_w = sum_f w_f * tf_f, dl_w = sum_f w_f * dl_f, scored
+    # by the unchanged BM25 formula over the weighted values. When set,
+    # OVERRIDES text_col: each (column, weight) pair is a searchable field;
+    # field fid's positions are packed ``fid << 16 | pos`` exactly like the
+    # reference (``src/lib.rs:183-190``), so phrases and proximity never
+    # match across field boundaries, and a title hit (weight 3) outranks a
+    # body hit — the AttributeRule preference expressed as score shaping.
+    field_cols: tuple[tuple[str, int], ...] = ()
     pk_col: str = "url"
     ts_col: str | None = "warc_ts"  # last-write-wins dedup column (T1/T2)
     docid_col: str | None = None  # pre-assigned integer docid, else derived
@@ -88,13 +100,25 @@ class IndexConfig:
     # salting threshold is implicit: sharding is unconditional (uniform by
     # docid), which bounds every (term, shard) group to ~df/num_shards.
 
+    def searchable_fields(self) -> tuple[tuple[str, int], ...]:
+        """(docs-snapshot column, integer weight) per searchable field.
+        Single-field indexes store their text under the canonical name
+        'text'; multi-field indexes keep the source column names."""
+        if self.field_cols:
+            return tuple((c, int(w)) for c, w in self.field_cols)
+        return (("text", 1),)
+
     def to_dict(self) -> dict:
         d = asdict(self)
         d["attr_cols"] = list(self.attr_cols)
+        d["field_cols"] = [list(fw) for fw in self.field_cols]
         return d
 
     @staticmethod
     def from_dict(d: dict) -> "IndexConfig":
         d = dict(d)
         d["attr_cols"] = tuple(d.get("attr_cols", ()))
+        d["field_cols"] = tuple(
+            (str(c), int(w)) for c, w in d.get("field_cols", ())
+        )
         return IndexConfig(**d)

@@ -65,15 +65,24 @@ def build_oracle_index(
     pk_col: str = "url",
     ts_col: str | None = "warc_ts",
     attr_cols: tuple[str, ...] = (),
+    fields: list[tuple[str, int]] | None = None,
 ) -> OracleIndex:
     """Last-write-wins dedupe by pk, docid = rank of pk in sorted order
-    (matches the engine's row_number-over-url docid assignment)."""
+    (matches the engine's row_number-over-url docid assignment).
+
+    ``fields`` mirrors ``IndexConfig.field_cols`` (BM25F, reference K5):
+    each (column, integer weight) field's tokens count weight-times toward
+    tf and dl (Lucene content-boost identity), positions are packed
+    ``fid << 16 | pos`` and replicated weight-times — exactly what the
+    engine's multi-field extract kernel produces."""
     df = pages
     if ts_col is not None and ts_col in df.columns:
         df = df.sort_values([pk_col, ts_col]).groupby(pk_col, as_index=False).last()
     else:
         df = df.drop_duplicates(subset=[pk_col], keep="last")
     df = df.sort_values(pk_col).reset_index(drop=True)
+
+    field_list = fields if fields is not None else [(text_col, 1)]
 
     idx = OracleIndex()
     idx.n_docs = len(df)
@@ -82,15 +91,21 @@ def build_oracle_index(
         docid = int(docid)
         idx.docid_to_pk[docid] = row[pk_col]
         idx.attrs[docid] = {c: row[c] for c in attr_cols}
-        toks = tokenize_with_positions(row[text_col] or "")
-        idx.dl[docid] = len(toks)
-        total_dl += len(toks)
+        toks: list[tuple[str, int]] = []
+        dl = 0
+        for fid, (col, w) in enumerate(field_list):
+            ftoks = tokenize_with_positions(row[col] or "")
+            dl += w * len(ftoks)
+            for t, p in ftoks:
+                toks.extend([(t, (fid << 16) | p)] * w)
+        idx.dl[docid] = dl
+        total_dl += dl
         per_term: dict[str, list[int]] = defaultdict(list)
         for t, p in toks:
             per_term[t].append(p)
         for t, ps in per_term.items():
             idx.postings.setdefault(t, {})[docid] = len(ps)
-            idx.positions.setdefault(t, {})[docid] = ps
+            idx.positions.setdefault(t, {})[docid] = sorted(ps)
     idx.avgdl = total_dl / idx.n_docs if idx.n_docs else 0.0
     return idx
 

@@ -499,13 +499,13 @@ class SearchIndex:
             .orderBy("rank")
         )
 
-    def _execute_driver(
-        self, plan: QueryPlan, mode: str, offset: int, all_terms: list[str]
-    ) -> DataFrame:
-        """Point-read execution: prune to the query's buckets/terms with
-        pyarrow (hive partition pruning on gen/bucket + row-group stats on
-        term), score in-process with the same _wand_topk/_exhaustive_topk
-        used by the shard UDFs. Latency is ~ms instead of a Spark job."""
+    def _readers_for(
+        self, all_terms: list[str]
+    ) -> dict[str, list[tuple[PostingReader, float]]]:
+        """Driver-side posting readers for ``all_terms``: pyarrow reads
+        pruned to the terms' buckets (hive partition pruning on gen/bucket
+        + row-group stats on term) — the analogue of the reference's
+        per-word LMDB point reads (src/search/db_cache.rs)."""
         import pyarrow.dataset as ds
 
         buckets = [int(term_bucket(t, self.config.num_buckets)) for t in all_terms]
@@ -521,7 +521,17 @@ class SearchIndex:
             enc_avgdl = self.gen_avgdl.get(int(row.get("gen", 0)), self.avgdl)
             scale = max(1.0, self.avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
             readers.setdefault(row["term"], []).append((r, scale))
+        return readers
 
+    def _execute_driver(
+        self, plan: QueryPlan, mode: str, offset: int, all_terms: list[str]
+    ) -> DataFrame:
+        """Point-read execution: prune to the query's buckets/terms with
+        pyarrow, score in-process with the same _wand_topk/_exhaustive_topk
+        used by the shard UDFs. Latency is ~ms instead of a Spark job."""
+        import pyarrow.dataset as ds
+
+        readers = self._readers_for(all_terms)
         deleted = self._deleted if len(self._deleted) else None
         algo = _pick_algo(mode, plan, False)
         plain = (not plan.phrases and not plan.negated and not plan.match_all
@@ -561,6 +571,88 @@ class SearchIndex:
         pk_t = self._doc_stats.schema["pk"].dataType.simpleString()
         return self.spark.createDataFrame(
             rows, f"rank int, docid long, pk {pk_t}, score double"
+        )
+
+    def highlight_results(
+        self,
+        results: DataFrame,
+        query: str,
+        *,
+        crop_length: int | None = None,
+        tag: tuple[str, str] = ("<em>", "</em>"),
+        out_col: str = "snippet",
+        **plan_kw,
+    ) -> DataFrame:
+        """Derived-term highlighting with best-window crop (reference O1:
+        ``src/search/matches/mod.rs:12-894`` best-window centring +
+        ``matching_words.rs:1-359`` derived-term matching): highlights
+        EVERY scoring term of the query plan — typo/prefix/synonym/split
+        derivations included, so 'serach~' highlights 'search' — and crops
+        around the window with the most distinct matched terms. Joins the
+        first searchable field's text back from the docs snapshot."""
+        from search_engine_spark.sources import highlight_best
+
+        plan = self.plan(query, 10, **plan_kw)
+        terms = sorted(
+            set(plan.term_weights) | {w for ph in plan.phrases for w in ph}
+        )
+        text_col = self.config.searchable_fields()[0][0]
+        docs = self.spark.read.parquet(self.paths.docs)
+        joined = results.join(docs.select("docid", text_col), "docid", "left")
+        return highlight_best(
+            joined, terms, text_col=text_col, tag=tag,
+            crop_length=crop_length, out_col=out_col,
+        )
+
+    def score_details(
+        self, query: str, k: int = 10, mode: str = "auto", **plan_kw
+    ) -> DataFrame:
+        """Per-component score breakdown (reference K9
+        ``src/score_details.rs:31-57``, per-rule rank/max_rank replaced by
+        per-term BM25 contributions): for each top-k document, one row per
+        contributing scoring term with its ``part = weight * idf-impact``,
+        plus one ``~prox:a:b`` row per proximity pair bonus. Sum(part)
+        grouped by docid equals the search score exactly.
+
+        -> DataFrame(docid long, term string, part double), driver-built
+        (k-bounded output; postings slices are the query's own terms)."""
+        plan = self.plan(query, k, **plan_kw)
+        if not plan.term_weights:
+            return self.spark.createDataFrame([], "docid long, term string, part double")
+        top = self.execute(plan, mode=mode).select("docid").collect()
+        docids = np.array(sorted(r["docid"] for r in top), dtype=np.int64)
+        all_terms = sorted(
+            set(plan.term_weights)
+            | set(plan.negated)
+            | {w for ph in plan.phrases for w in ph}
+        )
+        readers = self._readers_for(all_terms)
+        k1, b = self.config.k1, self.config.b
+        rows: list[tuple[int, str, float]] = []
+        for term, weight in sorted(plan.term_weights.items()):
+            for r, _scale in readers.get(term, ()):
+                d, tf, dl = r.decode_all()
+                sel = np.isin(d, docids)
+                if not sel.any():
+                    continue
+                tf_f = tf[sel].astype(np.float64)
+                norm = k1 * (1.0 - b + b * dl[sel].astype(np.float64)
+                             / max(self.avgdl, 1e-12))
+                part = weight * tf_f / (tf_f + norm)
+                rows.extend(
+                    (int(dd), term, float(pp))
+                    for dd, pp in zip(d[sel], part)
+                )
+        if plan.prox_weight and plan.prox_pairs:
+            for a, bb in plan.prox_pairs:
+                pd_docs, bonus = _pair_prox_bonus(readers, a, bb, plan.prox_weight)
+                sel = np.isin(pd_docs, docids)
+                rows.extend(
+                    (int(dd), f"~prox:{a}:{bb}", float(pp))
+                    for dd, pp in zip(pd_docs[sel], bonus[sel])
+                )
+        return self.spark.createDataFrame(
+            rows, "docid long, term string, part double"
         )
 
     def fetch_documents(self, results: DataFrame) -> DataFrame:

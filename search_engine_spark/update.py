@@ -76,11 +76,21 @@ def add_documents(
     paths, meta, config = _load(spark, index_dir)
     gen = _next_gen(meta)
 
-    keep = [config.pk_col, config.text_col, *config.attr_cols]
-    if config.ts_col and config.ts_col not in keep:
+    search_cols = (
+        [c for c, _w in config.field_cols] if config.field_cols
+        else [config.text_col]
+    )
+    keep = list(dict.fromkeys(
+        [config.pk_col, *search_cols, *config.attr_cols]
+    ))
+    # ts is only used for within-batch LWW ordering; merged batches from
+    # update_documents don't carry it (falls back to dropDuplicates)
+    has_ts = bool(config.ts_col) and config.ts_col in new_pages.columns
+    if has_ts and config.ts_col not in keep:
         keep.append(config.ts_col)
     batch = _dedupe_last_write_wins(
-        new_pages.select(*keep), config.pk_col, config.ts_col
+        new_pages.select(*keep), config.pk_col,
+        config.ts_col if has_ts else None,
     )
 
     # tombstone existing docids whose pk is being replaced
@@ -114,16 +124,23 @@ def add_documents(
         with_id = batch.withColumn(
             "docid", (F.row_number().over(w) - 1 + F.lit(offset)).cast("long")
         )
+    if config.field_cols:
+        search_sel = [F.col(c).alias(c) for c, _w in config.field_cols]
+        search_names = [c for c, _w in config.field_cols]
+    else:
+        search_sel = [F.col(config.text_col).alias("text")]
+        search_names = ["text"]
     docs = with_id.select(
         "docid",
         F.col(config.pk_col).alias("pk"),
-        F.col(config.text_col).alias("text"),
-        *[F.col(c) for c in config.attr_cols],
+        *search_sel,
+        *[F.col(c) for c in config.attr_cols if c not in search_names],
     )
     docs.write.mode("append").parquet(paths.docs)
     new_pks = docs.select("pk")
     docs_df = spark.read.parquet(paths.docs).join(new_pks, "pk").select(
-        "docid", "pk", "text", *config.attr_cols
+        "docid", "pk", *search_names,
+        *[c for c in config.attr_cols if c not in search_names]
     )
     # appended rows are the only ones with these (pk, docid) pairs — the old
     # versions of replaced pks share the pk; keep only the max docid per pk
@@ -146,7 +163,7 @@ def add_documents(
         spark.sparkContext.defaultParallelism * 2, 8
     )
     extracted = (
-        docs_df.select("docid", "text")
+        docs_df.select("docid", *[c for c, _ in config.searchable_fields()])
         .repartition(n_extract)
         .mapInArrow(make_extract_fn(config), schema=term_doc_schema(config))
     )
@@ -198,6 +215,94 @@ def add_documents(
     )
     _rewrite_meta(paths, config, meta)
     return read_meta(paths)
+
+
+def update_documents(
+    spark: SparkSession, index_dir: str, partial: DataFrame
+) -> dict:
+    """``UpdateDocuments`` per-field merge (reference
+    ``update/index_documents/helpers/merge_functions.rs:47-161`` +
+    ``IndexDocumentsMethod::UpdateDocuments``, ``transform.rs:107-110``):
+    each incoming row updates ONLY the fields it carries — fields absent
+    from ``partial``'s schema (or NULL in a carried column) keep their
+    stored values; pks not yet indexed insert the partial row as a new
+    document. The merged full rows then flow through the ReplaceDocuments
+    path (tombstone + new generation), so search/filters see the merge
+    immediately.
+
+    Deviation note: the reference distinguishes "field set to null" from
+    "field absent" (obkv records carry explicit keys); a DataFrame column
+    cannot, so NULL-in-a-carried-column means "keep old" here. To clear a
+    field, use ``add_documents`` (replace) with the full document.
+
+    ``partial`` must contain ``config.pk_col``; other columns must be a
+    subset of the indexed schema (searchable fields + attr_cols, source
+    names).
+    """
+    paths, meta, config = _load(spark, index_dir)
+
+    # snapshot-name <-> source-name mapping (single-field snapshots store
+    # text under the canonical name 'text')
+    if config.field_cols:
+        field_map = [(c, c) for c, _w in config.field_cols]
+    else:
+        field_map = [(config.text_col, "text")]
+    snap_of = {src: dst for src, dst in field_map}
+    attr_extra = [
+        c for c in config.attr_cols if c not in {d for _, d in field_map}
+    ]
+
+    allowed = {config.pk_col, *snap_of, *attr_extra}
+    unknown = set(partial.columns) - allowed
+    if unknown:
+        raise ValueError(
+            f"update_documents: unknown columns {sorted(unknown)}; "
+            f"indexed columns are {sorted(allowed)}"
+        )
+    if config.pk_col not in partial.columns:
+        raise ValueError(f"update_documents: missing pk column {config.pk_col!r}")
+
+    old = spark.read.parquet(paths.docs)
+    deleted = _deleted_df(spark, paths)
+    if deleted is not None:
+        old = old.join(deleted, "docid", "left_anti")
+    # live version per pk (replaced pks keep multiple rows across gens)
+    old = (
+        old.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("pk").orderBy(F.col("docid").desc())
+            ),
+        )
+        .filter("_rn = 1")
+        .drop("_rn", "docid")
+    )
+
+    new = partial.withColumnRenamed(config.pk_col, "pk")
+    for src, dst in field_map:
+        if src in new.columns and src != dst:
+            new = new.withColumnRenamed(src, dst)
+    upd_cols = set(new.columns) - {"pk"}
+
+    merged_cols = []
+    for c in old.columns:
+        if c == "pk":
+            continue
+        if c in upd_cols:
+            merged_cols.append(
+                F.coalesce(new[c], old[c]).alias(c)
+            )
+        else:
+            merged_cols.append(old[c].alias(c))
+    # pks only in the update: left join keeps them with old.* = NULL
+    merged = new.join(old, "pk", "left").select(F.col("pk"), *merged_cols)
+
+    # back to source names for the replace path
+    out = merged.withColumnRenamed("pk", config.pk_col)
+    for src, dst in field_map:
+        if src != dst:
+            out = out.withColumnRenamed(dst, src)
+    return add_documents(spark, index_dir, out)
 
 
 def delete_documents(spark: SparkSession, index_dir: str, pks: list) -> dict:
@@ -424,6 +529,9 @@ def reindex(spark: SparkSession, index_dir: str, new_config: IndexConfig) -> dic
     if deleted is not None:
         docs = docs.join(deleted, "docid", "left_anti")
 
+    # the docs snapshot stores single-field text under the canonical name
+    # 'text'; multi-field (field_cols) snapshots keep the source names, so
+    # field_cols carries over unchanged
     cfg = IndexConfig.from_dict(
         {**new_config.to_dict(), "pk_col": "pk", "text_col": "text",
          "ts_col": None, "docid_col": "docid"}

@@ -136,3 +136,23 @@ def test_filter_in_and_range(search_index, oracle_idx):
 
 def test_unknown_term_empty(search_index):
     assert search_index.search_list("zzzzqqqqxxxx") == []
+
+
+def test_score_details_sum_equals_score(search_index):
+    """K9 breakdown invariant: sum of per-term parts (+ proximity rows)
+    per docid reproduces the search score exactly."""
+    for kw in ({}, {"proximity": 1.0}):
+        res = dict(search_index.search_list(
+            "web search engine", k=10, mode="exhaustive", **kw
+        ))
+        det = search_index.score_details(
+            "web search engine", k=10, mode="exhaustive", **kw
+        ).collect()
+        sums: dict[int, float] = {}
+        for r in det:
+            sums[r["docid"]] = sums.get(r["docid"], 0.0) + r["part"]
+        assert set(sums) == set(res)
+        for d, s in res.items():
+            assert math.isclose(sums[d], s, rel_tol=1e-9, abs_tol=1e-12), (
+                d, s, sums[d], kw
+            )

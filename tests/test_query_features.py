@@ -303,3 +303,46 @@ def test_derivation_penalties_in_plan(search_index):
     # a term reachable both exactly and via derivation keeps the full weight
     plan3 = search_index.plan("index engine", synonyms={"engine": ["index"]})
     assert abs(plan3.term_weights["index"] - bm25_idf(n, df_index)) < 1e-12
+
+
+def test_best_window_crop_centers_on_cluster(spark):
+    """Reference Matcher best-window: the crop must center on the window
+    with the most distinct query terms, not the first match."""
+    from search_engine_spark.sources import highlight_best
+
+    text = (
+        "alpha starts here and then filler " + "pad " * 40
+        + "alpha beta gamma together " + "pad " * 40 + "ending words"
+    )
+    df = spark.createDataFrame([(1, text)], "docid long, text string")
+    out = highlight_best(
+        df, ["alpha", "beta", "gamma"], crop_length=60
+    ).collect()[0]["snippet"]
+    assert "<em>beta</em>" in out and "<em>gamma</em>" in out, out
+    # the lone leading 'alpha' (1 distinct term) must NOT be the crop site
+    assert "starts here" not in out
+    assert out.startswith("…") and out.endswith("…")
+
+
+def test_best_window_no_matches_and_no_crop(spark):
+    from search_engine_spark.sources import highlight_best
+
+    df = spark.createDataFrame(
+        [(1, "nothing to see"), (2, "alpha here")], "docid long, text string"
+    )
+    rows = {r["docid"]: r["snippet"] for r in highlight_best(
+        df, ["alpha"], crop_length=None
+    ).collect()}
+    assert rows[1] == "nothing to see"
+    assert rows[2] == "<em>alpha</em> here"
+
+
+def test_highlight_results_includes_derived_terms(feature_index):
+    """Typo-derived terms must highlight (matching_words.rs semantics)."""
+    ix, _ = feature_index
+    res = ix.search("yorkk~", k=3, mode="exhaustive")
+    out = ix.highlight_results(res, "yorkk~").collect()
+    assert len(out) > 0
+    assert all("<em>york</em>" in (r["snippet"] or "") for r in out), (
+        [(r["snippet"] or "")[:80] for r in out]
+    )

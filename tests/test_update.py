@@ -148,3 +148,66 @@ def test_reindex_with_new_settings(spark, small_index):
     assert ids_after == ids_before
     # phrase works because the new settings store positions
     assert after.search('"spark index"', k=5).collect()
+
+
+def test_update_documents_merges_fields(spark, small_index):
+    """Reference T2 UpdateDocuments (merge_functions.rs:47-161): a partial
+    row updates only the fields it carries; the rest keep stored values."""
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import update_documents
+
+    # change ONLY the lang of doc b; its text must survive the merge
+    partial = spark.createDataFrame(
+        pd.DataFrame([("b", "fr")], columns=["url", "lang"])
+    )
+    meta = update_documents(spark, small_index, partial)
+    assert meta["n_docs"] == 4  # still four live docs
+    ix = SearchIndex(spark, small_index)
+    hits = _pk_results(ix, "table join")
+    assert "b" in [p for p, _ in hits], "b's text must be preserved"
+    fr_hits = ix.search("table join", k=10, filter_ast={"lang": "fr"}).collect()
+    assert [r["pk"] for r in fr_hits] == ["b"]
+
+
+def test_update_documents_text_only_keeps_attrs(spark, small_index):
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import update_documents
+
+    partial = spark.createDataFrame(
+        pd.DataFrame([("c", "fresh replacement words")],
+                     columns=["url", "text"])
+    )
+    update_documents(spark, small_index, partial)
+    ix = SearchIndex(spark, small_index)
+    hits = ix.search("fresh replacement", k=10,
+                     filter_ast={"lang": "de"}).collect()
+    assert [r["pk"] for r in hits] == ["c"], "attr lang=de must be preserved"
+    assert _pk_results(ix, "window aggregate") == [] or all(
+        p != "c" for p, _ in _pk_results(ix, "window aggregate")
+    ), "old text of c must be gone"
+
+
+def test_update_documents_inserts_new_pk(spark, small_index):
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import update_documents
+
+    partial = spark.createDataFrame(
+        pd.DataFrame([("z", "zebra crossing")], columns=["url", "text"])
+    )
+    meta = update_documents(spark, small_index, partial)
+    assert meta["n_docs"] == 5
+    ix = SearchIndex(spark, small_index)
+    assert [p for p, _ in _pk_results(ix, "zebra")] == ["z"]
+    z = ix.search("zebra", k=1).collect()[0]
+    stats = ix._doc_stats.filter(f"docid = {z['docid']}").collect()[0]
+    assert stats["lang"] is None  # absent field -> NULL for a new doc
+
+
+def test_update_documents_rejects_unknown_columns(spark, small_index):
+    from search_engine_spark.update import update_documents
+
+    partial = spark.createDataFrame(
+        pd.DataFrame([("b", 1)], columns=["url", "bogus"])
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_documents(spark, small_index, partial)
