@@ -162,7 +162,7 @@ def assign_docids(
 
 def dedupe_and_rank(
     df: DataFrame, pk_col: str, ts_col: str | None, out_cols: list[tuple[str, str]],
-    n_parts: int,
+    n_parts: int, staging_dir: str | None = None,
 ) -> tuple[DataFrame, int]:
     """Last-write-wins dedupe by pk + deterministic dense docid in ONE
     full-data shuffle (reference T1/T2 ``transform.rs:107-360`` fused with
@@ -177,8 +177,14 @@ def dedupe_and_rank(
     order, never on where sampled range boundaries land. The persist pins
     one sampling of the boundaries for both passes; pass 2 cross-checks its
     partition row count against pass 1 and fails loudly rather than emit
-    wrong docids (eviction + resample would be detected). At true scale,
-    replace the persist with a staging parquet write of the sorted run.
+    wrong docids (eviction + resample would be detected).
+
+    ``staging_dir`` switches the pin from ``.persist()`` to a staging
+    parquet write of the sorted run (with _mid2/_pid already materialized
+    in the files): every later job reads immutable bytes, so there is no
+    eviction/resample window at all and no storage-pool pressure — the
+    scale path (config.stage1_staging; the caller removes the directory
+    when stage 1 completes).
 
     ``out_cols`` is ``[(src_name, out_name), ...]``; docid is prepended.
     Returns (docs_df, n_docs).
@@ -225,8 +231,14 @@ def dedupe_and_rank(
     dd = (
         dd.withColumn("_mid2", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftright("_mid2", 33).cast("int"))
-        .persist()
     )
+    if staging_dir is not None:
+        # one sequential write pins _mid2/_pid IN THE FILES — stronger than
+        # a cache pin (no eviction window), zero storage-pool pressure
+        dd.write.mode("overwrite").parquet(staging_dir)
+        dd = df.sparkSession.read.parquet(staging_dir)
+    else:
+        dd = dd.persist()
 
     counts = {
         r["_pid"]: r["n"]
@@ -658,6 +670,46 @@ class BuildError(RuntimeError):
     pass
 
 
+def _input_bytes(df: DataFrame) -> int | None:
+    """On-disk bytes of a file-backed DataFrame, or None when unknowable
+    (createDataFrame, non-file sources, remote stores without local stat)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        p = "/" + f[5:].lstrip("/")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def _stage1_staging_dir(
+    pages: DataFrame, config: IndexConfig, index_dir: str
+) -> str | None:
+    """Resolve config.stage1_staging ('auto'|'cache'|'parquet') to a
+    staging path or None (= cache). 'auto' stages to parquet when the
+    input is file-backed and larger than stage1_cache_max_bytes — the
+    measured cache-pressure switch point (config.py) — and caches small /
+    in-memory inputs (tests, small batches)."""
+    mode = config.stage1_staging
+    if mode == "cache":
+        return None
+    if mode == "parquet":
+        return os.path.join(index_dir, "_staging_sorted_run")
+    size = _input_bytes(pages)
+    if size is not None and size > config.stage1_cache_max_bytes:
+        return os.path.join(index_dir, "_staging_sorted_run")
+    return None
+
+
 def _write_docs_guard(fn, errs: list):
     try:
         fn()
@@ -770,6 +822,7 @@ def build_index(
             if extra and extra not in keep:
                 keep.append(extra)
         n_docs = None
+        stage1_staging = None
         snap_names = {dst for _, dst in search_src}
         out_cols = [(config.pk_col, "pk"), *search_src] + [
             (c, c) for c in config.attr_cols if c not in snap_names
@@ -789,9 +842,10 @@ def build_index(
             n_parts = config.extract_partitions or max(
                 spark.sparkContext.defaultParallelism * 2, 8
             )
+            stage1_staging = _stage1_staging_dir(pages, config, index_dir)
             docs, n_docs = dedupe_and_rank(
                 pages.select(*keep), config.pk_col, config.ts_col,
-                out_cols, n_parts,
+                out_cols, n_parts, staging_dir=stage1_staging,
             )
         obs = Observation()
         docs = docs.observe(obs, F.count(F.lit(1)).alias("rows"),
@@ -868,6 +922,10 @@ def build_index(
                    metrics={"n_docs": n_docs, "max_docid": max_docid},
                    wall_s=time.time() - t0)
         spark.catalog.clearCache()
+        if stage1_staging is not None:
+            import shutil as _shutil
+
+            _shutil.rmtree(stage1_staging, ignore_errors=True)
         if run_extract_fused:
             # extract committed strictly AFTER docs: a crash between the
             # two leaves docs committed + extract pending, and the resume

@@ -97,6 +97,18 @@ class IndexConfig:
     k1: float = BM25_K1
     b: float = BM25_B
 
+    # Stage-1 sorted-run materialization. 'cache' pins the deduped sorted
+    # run with .persist() (fastest when it fits executor storage);
+    # 'parquet' writes it to a staging directory and re-reads files —
+    # immune to cache eviction/resampling and to storage-pool pressure.
+    # 'auto' picks parquet when the input's on-disk size is unknown or
+    # exceeds stage1_cache_max_bytes. MEASURED switch point (SURVEY §9.3):
+    # at 4M docs / 24g driver the deserialized cache (~12-16 GB) exceeds
+    # the storage pool and the build degrades ~1.7x; the staging write
+    # costs one extra sequential parquet pass and holds flat.
+    stage1_staging: str = "auto"  # 'auto' | 'cache' | 'parquet'
+    stage1_cache_max_bytes: int = 2 << 30
+
     # salting threshold is implicit: sharding is unconditional (uniform by
     # docid), which bounds every (term, shard) group to ~df/num_shards.
 

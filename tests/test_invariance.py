@@ -99,3 +99,21 @@ def test_salted_equals_unsalted_results(built):
             assert [(d, round(s, 9)) for d, s in ra] == [
                 (d, round(s, 9)) for d, s in rc
             ], (q, mode)
+
+
+def test_staging_parquet_equals_cache(spark, tmp_path_factory):
+    """stage1_staging='parquet' (scale path: sorted run pinned in files)
+    must produce byte-identical postings and identical docids vs the
+    default cache pin."""
+    tmp = tmp_path_factory.mktemp("staging")
+    pdf = _corpus(300)
+    a = _build(spark, tmp, "cache", pdf, 4,
+               num_shards=2, num_buckets=2, stage1_staging="cache")
+    b = _build(spark, tmp, "parquet", pdf, 7,
+               num_shards=2, num_buckets=2, stage1_staging="parquet")
+    assert _docids(spark, a) == _docids(spark, b)
+    assert _postings_hash(spark, a) == _postings_hash(spark, b)
+    import os
+    assert not os.path.exists(os.path.join(b, "_staging_sorted_run")), (
+        "staging run must be cleaned up after the docs stage"
+    )
