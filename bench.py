@@ -94,6 +94,8 @@ def main() -> None:
     timed("q_bm25_filtered", lambda: ix.search(
         "part filter table", k=10, filter_ast={"lang": {"$in": ["en", "fr"]}}).collect())
     timed("q_phrase", lambda: ix.phrase_docids(["part", "filter"]).collect())
+    timed("q_bm25_proximity", lambda: ix.search(
+        "table join", k=10, mode="exhaustive", proximity=1.0).collect())
     timed("q_prefix", lambda: ix.search("sc* data", k=10).collect())
     timed("q_facet_distribution", lambda: facet_distribution(
         docs, "source", filter_ast={"lang": {"$ne": "zh"}}).collect())

@@ -15,7 +15,9 @@ Apache Spark DataFrames:
                    MaxScore default, heap WAND parity path, exhaustive) +
                    global top-k merge, driver point-read path for small
                    slices; phrase, prefix, negation, synonyms, ngrams,
-                   splits, match-all, typo expansion, hybrid fusion
+                   splits, match-all, typo expansion (distance-penalized),
+                   proximity-boosted ranking, BM25F field weights, hybrid
+                   fusion, per-term score details, best-window highlighting
 * ``session``    — allocator env + recommended Spark conf (load-bearing
                    for many-worker scaling; see its docstring)
 * ``filters``    — MongoDB-ish filter AST -> Spark Column (reference F1-F7)
@@ -37,7 +39,9 @@ def __getattr__(name):
         "build_index": ("search_engine_spark.build", "build_index"),
         "SearchIndex": ("search_engine_spark.query", "SearchIndex"),
         "hybrid_search": ("search_engine_spark.query", "hybrid_search"),
+        "highlight_best": ("search_engine_spark.sources", "highlight_best"),
         "add_documents": ("search_engine_spark.update", "add_documents"),
+        "update_documents": ("search_engine_spark.update", "update_documents"),
         "delete_documents": ("search_engine_spark.update", "delete_documents"),
         "compact": ("search_engine_spark.update", "compact"),
         "reindex": ("search_engine_spark.update", "reindex"),
@@ -54,7 +58,8 @@ def __getattr__(name):
 
 __all__ = [
     "IndexConfig", "build_index", "SearchIndex", "hybrid_search",
-    "add_documents", "delete_documents", "compact", "reindex",
+    "highlight_best", "add_documents", "update_documents",
+    "delete_documents", "compact", "reindex",
     "build_session", "apply_runtime_env",
 ]
 __version__ = "0.1.0"

@@ -155,14 +155,36 @@ def minhash_signatures(
     hash_i(term) = md5(i || ':' || term) compared lexicographically — the
     string min is a valid uniform MinHash and is bit-identical across Spark,
     DuckDB and Python. No UDF: pure JVM expressions.
+
+    Shape: ONE ``groupBy(doc_id)`` with n_hashes min-aggregate columns —
+    the map-side combine reduces each task to one 16-column row per doc,
+    so the shuffle moves n_docs rows total. (The earlier
+    crossJoin-with-seeds formulation fanned the distinct (doc, term) rows
+    16x before aggregating — same values, 16x the rows through the
+    exchange.) The long (doc_id, seed, sig) output shape is restored by an
+    inline array explode, which is per-doc and free.
     """
-    spark = df.sparkSession
-    seeds = spark.range(n_hashes).select(F.col("id").cast("int").alias("seed"))
     t = doc_terms(df, id_col, text_col, shingle_size=shingle_size)
-    return (
-        t.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("term")))).alias("sig"))
+    wide = t.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("term")))
+            ).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    z = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seed"), F.col(f"_h{i}").alias("sig")
+                )
+                for i in range(n_hashes)
+            ]
+        )
+    ).alias("z")
+    return wide.select("doc_id", z).select(
+        "doc_id", F.col("z.seed").alias("seed"), F.col("z.sig").alias("sig")
     )
 
 
@@ -265,9 +287,14 @@ def simhash(
     """-> (doc_id, simhash): 60-bit tf-weighted SimHash fingerprint.
 
     bit_j = 1 iff sum over terms of tf * (2*bit_j(md5(term)) - 1) > 0.
-    Implemented as explode over bit positions (60x fan-out of the distinct
-    (doc, term) rows) — all JVM expressions; for 100 TB the same shape holds
-    because the fan-out is map-side (no extra shuffle: one groupBy doc).
+
+    Shape: ONE ``groupBy(doc_id)`` with 60 conditional-sum aggregate
+    columns over the per-(doc, term) tf rows, then a pure projection packs
+    the sign bits into the fingerprint. All JVM expressions; the map-side
+    combine reduces each task to one 60-column row per doc, so the shuffle
+    moves n_docs rows. (The earlier bit-position explode materialized 60
+    rows per (doc, term) and ran a second aggregation — same values, 60x
+    the rows through the first exchange.)
     """
     tf = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term"))
@@ -275,28 +302,21 @@ def simhash(
         .agg(F.count("*").alias("tf"))
         .withColumn("h", _term_hash60(F.col("term")))
     )
-    bits = tf.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-        "tf",
-        "h",
-    ).withColumn(
-        # shiftright/shiftleft with a Column shift amount needs expr()
-        "contrib",
-        F.col("tf") * (F.expr("shiftright(h, j) & 1") * 2 - 1),
-    )
-    return (
-        bits.groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
+    wide = tf.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("simhash")
-        )
+                F.col("tf") * (F.expr(f"shiftright(h, {j}) & 1") * 2 - 1)
+            ).alias(f"_s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(
+            F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else (sim + bit)
+    return wide.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_pairs(

@@ -156,3 +156,18 @@ def test_score_details_sum_equals_score(search_index):
             assert math.isclose(sums[d], s, rel_tol=1e-9, abs_tol=1e-12), (
                 d, s, sums[d], kw
             )
+
+
+def test_proximity_driver_path_identical(search_index, oracle_idx):
+    """The pyarrow point-read execution path must apply the same proximity
+    bonus as the cluster path (both route to the exhaustive scorer)."""
+    q = "web search engine"
+    cluster = search_index.search_list(
+        q, k=10, mode="exhaustive", execution="cluster", proximity=1.0
+    )
+    driver = search_index.search_list(
+        q, k=10, mode="exhaustive", execution="driver", proximity=1.0
+    )
+    oracle = oracle_search(oracle_idx, q, k=10, prox_weight=1.0)
+    assert_rank_identical(cluster, oracle, "prox-cluster", q)
+    assert_rank_identical(driver, oracle, "prox-driver", q)
