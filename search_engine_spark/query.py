@@ -136,6 +136,18 @@ class SearchIndex:
         )
         self._doc_stats = spark.read.parquet(self.paths.doc_stats)
         self._deleted = self._load_deleted()
+        # Ship tombstones to executors as a Spark broadcast (torrent, once
+        # per executor) instead of riding every task's closure: the scorer
+        # closures capture only the handle. Sorted int64 array = 8 B per
+        # tombstone; at 10^12-doc scale with heavy deletes this is the
+        # structure a roaring bitmap would compress, and the contract
+        # (sorted membership lookup) is identical — swap-in point documented
+        # in _load_deleted.
+        self._deleted_bc = (
+            spark.sparkContext.broadcast(self._deleted)
+            if len(self._deleted)
+            else None
+        )
         # The dictionary is tiny relative to the corpus (the reference keeps
         # its whole words-FST in memory, src/index.rs:56). Below this many
         # terms we pin (term -> df) on the driver so query planning does no
@@ -149,9 +161,12 @@ class SearchIndex:
         self.driver_exec_max_postings = 2_000_000
 
     def _load_deleted(self) -> "np.ndarray":
-        """Tombstoned docids as a sorted array, read locally (small relative
-        to the corpus; at 10^12-doc scale this becomes a broadcast roaring
-        bitmap — same contract: sorted membership lookup in the scorer)."""
+        """Tombstoned docids as a sorted array, read locally. Executors see
+        it through ``self._deleted_bc`` (Spark torrent broadcast, fetched
+        once per executor); this driver copy serves the point-read path and
+        query planning. A roaring bitmap would compress the same structure
+        ~10x but isn't in the sandbox's wheels — the contract (sorted
+        membership lookup) is identical, so it's a drop-in swap."""
         import os
 
         if not os.path.isdir(self.paths.deletes):
@@ -368,11 +383,11 @@ class SearchIndex:
                 yield pd.DataFrame({"docid": pd.Series(out, dtype="int64")})
 
         docids = pq_df.mapInPandas(decode, schema="docid long").distinct()
-        deletes = self._deleted
-        if len(deletes):
-            ddf = self.spark.createDataFrame(
-                [(int(x),) for x in deletes], "docid long"
-            )
+        if len(self._deleted):
+            # anti-join against the tombstone parquet directly (no driver
+            # round-trip through the numpy copy); broadcast: deletes are
+            # small relative to the corpus
+            ddf = self.spark.read.parquet(self.paths.deletes).select("docid").distinct()
             docids = docids.join(F.broadcast(ddf), "docid", "left_anti")
         return docids
 
@@ -466,7 +481,7 @@ class SearchIndex:
             match_all=plan.match_all,
             has_filter=filter_ast is not None,
             gen_avgdl=self.gen_avgdl,
-            deleted=self._deleted,
+            deleted=self._deleted_bc,
             prox_pairs=plan.prox_pairs,
             prox_weight=plan.prox_weight,
         )
@@ -787,7 +802,7 @@ def make_shard_scorer(
     has_filter: bool,
     match_all: bool = False,
     gen_avgdl: dict[int, float] | None = None,
-    deleted: np.ndarray | None = None,
+    deleted=None,
     prox_pairs: list[tuple[str, str]] | None = None,
     prox_weight: float = 0.0,
 ):
@@ -808,7 +823,12 @@ def make_shard_scorer(
     """
     neg_set = set(negated)
     gen_avgdl = gen_avgdl or {}
-    deleted = deleted if deleted is not None and len(deleted) else None
+    # `deleted` is either a plain sorted np.ndarray (tests / driver reuse)
+    # or a pyspark Broadcast of one: a Broadcast pickles as a tiny handle,
+    # so tombstones ship once per executor (torrent) instead of once per
+    # task closure. Resolve lazily inside the scorer (executor-side).
+    if deleted is not None and isinstance(deleted, np.ndarray) and not len(deleted):
+        deleted = None
     prox_pairs = prox_pairs or []
 
     def _empty() -> pd.DataFrame:
@@ -819,6 +839,9 @@ def make_shard_scorer(
     def scorer(left: pd.DataFrame, right: pd.DataFrame | None = None) -> pd.DataFrame:
         if len(left) == 0:
             return _empty()
+        tomb = deleted.value if hasattr(deleted, "value") else deleted
+        if tomb is not None and not len(tomb):
+            tomb = None
         readers: dict[str, list[tuple[PostingReader, float]]] = {}
         for row in left.to_dict("records"):
             r = PostingReader.from_row(row, block_size)
@@ -837,13 +860,13 @@ def make_shard_scorer(
         plain = (not phrases and not neg_set and allowed is None
                  and not match_all and not prox_pairs)
         if algo == "wand" and plain:
-            pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b, deleted)
+            pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b, tomb)
         elif algo == "maxscore" and plain:
-            pairs = _maxscore_topk(readers, term_weights, k, avgdl, k1, b, deleted)
+            pairs = _maxscore_topk(readers, term_weights, k, avgdl, k1, b, tomb)
         else:
             pairs = _exhaustive_topk(
                 readers, term_weights, phrases, neg_set, allowed, k, avgdl, k1, b,
-                deleted, match_all=match_all,
+                tomb, match_all=match_all,
                 prox_pairs=prox_pairs, prox_weight=prox_weight,
             )
         if not pairs:

@@ -436,15 +436,22 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 def _filter_deleted_from_arrays(
     td: DataFrame, del_ids: list, config: IndexConfig
 ) -> DataFrame:
-    """Remove tombstoned docids from term_doc array rows (vectorized)."""
+    """Remove tombstoned docids from term_doc array rows (vectorized).
+
+    The tombstone set ships as a Spark broadcast — one torrent transfer per
+    executor — rather than inside every task's pickled closure (same
+    contract as the query-time scorer's broadcast in SearchIndex)."""
     import numpy as np
     import pandas as pd
 
-    del_arr = np.asarray(sorted(int(d) for d in del_ids), dtype=np.int64)
+    bc = td.sparkSession.sparkContext.broadcast(
+        np.asarray(sorted(int(d) for d in del_ids), dtype=np.int64)
+    )
     store_positions = config.store_positions
     schema = td.schema
 
     def fn(batches):
+        del_arr = bc.value
         for pdf in batches:
             if len(pdf) == 0 or len(del_arr) == 0:
                 yield pdf

@@ -211,3 +211,48 @@ def test_update_documents_rejects_unknown_columns(spark, small_index):
     )
     with pytest.raises(ValueError, match="unknown columns"):
         update_documents(spark, small_index, partial)
+
+
+def test_delete_heavy_broadcast_tombstones(spark, tmp_path):
+    """Delete-heavy invariance: tombstone 40% of a 200-doc corpus and the
+    cluster-path scorer (tombstones via Spark broadcast, not task closures)
+    must return exactly what a clean rebuild over the survivors returns."""
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import delete_documents
+
+    words = ["spark", "index", "table", "join", "query", "stream",
+             "window", "engine", "plan", "scan"]
+    rows = [
+        (f"u{i}", " ".join(words[(i + j) % len(words)] for j in range(6)), "en")
+        for i in range(200)
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "text", "lang"])
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                      attr_cols=("lang",), num_shards=2, num_buckets=2)
+    full_dir = str(tmp_path / "full")
+    build_index(spark, spark.createDataFrame(pdf), full_dir, cfg)
+    doomed = [f"u{i}" for i in range(200) if i % 5 in (1, 3)]  # 40%
+    meta = delete_documents(spark, full_dir, doomed)
+    assert meta["n_deleted"] == len(doomed)
+
+    ix = SearchIndex(spark, full_dir)
+    assert ix._deleted_bc is not None and len(ix._deleted_bc.value) == len(doomed)
+
+    clean_dir = str(tmp_path / "clean")
+    build_index(
+        spark,
+        spark.createDataFrame(pdf[~pdf["url"].isin(set(doomed))]),
+        clean_dir, cfg,
+    )
+    clean = SearchIndex(spark, clean_dir)
+    for q in ("spark table", "query stream window", "engine join"):
+        for mode in ("wand", "exhaustive"):
+            got = [p for p, _ in _pk_results(ix, q, mode=mode,
+                                             execution="cluster")]
+            want = [p for p, _ in _pk_results(clean, q, mode=mode,
+                                              execution="cluster")]
+            assert got == want, (q, mode, got, want)
+    shutil.rmtree(full_dir, ignore_errors=True)
+    shutil.rmtree(clean_dir, ignore_errors=True)
