@@ -354,6 +354,8 @@ def make_extract_fn(config: IndexConfig):
                     flat_arrow, doc_idx_arrow, lengths, pos_flat_np = (
                         tokenize_positions_arrow_batch(texts_sorted)
                     )
+                    # positions <= MAX_POSITION (65535): 4-byte from the start
+                    pos_flat_np = pos_flat_np.astype(np.int32, copy=False)
                 else:
                     flat_arrow, doc_idx_arrow, lengths = tokenize_arrow_batch(
                         texts_sorted
@@ -371,7 +373,8 @@ def make_extract_fn(config: IndexConfig):
                         fa, di, ln, pf = tokenize_positions_arrow_batch(
                             col_sorted
                         )
-                        pf = pf.astype(np.int64) + (fid << 16)
+                        # fid<<16 | pos fits int32 (pos <= 65535, few fields)
+                        pf = pf.astype(np.int32, copy=False) + np.int32(fid << 16)
                     else:
                         fa, di, ln = tokenize_arrow_batch(col_sorted)
                         pf = None
@@ -396,7 +399,7 @@ def make_extract_fn(config: IndexConfig):
                 )
                 pos_flat_np = (
                     (np.concatenate(poss_l) if poss_l
-                     else np.zeros(0, np.int64))
+                     else np.zeros(0, np.int32))
                     if store_positions else None
                 )
 
@@ -435,12 +438,26 @@ def make_extract_fn(config: IndexConfig):
             # pd.factorize; dictionary strings only materialize once per
             # distinct term per batch
             denc = pc.dictionary_encode(flat_arrow)
-            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            n_uniq = len(denc.dictionary)
             uniq_arr = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-            # (term, doc) grouping key, term-major then docid asc
-            key = codes * n_docs_b + doc_idx_arrow
+            # (term, doc) grouping key, term-major then docid asc.
+            # 4-byte keys whenever the key space fits int32: extract is
+            # DRAM-bandwidth-bound at high parallelism (SCALE.md, 8->32
+            # analysis) and the token-level sort below is its dominant
+            # pass — halving key bytes halves that traffic.
+            kdt = np.int32 if n_uniq * n_docs_b < 2**31 else np.int64
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(
+                kdt, copy=False
+            )
+            key = codes * kdt(n_docs_b) + doc_idx_arrow.astype(kdt, copy=False)
             if store_positions:
-                order = np.lexsort((pos_flat_np, key))
+                # positions are emitted ascending within each (doc, field)
+                # token run, and the fid<<16 packing keeps later fields
+                # larger, so a STABLE sort on the (term, doc) key alone
+                # leaves positions ascending within every group — one sort
+                # pass instead of lexsort's two (property-tested against
+                # the per-doc tokenizer).
+                order = np.argsort(key, kind="stable")
                 key_sorted = key[order]
                 uniq_keys, tf = np.unique(key_sorted, return_counts=True)
                 pos_sorted = pos_flat_np[order]
@@ -448,8 +465,8 @@ def make_extract_fn(config: IndexConfig):
                 uniq_keys, tf = np.unique(key, return_counts=True)
                 pos_sorted = None
 
-            row_code = (uniq_keys // n_docs_b).astype(np.int64)
-            row_doc_idx = (uniq_keys % n_docs_b).astype(np.int64)
+            row_code = (uniq_keys // kdt(n_docs_b)).astype(np.int64)
+            row_doc_idx = (uniq_keys % kdt(n_docs_b)).astype(np.int64)
             row_docid = doc_ids[row_doc_idx]
             row_dl = lengths[row_doc_idx].astype(np.int32)
             row_shard = (row_docid % num_shards).astype(np.int64)
@@ -490,14 +507,18 @@ def make_extract_fn(config: IndexConfig):
             ]
             if store_positions:
                 # flat positions gathered into group order: posting j's run
-                # starts at orig_starts[order2][j], length tf_s[j]
-                orig_starts = np.concatenate(([0], np.cumsum(tf)))[:-1]
-                starts_o = orig_starts[order2].astype(np.int64)
+                # starts at orig_starts[order2][j], length tf_s[j]. Token
+                # counts per batch fit int32 comfortably — 4-byte gather
+                # temporaries (same bandwidth rationale as the key sort).
+                orig_starts = np.concatenate(
+                    ([0], np.cumsum(tf, dtype=np.int64))
+                )[:-1].astype(np.int32)
+                starts_o = orig_starts[order2]
                 tf_s64 = tf_s.astype(np.int64)
                 tot = int(tf_s64.sum())
-                base = np.repeat(starts_o, tf_s64)
-                excl = np.concatenate(([0], np.cumsum(tf_s64)))[:-1]
-                within = np.arange(tot, dtype=np.int64) - np.repeat(excl, tf_s64)
+                base = np.repeat(starts_o, tf_s)
+                excl = np.concatenate(([0], np.cumsum(tf_s64)))[:-1].astype(np.int32)
+                within = np.arange(tot, dtype=np.int32) - np.repeat(excl, tf_s)
                 pos_group_flat = pos_sorted[base + within].astype(np.int32)
                 inner = pa.ListArray.from_arrays(
                     _offsets(tf_s64), pa.array(pos_group_flat, type=pa.int32())
