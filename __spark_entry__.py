@@ -360,6 +360,14 @@ def _q_ann_cosine_batch(spark, sf_dir):
     )
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    # synthetic embeddings have no true near-dups (max pairwise sim ~0.51),
+    # so 0.4 exercises the banded-LSH candidate path with a non-empty result
+    return similarity.cosine_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.4, n_planes=16, n_bands=4
+    )
+
+
 def _q_ann_lsh(spark, sf_dir):
     qv = _query_vec(spark, sf_dir, 1)
     return similarity.lsh_cosine_topk(
@@ -453,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": _q_ann_cosine,
         "ann_cosine_batch": _q_ann_cosine_batch,
         "ann_lsh": _q_ann_lsh,
+        "dedup_embedding": _q_dedup_embedding,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -973,6 +982,44 @@ SELECT e.vec_id,
                 * sqrt(list_sum(list_transform(q.v, x -> x * x)))), 6) AS sim
 FROM cand e, q
 ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+    # embedding-cosine near-dup pairs: 16 md5-derived hyperplanes exactly as
+    # pipelines/similarity.cosine_near_dup_pairs; 4 bands x 4 bits; exact
+    # cosine >= 0.4 verified on candidates only
+    sql["dedup_embedding"] = """
+WITH planes AS (
+  SELECT p, list_transform(range(0, 64),
+         d -> cast(concat('0x', substr(md5(concat(p, ':', d)), 1, 15)) AS BIGINT)::DOUBLE
+              / 576460752303423488.0 - 1.0) AS pv
+  FROM generate_series(0, 15) g(p)
+),
+sk AS (
+  SELECT e.vec_id, e.embedding,
+         sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * pl.pv[i])) > 0
+                  THEN (1::BIGINT << pl.p) ELSE 0 END) AS sketch
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, e.embedding
+),
+banded AS (
+  SELECT vec_id, embedding, band, (sketch >> (band * 4)) & 15 AS seg
+  FROM sk, generate_series(0, 3) g(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.seg = b.seg AND a.vec_id < b.vec_id
+)
+SELECT a, b,
+       round(list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+FROM cand
+WHERE round(list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
+            / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
+               * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.4
 """
 
     sql["token_stats"] = f"""

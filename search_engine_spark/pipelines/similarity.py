@@ -8,6 +8,10 @@
                           candidates = same bucket, exact re-rank inside the
                           bucket (the scale path: the full scan is replaced
                           by a bucket-pruned scan)
+* ``cosine_near_dup_pairs`` — embedding-cosine near-duplicate *pairs*:
+                          banded sign-sketch LSH candidate join (linear
+                          shuffle, no all-pairs), exact cosine verification
+                          on candidates only
 
 All arithmetic is JVM-side (``zip_with``/``aggregate`` higher-order
 functions) in float64 after casting the float32 input — no Python in the
@@ -142,6 +146,79 @@ def lsh_bucket(vec_col: Column, n_planes: int = 12) -> Column:
     for p in range(1, n_planes):
         out = out + bit(p)
     return out
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: -> (a, b, sim).
+
+    The dedup analogue of ``minhash_lsh_pairs`` for dense vectors: each
+    vector gets an ``n_planes``-bit sign sketch (md5-derived hyperplanes,
+    deterministic); the sketch is split into ``n_bands`` bands and a pair
+    becomes a candidate iff at least one band matches exactly (pigeonhole:
+    every pair within Hamming distance ``n_bands - 1`` of the full sketch
+    is guaranteed found). Exact cosine runs only on candidates.
+
+    Scale shape: the candidate join shuffles on (band, segment) — bucket
+    count grows with the corpus, never all-pairs; candidates carry only id
+    pairs, and the vectors join back co-partitioned on id. At 100 TB raise
+    ``n_planes``/``n_bands`` (e.g. 128 planes x 16 8-bit bands) so per-bucket
+    occupancy stays bounded; the plan shape is unchanged.
+    """
+    bits = n_planes // n_bands
+    mask = (1 << bits) - 1
+    sk = emb.select(
+        F.col(id_col).alias("vec_id"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("sketch"),
+    )
+    bands = sk.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftright(F.col("sketch"), j * bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("seg"),
+                )
+                for j in range(n_bands)
+            ])
+        ).alias("bs"),
+    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.seg").alias("seg"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a"), _vecd(F.col(vec_col)).alias("va"))
+    vb = emb.select(F.col(id_col).alias("b"), _vecd(F.col(vec_col)).alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                ROUND,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
 
 
 def lsh_cosine_topk(

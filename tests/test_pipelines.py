@@ -114,6 +114,31 @@ def test_lsh_ann_recall(spark):
     assert len(exact & approx) >= 3
 
 
+def test_cosine_near_dup_pairs(spark):
+    from search_engine_spark.pipelines.similarity import cosine_near_dup_pairs
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    # plant two true near-dup pairs: tiny perturbations of rows 0 and 7
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    vecs[9] = vecs[7] + rng.normal(scale=0.01, size=16).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = cosine_near_dup_pairs(emb, threshold=0.95).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    # near-identical vectors agree on every sign bit -> every band matches,
+    # so the planted pairs are guaranteed candidates and must be found
+    assert (0, 1) in pairs and (7, 9) in pairs
+    for r in got:
+        v64 = vecs.astype(np.float64)
+        a, b = v64[r["a"]], v64[r["b"]]
+        sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert sim >= 0.95
+        assert abs(r["sim"] - sim) < 1e-5
+
+
 def test_token_stats_and_quality(spark, docs_df):
     from search_engine_spark.pipelines.textstats import quality_score, token_stats
 
