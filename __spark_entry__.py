@@ -360,6 +360,38 @@ def _q_ann_cosine_batch(spark, sf_dir):
     )
 
 
+def _q_dedup_stream(spark, sf_dir):
+    # Structured Streaming stateful dedup (applyInPandasWithState), drained
+    # with availableNow into a memory sink; batch parity = min-id winner
+    # per exact text content (the oracle).
+    import uuid
+
+    from search_engine_spark import streaming as streaming_mod
+
+    # documents.parquet is a single file; the file-stream source needs a
+    # directory, so stream the sf_dir filtered down to that one file
+    schema = _docs(spark, sf_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"dedup_stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="dedup_stream_ckpt_")
+    q = (
+        streaming_mod.dedup_stream(stream, text_col="text", id_col="doc_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     # synthetic embeddings have no true near-dups (max pairwise sim ~0.51),
     # so 0.4 exercises the banded-LSH candidate path with a non-empty result
@@ -462,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_batch": _q_ann_cosine_batch,
         "ann_lsh": _q_ann_lsh,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_stream": _q_dedup_stream,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -982,6 +1015,14 @@ SELECT e.vec_id,
                 * sqrt(list_sum(list_transform(q.v, x -> x * x)))), 6) AS sim
 FROM cand e, q
 ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+    # streaming stateful dedup batch parity: first (min doc_id) occurrence
+    # of each exact text content survives
+    sql["dedup_stream"] = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
 """
 
     # embedding-cosine near-dup pairs: 16 md5-derived hyperplanes exactly as

@@ -1,4 +1,4 @@
-"""Structured Streaming ingestion into the index.
+"""Structured Streaming ingestion into the index + stream operators.
 
 The reference is a batch index-then-query engine (SURVEY.md §2.11 — no
 streaming surface), but its incremental batch upsert maps naturally onto
@@ -11,11 +11,28 @@ writes make each generation commit atomic.
 Compaction policy: generations accumulate per micro-batch; call
 ``update.compact`` when ``len(meta['generations'])`` exceeds a threshold
 (done here opportunistically via ``compact_every``).
+
+Stream-side operators (composable in front of ``index_stream``):
+
+* ``dedup_stream``          — cross-micro-batch exact content dedup via
+                              ``applyInPandasWithState``: state = one seen
+                              marker per content hash in the state store
+                              (keyed, horizontally partitioned — no driver
+                              state); only the first occurrence is emitted.
+* ``windowed_term_counts``  — event-time windowed term frequencies with a
+                              watermark for late data (built-in windowed
+                              aggregation; append-mode emits finalized
+                              windows only).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from search_engine_spark.index import IndexPaths, read_meta
 from search_engine_spark.update import add_documents, compact
@@ -52,3 +69,92 @@ def index_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+) -> DataFrame:
+    """Cross-micro-batch exact content dedup on a streaming DataFrame.
+
+    Keys the stream by ``xxhash64(text)`` and keeps one integer marker per
+    hash in Spark's keyed state store (``applyInPandasWithState``): the
+    first row seen for a hash — ties within a micro-batch broken by min
+    ``id_col`` for determinism — is emitted; every later row with the same
+    content is dropped, across micro-batches and across restarts (state is
+    checkpointed with the query).
+
+    Scale shape: state is partitioned by the hash key across executors
+    (state store instances), so memory per executor is
+    ``n_distinct_hashes / n_partitions`` markers — no driver state, no
+    broadcast. The 64-bit key keeps the store small regardless of document
+    size. Collisions: a 64-bit key is safe to ~10^9 distinct contents
+    (birthday bound ~3%); at 10^12 switch the key to the full ``md5``
+    hex string — same plan shape, 2x state bytes.
+
+    Batch parity: on a static DataFrame the same semantics are
+    ``pipelines.dedup.exact_dedup`` (hash-groupBy, min-id winner).
+    """
+    if id_col not in stream_df.columns:
+        raise ValueError(f"id_col {id_col!r} not in stream columns")
+    hashed = stream_df.withColumn("_chash", F.xxhash64(F.col(text_col)))
+    out_schema = StructType(list(hashed.schema.fields))
+    state_schema = StructType([StructField("seen", IntegerType())])
+
+    def emit_first(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            for _ in pdfs:  # drain; content already emitted in a prior batch
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            cand = pdf.sort_values(id_col, kind="stable").head(1)
+            if first is None or cand[id_col].iloc[0] < first[id_col].iloc[0]:
+                first = cand
+        state.update((1,))
+        if first is not None:
+            yield first
+
+    return (
+        hashed.groupBy("_chash")
+        .applyInPandasWithState(
+            emit_first, out_schema, state_schema, "append", "NoTimeout"
+        )
+        .drop("_chash")
+    )
+
+
+def windowed_term_counts(
+    stream_df: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed term frequencies with late-data handling.
+
+    -> streaming (window_start, window_end, term, n): tokenizes JVM-side
+    (``regexp_extract_all`` — the same frozen ASCII tokenizer as the dedup
+    pipeline), explodes to (ts, term), and aggregates per tumbling window.
+    The watermark bounds state: windows older than ``watermark`` are
+    finalized, emitted (append mode), and evicted from the state store, so
+    state size is O(active windows x distinct terms), independent of
+    stream length.
+    """
+    from search_engine_spark.pipelines.dedup import tokens_col
+
+    toks = (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(tokens_col(text_col)).alias("term"))
+    )
+    return (
+        toks.groupBy(F.window(F.col(ts_col), window), "term")
+        .agg(F.count("*").cast(LongType()).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "term",
+            "n",
+        )
+    )

@@ -62,3 +62,78 @@ def test_stream_ingest_into_index(spark, tmp_path):
     assert read_meta(IndexPaths(idx))["n_docs"] == 4
 
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    from search_engine_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    # same content "dup text" appears in batch 1 (d1, d9) and batch 2 (d5):
+    # only the min-id row of the first batch survives
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for r in [{"url": "d9", "text": "dup text"},
+                  {"url": "d1", "text": "dup text"},
+                  {"url": "d2", "text": "unique one"}]:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(src, "b.json"), "w") as f:
+        for r in [{"url": "d5", "text": "dup text"},
+                  {"url": "d6", "text": "unique two"}]:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        dedup_stream(stream, text_col="text", id_col="url")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["url"]: r["text"] for r in spark.sql("select * from dedup_out").collect()}
+    assert rows == {"d1": "dup text", "d2": "unique one", "d6": "unique two"}
+
+
+def test_windowed_term_counts_watermark(spark, tmp_path):
+    from search_engine_spark.streaming import windowed_term_counts
+
+    src = str(tmp_path / "wsrc")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for r in [
+            {"warc_ts": "2026-01-01T00:10:00Z", "text": "alpha beta alpha"},
+            {"warc_ts": "2026-01-01T00:40:00Z", "text": "beta"},
+            {"warc_ts": "2026-01-01T01:20:00Z", "text": "alpha"},
+            # late enough to close the 00:00 window under the 2h watermark
+            {"warc_ts": "2026-01-01T09:00:00Z", "text": "gamma"},
+        ]:
+            f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema("warc_ts timestamp, text string").json(src)
+    )
+    q = (
+        windowed_term_counts(stream, ts_col="warc_ts", window="1 hour",
+                             watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wtc_out")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["term"]): r["n"]
+        for r in spark.sql("select * from wtc_out").collect()
+    }
+    # finalized hour-0 and hour-1 windows (watermark passed them)
+    assert got[("2026-01-01 00:00:00", "alpha")] == 2
+    assert got[("2026-01-01 00:00:00", "beta")] == 2
+    assert got[("2026-01-01 01:00:00", "alpha")] == 1
