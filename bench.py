@@ -104,6 +104,8 @@ def main() -> None:
         dedup.minhash_lsh_pairs(docs, threshold=0.2, shingle_size=3)))
     timed("q_simhash", lambda: _force(dedup.simhash(docs)))
     timed("q_ann_cosine", lambda: similarity.cosine_topk(embs, qv, k=10, exclude_ids=[0]).collect())
+    timed("q_dedup_embedding", lambda: _force(
+        similarity.cosine_near_dup_pairs(embs, threshold=0.4)))
     timed("q_token_stats", lambda: _force(textstats.token_stats(docs)))
     timed("q_quality", lambda: _force(textstats.quality_score(docs)))
 

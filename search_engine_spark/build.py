@@ -562,8 +562,15 @@ def _postings_arrow_schema():
     )
 
 
-def make_encode_fn(config: IndexConfig, avgdl: float):
+def make_encode_fn(config: IndexConfig, avgdl: float, lineage_dir: str | None = None):
     """applyInArrow encoder for one shard group -> one segment row per term.
+
+    ``lineage_dir``: when set, every encode task appends one JSON record
+    (stage/partition/attempt ids, shard, segments merged, postings emitted,
+    bytes compressed) to that directory — per-task lineage for the build,
+    named by attempt id so speculative/retried attempts stay distinguishable.
+    The per-bucket checkpoint manifest remains the commit truth; these
+    records are the task-level audit trail beneath it.
 
     Grouping by shard (not (term, shard)) keeps the number of groups at
     num_buckets * num_shards — coarse enough that per-group UDF overhead
@@ -684,7 +691,45 @@ def make_encode_fn(config: IndexConfig, avgdl: float):
             schema=out_schema,
         )
 
-    return encode
+    if lineage_dir is None:
+        return encode
+
+    def encode_with_lineage(tbl: "pa.Table") -> "pa.Table":
+        out = encode(tbl)
+        if tbl.num_rows == 0:
+            return out
+        import json
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        shard = int(tbl.column("shard")[0].as_py())
+        n_bytes = 0
+        for name in ("docs", "tfs", "dls", "poss"):
+            s = pc.sum(pc.binary_length(out.column(name))).as_py()
+            n_bytes += int(s or 0)
+        rec = {
+            "stage_id": tc.stageId() if tc else -1,
+            "partition_id": tc.partitionId() if tc else -1,
+            "task_attempt_id": tc.taskAttemptId() if tc else -1,
+            "shard": shard,
+            "input_rows": tbl.num_rows,
+            "segments_merged": out.num_rows,
+            "postings_emitted": int(
+                pc.sum(out.column("n_docs")).as_py() or 0
+            ),
+            "bytes_compressed": int(n_bytes),
+        }
+        os.makedirs(lineage_dir, exist_ok=True)
+        fn = (
+            f"task-s{rec['stage_id']}-p{rec['partition_id']}"
+            f"-a{rec['task_attempt_id']}-shard{shard}.json"
+        )
+        with open(os.path.join(lineage_dir, fn), "w") as f:
+            f.write(json.dumps(rec) + "\n")
+        return out
+
+    return encode_with_lineage
 
 
 class BuildError(RuntimeError):
@@ -1033,7 +1078,10 @@ def build_index(
     # buckets without a manifest). They are SUBMITTED concurrently — Spark's
     # scheduler interleaves their tasks, so stragglers in one bucket don't
     # serialize the others and wall time ~ max(bucket) not sum(bucket).
-    encode_fn = make_encode_fn(config, avgdl)
+    encode_fn = make_encode_fn(
+        config, avgdl,
+        lineage_dir=os.path.join(paths.metrics, f"tasks-{build_id}"),
+    )
     os.makedirs(paths.gen_dir(paths.postings, 0), exist_ok=True)
 
     def run_bucket(b: int) -> None:
