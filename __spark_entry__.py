@@ -392,6 +392,13 @@ def _q_dedup_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    qv = _query_vec(spark, sf_dir, 2)
+    return similarity.ivf_cosine_topk(
+        _embs(spark, sf_dir), qv, k=10, n_centroids=16, n_probe=4
+    ).select("vec_id", "sim")
+
+
 def _q_dedup_embedding(spark, sf_dir):
     # synthetic embeddings have no true near-dups (max pairwise sim ~0.51),
     # so 0.4 exercises the banded-LSH candidate path with a non-empty result
@@ -493,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": _q_ann_cosine,
         "ann_cosine_batch": _q_ann_cosine_batch,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_stream": _q_dedup_stream,
         # text analysis
@@ -1016,6 +1024,44 @@ SELECT e.vec_id,
 FROM cand e, q
 ORDER BY sim DESC, e.vec_id LIMIT 10
 """
+
+    # IVF-Flat ANN: centroids = 16 vectors with smallest md5(vec_id) (same
+    # deterministic sample as pipelines/similarity.ivf_assignments), assign
+    # to nearest centroid by cosine (ties -> smaller cid), probe top-4
+    # lists for query vec_id=2, exact re-rank inside
+    sql["ann_ivf"] = """
+WITH ranked AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid
+  FROM embeddings
+),
+cents AS (SELECT cid, cvec FROM ranked WHERE cid < 16),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 2),
+asgn AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * c.cvec[i]))
+                    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                       * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) DESC,
+                    c.cid ASC
+         ) AS rn
+  FROM embeddings e, cents c
+),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY list_sum(list_transform(range(1, len(q.v) + 1), i -> c.cvec[i] * q.v[i]))
+           / (sqrt(list_sum(list_transform(c.cvec, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.v, x -> x * x)))) DESC,
+           c.cid ASC
+  LIMIT 4
+)
+SELECT e.vec_id, round({cos}, 6) AS sim
+FROM (SELECT vec_id, embedding, cid FROM asgn WHERE rn = 1) e
+JOIN probe USING (cid), q
+ORDER BY sim DESC, e.vec_id LIMIT 10
+""".format(cos=_COS_EXPR)
 
     # streaming stateful dedup batch parity: first (min doc_id) occurrence
     # of each exact text content survives

@@ -106,6 +106,8 @@ def main() -> None:
     timed("q_ann_cosine", lambda: similarity.cosine_topk(embs, qv, k=10, exclude_ids=[0]).collect())
     timed("q_dedup_embedding", lambda: _force(
         similarity.cosine_near_dup_pairs(embs, threshold=0.4)))
+    timed("q_ann_ivf", lambda: similarity.ivf_cosine_topk(
+        embs, qv, k=10, n_centroids=16, n_probe=4).collect())
     timed("q_token_stats", lambda: _force(textstats.token_stats(docs)))
     timed("q_quality", lambda: _force(textstats.quality_score(docs)))
 

@@ -12,6 +12,10 @@
                           banded sign-sketch LSH candidate join (linear
                           shuffle, no all-pairs), exact cosine verification
                           on candidates only
+* ``ivf_cosine_topk``   — IVF-Flat ANN: deterministic sampled centroids
+                          (md5-ordered vec ids), nearest-centroid inverted
+                          lists, query probes the ``n_probe`` closest lists
+                          and re-ranks exactly inside them
 
 All arithmetic is JVM-side (``zip_with``/``aggregate`` higher-order
 functions) in float64 after casting the float32 input — no Python in the
@@ -218,6 +222,109 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: -> (centroids, assignments).
+
+    Centroids are the ``n_centroids`` corpus vectors with the smallest
+    ``md5(vec_id)`` — a deterministic uniform sample (md5 is uncorrelated
+    with insertion order or vector values), the "random init" flavor of
+    IVF-Flat with no Lloyd refinement, reproducible bit-for-bit in the
+    DuckDB oracle. ``centroids`` = (cid, cvec) with cid densely ranked by
+    the same md5 order; ``assignments`` = (vec_id, cid, 'v' vector) where
+    cid maximizes cosine(vector, centroid) (ties -> smaller cid).
+
+    Scale shape: centroids are a broadcast dim table (n_centroids rows);
+    the assignment is one codegen'd scan with a broadcast nested-loop join
+    + per-vector argmax window — no shuffle of the corpus. At 100 TB the
+    assignments table is written ``partitionBy(cid)`` so a probe prunes to
+    ``n_probe`` partitions, and ``n_centroids`` scales to sqrt(n) with a
+    Lloyd-refinement job (iterative broadcast join) if list balance
+    matters; the query plan is unchanged.
+    """
+    cents = (
+        emb.select(
+            F.col(id_col).alias("src_id"),
+            _vecd(F.col(vec_col)).alias("cvec"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "src_id")
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(Window.orderBy("h", "src_id")) - 1).alias("cid"),
+            "cvec",
+        )
+    )
+    v = _vecd(F.col(vec_col))
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            (
+                _dot(F.col("v"), F.col("cvec"))
+                / (_norm(F.col("v")) * _norm(F.col("cvec")))
+            ).alias("csim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assigns = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "v")
+    )
+    return cents, assigns
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat ANN top-k: -> (rank, vec_id, sim).
+
+    Probes the ``n_probe`` centroids closest to the query (cosine, ties ->
+    smaller cid) and exact-cosine re-ranks only the vectors assigned to
+    those lists. Recall < 1.0 by construction (the probed lists may miss
+    true neighbors); with ``n_probe == n_centroids`` it is exhaustive.
+    """
+    cents, assigns = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        cents.select(
+            "cid",
+            (_dot(F.col("cvec"), q) / (_norm(F.col("cvec")) * _norm(q))).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    cand = assigns.join(F.broadcast(probe), "cid")
+    scored = cand.select(
+        "vec_id",
+        F.round(
+            _dot(F.col("v"), q) / (_norm(F.col("v")) * _norm(q)), ROUND
+        ).alias("sim"),
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "vec_id", "sim")
     )
 
 

@@ -114,6 +114,28 @@ def test_lsh_ann_recall(spark):
     assert len(exact & approx) >= 3
 
 
+def test_ivf_ann_recall_and_exhaustive_parity(spark):
+    from search_engine_spark.pipelines.similarity import cosine_topk, ivf_cosine_topk
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(200, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[5]]
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    probed = [r["vec_id"] for r in
+              ivf_cosine_topk(emb, q, k=10, n_centroids=16, n_probe=4).collect()]
+    # the query's own list is always probed -> self is found
+    assert 5 in probed
+    assert len(set(exact) & set(probed)) >= 3
+    # n_probe == n_centroids degenerates to exhaustive: rank-identical
+    full = [r["vec_id"] for r in
+            ivf_cosine_topk(emb, q, k=10, n_centroids=16, n_probe=16).collect()]
+    assert full == exact
+
+
 def test_cosine_near_dup_pairs(spark):
     from search_engine_spark.pipelines.similarity import cosine_near_dup_pairs
 
