@@ -437,6 +437,18 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    payloads = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.resize_media(payloads, target_w=32, target_h=32).select(
+        "doc_id", "out_w", "out_h", "thumb_md5"
+    )
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    payloads = multimodal.attach_binary_payload(_docs(spark, sf_dir))
+    return multimodal.sample_frames(payloads, frame_size=64, every=4)
+
+
 def _q_build_metrics(spark, sf_dir):
     """Per-stage build lineage + metrics (north rule; rows-only check)."""
     idx = _index(spark, sf_dir)
@@ -510,6 +522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         # lineage/metrics (rows-only)
         "build_metrics": _q_build_metrics,
     }
@@ -1183,6 +1197,31 @@ SELECT doc_id,
        cast(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64 + 1 AS fake_w,
        cast(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64 + 1 AS fake_h
 FROM documents
+"""
+
+    sql["multimodal_resize"] = """
+WITH f AS (
+  SELECT doc_id, text,
+         cast(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64 + 1 AS fake_w,
+         cast(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64 + 1 AS fake_h
+  FROM documents
+)
+SELECT doc_id,
+       least(fake_w, 32) AS out_w,
+       least(fake_h, 32) AS out_h,
+       md5(concat(text, ':', least(fake_w, 32), 'x', least(fake_h, 32))) AS thumb_md5
+FROM f
+"""
+
+    # frame sampling: every 4th 64-byte window -> stride 256; text is
+    # ASCII-only in the synthetic corpus so string substr == byte slicing
+    sql["multimodal_frames"] = """
+SELECT doc_id,
+       CAST(off // 256 AS INT) AS frame_idx,
+       off AS frame_offset,
+       CAST(strlen(substr(text, CAST(off AS INT) + 1, 64)) AS INT) AS frame_bytes,
+       md5(substr(text, CAST(off AS INT) + 1, 64)) AS frame_md5
+FROM documents, unnest(generate_series(0, strlen(text) - 1, 256)) AS t(off)
 """
 
     # build_metrics: intentionally no oracle (lineage rows; rows-only check)

@@ -97,3 +97,97 @@ def extract_features(payloads: DataFrame, fake: str = "deterministic") -> DataFr
             )
 
     return payloads.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, media_type string, out_w int, out_h int, thumb_md5 string"
+
+
+def resize_media(
+    payloads: DataFrame, target_w: int = 32, target_h: int = 32, fake: str = "deterministic"
+) -> DataFrame:
+    """Resize step (STUB codec, real plumbing): -> (doc_id, media_type,
+    out_w, out_h, thumb_md5).
+
+    A real pipeline would decode + bilinear-resample here; the
+    deterministic fake clamps the pseudo-dimensions to the target box and
+    fingerprints the "thumbnail" as ``md5(payload || ':WxH')`` so the
+    output is verifiable everywhere. Batch cost stays O(batch bytes);
+    output rows are small and shuffle freely.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                payload = bytes(payload)
+                feats = decode_payload(payload, mt, fake=fake)
+                out_w = min(feats["fake_w"], target_w)
+                out_h = min(feats["fake_h"], target_h)
+                thumb = hashlib.md5(
+                    payload + f":{out_w}x{out_h}".encode()
+                ).hexdigest()
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": mt,
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "thumb_md5": thumb,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_type", "out_w", "out_h", "thumb_md5"]
+            )
+
+    return payloads.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset long, frame_bytes int, frame_md5 string"
+)
+
+
+def sample_frames(
+    payloads: DataFrame, frame_size: int = 64, every: int = 4
+) -> DataFrame:
+    """Frame sampling (video analogue) over binary payloads: -> one row per
+    sampled frame (doc_id, frame_idx, frame_offset, frame_bytes, frame_md5).
+
+    Takes every ``every``-th ``frame_size``-byte window of the payload —
+    the deterministic stand-in for keyframe extraction. The Spark-side
+    plumbing is the real thing: variable per-doc fan-out inside
+    ``mapInPandas`` (one input row -> N output rows without an explode
+    shuffle), Arrow-batched, output bounded by payload bytes / stride.
+    """
+    stride = frame_size * every
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for idx, off in enumerate(range(0, len(b), stride)):
+                    fb = b[off : off + frame_size]
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "frame_offset": off,
+                            "frame_bytes": len(fb),
+                            "frame_md5": hashlib.md5(fb).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "frame_offset",
+                    "frame_bytes",
+                    "frame_md5",
+                ],
+            )
+
+    return payloads.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -217,6 +217,48 @@ def test_multimodal_features_roundtrip(spark, docs_df):
         decode_payload(b"\xff\xd8\xff", "image/jpeg")
 
 
+def test_multimodal_resize_clamps_and_fingerprints(spark, docs_df):
+    from search_engine_spark.pipelines.multimodal import (
+        attach_binary_payload,
+        decode_payload,
+        resize_media,
+    )
+
+    out = {r["doc_id"]: r for r in
+           resize_media(attach_binary_payload(docs_df), target_w=8, target_h=8).collect()}
+    for doc_id, text, _ in docs_df.collect():
+        payload = text.encode()
+        feats = decode_payload(payload, "text/plain", fake="deterministic")
+        w, h = min(feats["fake_w"], 8), min(feats["fake_h"], 8)
+        r = out[doc_id]
+        assert (r["out_w"], r["out_h"]) == (w, h)
+        assert r["out_w"] <= 8 and r["out_h"] <= 8
+        assert r["thumb_md5"] == hashlib.md5(payload + f":{w}x{h}".encode()).hexdigest()
+
+
+def test_multimodal_frame_sampling_windows(spark, docs_df):
+    from search_engine_spark.pipelines.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    frames = sample_frames(
+        attach_binary_payload(docs_df), frame_size=10, every=2
+    ).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text, _ in docs_df.collect():
+        b = text.encode()
+        expect = [(i, off, b[off:off + 10]) for i, off in
+                  enumerate(range(0, len(b), 20))]
+        got = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert len(got) == len(expect)
+        for r, (idx, off, fb) in zip(got, expect):
+            assert (r["frame_idx"], r["frame_offset"], r["frame_bytes"]) == (idx, off, len(fb))
+            assert r["frame_md5"] == hashlib.md5(fb).hexdigest()
+
+
 def test_facets(spark, docs_df):
     from search_engine_spark.facets import facet_distribution, facet_value_search
 
