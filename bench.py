@@ -91,6 +91,12 @@ def main() -> None:
     timed("q_bm25_exhaustive", lambda: ix.search("table join merge", k=10, mode="exhaustive").collect())
     timed("q_bm25_wand", lambda: ix.search("hash group sort", k=10, mode="wand").collect())
     timed("q_bm25_maxscore", lambda: ix.search("hash group sort", k=10, mode="maxscore").collect())
+    timed("q_bm25_wand_cluster", lambda: ix.search(
+        "hash group sort", k=10, mode="wand", execution="cluster").collect())
+    ix.pin()
+    timed("q_bm25_wand_pinned", lambda: ix.search(
+        "hash group sort", k=10, mode="wand", execution="cluster").collect())
+    ix.unpin()
     timed("q_bm25_filtered", lambda: ix.search(
         "part filter table", k=10, filter_ast={"lang": {"$in": ["en", "fr"]}}).collect())
     timed("q_phrase", lambda: ix.phrase_docids(["part", "filter"]).collect())

@@ -159,6 +159,56 @@ class SearchIndex:
         # (point-read path; ~ms latency). Head terms at web scale exceed it
         # and fall back to the document-partitioned cluster path.
         self.driver_exec_max_postings = 2_000_000
+        # pin(): executor-cached postings slice (reference analogue: LMDB's
+        # OS page cache keeps hot posting pages resident, src/index.rs txns)
+        self._pinned: DataFrame | None = None
+        self._pinned_buckets: set[int] = set()
+        self._pinned_stats: DataFrame | None = None
+
+    def pin(self, buckets: list[int] | None = None,
+            storage_level: str = "MEMORY_AND_DISK",
+            materialize: bool = True) -> "SearchIndex":
+        """Pin postings (optionally only ``buckets``) + doc_stats in executor
+        cache for repeated-query serving — the Spark analogue of the
+        reference's resident LMDB pages. Queries whose term buckets are all
+        pinned read the in-memory columnar relation instead of parquet;
+        others fall back to the pruned parquet scan transparently.
+
+        At web scale pin the *head* buckets only (term frequency is Zipfian:
+        a few buckets serve most queries); pinning everything is a
+        small-index convenience. Cache is cluster-memory bounded —
+        MEMORY_AND_DISK spills instead of recomputing the scan.
+        """
+        from pyspark import StorageLevel
+
+        lvl = getattr(StorageLevel, storage_level)
+        self.unpin()
+        self._pinned_buckets = (
+            set(range(self.config.num_buckets)) if buckets is None
+            else {int(b) for b in buckets}
+        )
+        pinned = self._postings
+        if len(self._pinned_buckets) < self.config.num_buckets:
+            pinned = pinned.filter(
+                F.col("bucket").isin(sorted(self._pinned_buckets))
+            )
+        self._pinned = pinned.persist(lvl)
+        self._pinned_stats = self._doc_stats.persist(lvl)
+        if materialize:
+            self._pinned.count()
+            self._pinned_stats.count()
+        self._doc_stats = self._pinned_stats
+        return self
+
+    def unpin(self) -> None:
+        """Release pinned cache (no-op if not pinned)."""
+        if self._pinned is not None:
+            self._pinned.unpersist()
+            self._pinned = None
+            self._pinned_buckets = set()
+        if self._pinned_stats is not None:
+            self._pinned_stats.unpersist()
+            self._pinned_stats = None
 
     def _load_deleted(self) -> "np.ndarray":
         """Tombstoned docids as a sorted array, read locally. Executors see
@@ -337,7 +387,10 @@ class SearchIndex:
     # -- execution ---------------------------------------------------------
     def _postings_for(self, terms: list[str]) -> DataFrame:
         buckets = sorted({term_bucket(t, self.config.num_buckets) for t in terms})
-        return self._postings.filter(
+        src = self._postings
+        if self._pinned is not None and set(buckets) <= self._pinned_buckets:
+            src = self._pinned
+        return src.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
 

@@ -346,3 +346,28 @@ def test_highlight_results_includes_derived_terms(feature_index):
     assert all("<em>york</em>" in (r["snippet"] or "") for r in out), (
         [(r["snippet"] or "")[:80] for r in out]
     )
+
+
+def test_pin_unpin_results_identical(feature_index):
+    """pin() serves queries from the executor cache; results must be
+    byte-identical to the parquet-scan path, for full and partial pins."""
+    ix, _ = feature_index
+    try:
+        base = [tuple(r) for r in
+                ix.search("new york pizza", k=5, mode="exhaustive", execution="cluster").collect()]
+        ix.pin()
+        pinned = [tuple(r) for r in
+                  ix.search("new york pizza", k=5, mode="exhaustive", execution="cluster").collect()]
+        assert pinned == base
+        # partial pin: only bucket 0 — queries hitting other buckets fall back
+        ix.pin(buckets=[0])
+        part = [tuple(r) for r in
+                ix.search("new york pizza", k=5, mode="exhaustive", execution="cluster").collect()]
+        assert part == base
+        filt = ix.search("pizza", k=5, filter_ast={"lang": "en"}).collect()
+        assert all(True for _ in filt)
+    finally:
+        ix.unpin()
+    after = [tuple(r) for r in
+             ix.search("new york pizza", k=5, mode="exhaustive", execution="cluster").collect()]
+    assert after == base
