@@ -43,6 +43,7 @@ def __getattr__(name):
         "add_documents": ("search_engine_spark.update", "add_documents"),
         "update_documents": ("search_engine_spark.update", "update_documents"),
         "delete_documents": ("search_engine_spark.update", "delete_documents"),
+        "delete_by_filter": ("search_engine_spark.update", "delete_by_filter"),
         "compact": ("search_engine_spark.update", "compact"),
         "reindex": ("search_engine_spark.update", "reindex"),
         "build_session": ("search_engine_spark.session", "build_session"),
@@ -59,7 +60,7 @@ def __getattr__(name):
 __all__ = [
     "IndexConfig", "build_index", "SearchIndex", "hybrid_search",
     "highlight_best", "add_documents", "update_documents",
-    "delete_documents", "compact", "reindex",
+    "delete_documents", "delete_by_filter", "compact", "reindex",
     "build_session", "apply_runtime_env",
 ]
 __version__ = "0.1.0"

@@ -321,6 +321,34 @@ def delete_documents(spark: SparkSession, index_dir: str, pks: list) -> dict:
     return read_meta(paths)
 
 
+def delete_by_filter(
+    spark: SparkSession, index_dir: str, filter_ast: dict
+) -> dict:
+    """Tombstone every document whose attributes match ``filter_ast`` (the
+    same predicate language as search-time filters, filters.py).
+
+    The reference deletes only by external id (T3; del_add merge during
+    indexing) — filter-scoped deletion is the batch-pipeline extension:
+    resolve the matching docids from the attribute columns (one pruned scan,
+    no postings touched) and append them as tombstones. Scale shape is
+    identical to delete_documents: tombstones are a docid parquet append;
+    postings rewrite cost is deferred to compact().
+    """
+    from .filters import to_column
+
+    paths, meta, config = _load(spark, index_dir)
+    stats = spark.read.parquet(paths.doc_stats)
+    tomb = stats.filter(to_column(filter_ast)).select("docid")
+    _append_tombstones(spark, paths, tomb)
+    n_live, avgdl, total_dl = _live_stats(spark, paths)
+    meta.update(
+        n_docs=int(n_live), avgdl=float(avgdl), total_dl=int(total_dl),
+        n_deleted=int(parquet_dir_rows(paths.deletes)),
+    )
+    _rewrite_meta(paths, config, meta)
+    return read_meta(paths)
+
+
 def compact(spark: SparkSession, index_dir: str) -> dict:
     """Segment merge: fold all generations + tombstones into a fresh gen=0.
 

@@ -82,6 +82,22 @@ def test_delete_documents(spark, small_index):
     assert pks == {"b"}
 
 
+def test_delete_by_filter(spark, small_index):
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import compact, delete_by_filter
+
+    meta = delete_by_filter(spark, small_index, {"lang": "en"})
+    assert meta["n_docs"] == 1 and meta["n_deleted"] == 3
+    ix = SearchIndex(spark, small_index)
+    pks = {p for p, _ in _pk_results(ix, "spark index engine window stream")}
+    assert pks == {"c"}
+    # compaction folds the filter-deletes like id-deletes
+    meta = compact(spark, small_index)
+    assert meta["n_deleted"] == 0 and meta["n_docs"] == 1
+    ix = SearchIndex(spark, small_index)
+    assert {p for p, _ in _pk_results(ix, "window stream")} == {"c"}
+
+
 def test_compact_equals_clean_rebuild(spark, small_index, tmp_path):
     from search_engine_spark.build import build_index
     from search_engine_spark.config import IndexConfig
