@@ -113,6 +113,14 @@ class SearchIndex:
         meta = read_meta(self.paths)
         self.config = IndexConfig.from_dict(meta["config"])
         self.n_docs: int = meta["n_docs"]
+        # idf is computed over the *indexed* doc count (live + tombstoned),
+        # matching the stale per-term df below (Lucene semantics: deleted
+        # docs keep counting toward term statistics until segments merge).
+        # Using the live count with stale df lets idf go NEGATIVE once more
+        # than half a term's docs are tombstoned, which both inverts ranking
+        # and breaks WAND/MaxScore pruning (upper bounds assume nonnegative
+        # term contributions). Compaction refreshes everything.
+        self.n_docs_indexed: int = meta["n_docs"] + int(meta.get("n_deleted", 0))
         self.avgdl: float = meta["avgdl"]
         self.n_terms: int = meta.get("n_terms", 0)
         # generation -> avgdl used when that generation's block-max metadata
@@ -360,7 +368,7 @@ class SearchIndex:
             for t, df in self._expand_typo(ty).items():
                 add({t: df}, TYPO_PENALTY ** levenshtein(ty, t, cap=3))
         weights = {
-            t: bm25_idf(self.n_docs, df) * penalty[t]
+            t: bm25_idf(self.n_docs_indexed, df) * penalty[t]
             for t, df in scoring.items()
         }
         prox_pairs: list[tuple[str, str]] = []

@@ -272,3 +272,39 @@ def test_delete_heavy_broadcast_tombstones(spark, tmp_path):
             assert got == want, (q, mode, got, want)
     shutil.rmtree(full_dir, ignore_errors=True)
     shutil.rmtree(clean_dir, ignore_errors=True)
+
+
+def test_delete_majority_of_term_docs_keeps_idf_sane(spark, tmp_path):
+    """Regression: deleting more than half of a term's docs must not flip its
+    idf negative (idf is computed over the indexed count = live + tombstoned,
+    matching the stale df — Lucene semantics). Before the fix, live-count idf
+    went negative for majority-deleted terms, inverting ranking and breaking
+    the WAND/MaxScore nonnegative-bound invariant (wand != exhaustive)."""
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import delete_documents
+
+    # 12 docs, all contain "alpha"; 6 also contain "beta". Delete 8 docs,
+    # among them 4 of the 6 beta docs: stale df(beta)=6 > live n_docs=4.
+    rows = []
+    for i in range(12):
+        text = "alpha common filler words here"
+        if i < 6:
+            text += " beta"
+        rows.append((f"u{i}", text, "en"))
+    pdf = pd.DataFrame(rows, columns=["url", "text", "lang"])
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                      attr_cols=("lang",), num_shards=2, num_buckets=2)
+    d = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    delete_documents(spark, d, [f"u{i}" for i in (0, 1, 2, 3, 6, 7, 8, 9)])
+
+    ix = SearchIndex(spark, d)
+    wand = _pk_results(ix, "alpha beta", mode="wand")
+    exh = _pk_results(ix, "alpha beta", mode="exhaustive")
+    assert wand == exh, (wand, exh)
+    assert all(s > 0 for _, s in wand)
+    # the two surviving beta docs must outrank the alpha-only survivors
+    assert {p for p, _ in wand[:2]} == {"u4", "u5"}, wand
+    shutil.rmtree(d, ignore_errors=True)
