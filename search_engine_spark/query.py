@@ -1069,33 +1069,43 @@ def _phrase_docids(
 ) -> np.ndarray:
     """Docids (sorted) where the phrase occurs at consecutive positions
     (reference R2 ``phrase_resolve`` rebuilt over exact stored positions).
-    Docids are disjoint across a term's generations, so per-term maps merge."""
-    doc_lists, pos_maps = [], []
-    for t in phrase:
+    Docids are disjoint across a term's generations, so per-term streams
+    concatenate.
+
+    Fully vectorized: each (docid, pos) occurrence of phrase term i is
+    packed as ``docid << 32 | (pos - i)`` — the key of the phrase *start*
+    it would belong to — and the phrase matches exactly the docids in the
+    k-way ``np.intersect1d`` of the per-term key sets. No per-candidate
+    Python loop: a head-word phrase over a large shard costs
+    O(sum postings · log) sort-merge work instead of a dict/set probe per
+    candidate position."""
+    stride = np.int64(1) << 32  # positions are token indexes, far below 2^32
+    keysets = []
+    for i, t in enumerate(phrase):
         rs = readers.get(t, ())
         if not rs:
             return np.zeros(0, dtype=np.int64)
-        pmap: dict[int, np.ndarray] = {}
-        dchunks = []
+        chunks = []
         for r, _scale in rs:
-            docids, _, _ = r.decode_all()
-            positions = r.decode_all_positions()
-            pmap.update({int(d): p for d, p in zip(docids, positions)})
-            dchunks.append(docids)
-        pos_maps.append(pmap)
-        doc_lists.append(np.unique(np.concatenate(dchunks)))
-    cand = doc_lists[0]
-    for ds in doc_lists[1:]:
-        cand = np.intersect1d(cand, ds, assume_unique=True)
-    out = []
-    for d in cand:
-        d = int(d)
-        later = [set(pos_maps[i][d].tolist()) for i in range(1, len(phrase))]
-        for s in pos_maps[0][d]:
-            if all((int(s) + i + 1) in later[i] for i in range(len(later))):
-                out.append(d)
-                break
-    return np.asarray(out, dtype=np.int64)
+            docids, tfs, _ = r.decode_all()
+            plist = r.decode_all_positions()
+            if not plist:
+                continue
+            pos = np.concatenate(plist).astype(np.int64, copy=False)
+            rep = np.repeat(docids, tfs)
+            if i:  # a term at position < i cannot start-align a phrase
+                keep = pos >= i
+                pos, rep = pos[keep], rep[keep]
+            chunks.append(rep * stride + (pos - i))
+        if not chunks:
+            return np.zeros(0, dtype=np.int64)
+        keysets.append(np.unique(np.concatenate(chunks)))
+    inter = keysets[0]
+    for ks in keysets[1:]:
+        if len(inter) == 0:
+            break
+        inter = np.intersect1d(inter, ks, assume_unique=True)
+    return np.unique(inter >> 32).astype(np.int64, copy=False)
 
 
 # ---------------------------------------------------------------------------

@@ -124,3 +124,59 @@ def test_no_positions_mode():
     assert np.array_equal(d2, docids) and np.array_equal(t2, tfs) and np.array_equal(l2, dls)
     with pytest.raises(ValueError):
         r.decode_all_positions()
+
+
+def _readers_from_docs(docs: dict[int, list[str]]):
+    """Build {term: [(PostingReader, 1.0)]} postings (with positions) from
+    docid -> token list, the shape _phrase_docids consumes."""
+    from collections import defaultdict
+
+    occ: dict[str, dict[int, list[int]]] = defaultdict(lambda: defaultdict(list))
+    for d, toks in docs.items():
+        for p, t in enumerate(toks):
+            occ[t][d].append(p)
+    readers = {}
+    for t, per_doc in occ.items():
+        ds = np.array(sorted(per_doc), dtype=np.int64)
+        positions = [np.array(per_doc[int(d)], dtype=np.int64) for d in ds]
+        tfs = np.array([len(p) for p in positions], dtype=np.int64)
+        dls = np.array([len(docs[int(d)]) for d in ds], dtype=np.int64)
+        enc = encode_postings(ds, tfs, dls, positions, block_size=4,
+                              avgdl=10.0, k1=1.2, b=0.75)
+        row = {"n_docs": enc.n_docs, "docs": enc.docs, "tfs": enc.tfs,
+               "dls": enc.dls, "poss": enc.poss,
+               "block_meta": enc.block_meta_rows()}
+        readers[t] = [(PostingReader.from_row(row, block_size=4), 1.0)]
+    return readers
+
+
+def test_phrase_docids_matches_bruteforce():
+    """Property check of the vectorized packed-key phrase resolver against
+    a direct token-scan oracle, including phrases whose later words also
+    appear at positions < their phrase offset (the start-alignment guard)."""
+    from search_engine_spark.query import _phrase_docids
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(25):
+        docs = {
+            int(d): [vocab[int(i)] for i in rng.integers(0, len(vocab),
+                                                         size=rng.integers(3, 40))]
+            for d in rng.choice(10_000, size=rng.integers(5, 60), replace=False)
+        }
+        readers = _readers_from_docs(docs)
+        for plen in (2, 3, 4):
+            phrase = [vocab[int(i)] for i in rng.integers(0, len(vocab), size=plen)]
+            got = _phrase_docids(readers, phrase).tolist()
+            want = sorted(
+                d for d, toks in docs.items()
+                if any(toks[s:s + plen] == phrase
+                       for s in range(len(toks) - plen + 1))
+            )
+            assert got == want, (trial, phrase, got, want)
+    # repeated-word phrase ("the the") and a phrase starting mid-doc
+    docs = {1: ["a", "a", "b"], 2: ["a", "b", "a"], 3: ["b", "a", "a"]}
+    readers = _readers_from_docs(docs)
+    assert _phrase_docids(readers, ["a", "a"]).tolist() == [1, 3]
+    assert _phrase_docids(readers, ["b", "a"]).tolist() == [2, 3]
+    assert _phrase_docids(readers, ["a", "c"]).tolist() == []
