@@ -893,6 +893,7 @@ def build_index(
         out_cols = [(config.pk_col, "pk"), *search_src] + [
             (c, c) for c in config.attr_cols if c not in snap_names
         ]
+        docid_col_pinned = False
         if config.docid_col:
             deduped = _dedupe_last_write_wins(
                 pages.select(*keep), config.pk_col, config.ts_col
@@ -904,6 +905,33 @@ def build_index(
                 *[F.col(src).alias(dst) for src, dst in search_src],
                 *[F.col(c) for c in config.attr_cols if c not in snap_names],
             )
+            # Fusing the docs write with extract is only safe when both
+            # jobs see the SAME dedupe outcome (duplicate-pk winners are
+            # nondeterministic on recompute). Small inputs: pin the deduped
+            # frame in cache and fork both jobs over it (eviction is
+            # implausible under the stage1_cache_max_bytes threshold on
+            # this heap, and recompute-divergence needs duplicate pks AND
+            # a tie). Large inputs — where eviction IS plausible — keep
+            # the unfused order: write docs, extract from the committed
+            # parquet (the staging-parquet pattern with zero extra writes).
+            if _stage1_staging_dir(pages, config, index_dir) is None:
+                # Coalesce the pin to byte-sized partitions (~64 MB): the
+                # fused term_doc write is partitionBy(bucket), whose file
+                # count (and commit cost) is tasks x buckets, so at this
+                # (size-gated) small scale fewer partitions beat raw
+                # parallelism — measured 0.7s vs 2.6s for the same write
+                # at 5k docs. Bytes-aware so a near-threshold input still
+                # tokenizes in parallel.
+                n_extract = config.extract_partitions or max(
+                    spark.sparkContext.defaultParallelism * 2, 8
+                )
+                size = _input_bytes(pages) or 0
+                n_pin = max(1, min(n_extract, int(size // (64 << 20)) + 1))
+                docs = docs.coalesce(n_pin).persist()
+                # materialize BEFORE forking the two jobs — otherwise they
+                # race to build the cache and each recomputes the dedupe
+                docs.count()
+                docid_col_pinned = True
         else:
             n_parts = config.extract_partitions or max(
                 spark.sparkContext.defaultParallelism * 2, 8
@@ -924,16 +952,17 @@ def build_index(
         # interleaves their tasks. Extract consumes `docs` directly —
         # skipping the parquet round-trip AND the repartition shuffle (the
         # cache is already n_parts range partitions sized to the cluster).
-        # Fusion is ONLY safe over the pinned cache built by
-        # dedupe_and_rank: in the docid_col branch there is no persist, so
+        # Fusion is ONLY safe over a pinned frame: the pinned cache built
+        # by dedupe_and_rank (docid_col is None), or the persisted deduped
+        # frame in the small-input docid_col branch above. Without a pin
         # the two forked jobs would independently recompute
         # _dedupe_last_write_wins (nondeterministic for duplicate pks) and
         # the committed docs snapshot could disagree with the postings on
-        # which duplicate won. There, write docs first and let the
-        # standalone extract stage read the committed parquet.
+        # which duplicate won. Unpinned large-input docid_col builds write
+        # docs first and extract from the committed parquet.
         run_extract_fused = (
             not log.done("extract") and fail_after != "docs"
-            and config.docid_col is None
+            and (config.docid_col is None or docid_col_pinned)
         )
 
         def _write_docs():
