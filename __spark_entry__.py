@@ -211,6 +211,18 @@ def _q_bm25_match_all(spark, sf_dir):
     return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
 
 
+def _q_bm25_last(spark, sf_dir):
+    """Reference TermsMatchingStrategy::Last — the reference DEFAULT
+    (src/search/mod.rs:226-238, words rule ranking/words.rs:52-80): docs
+    bucket by the longest matched prefix of query words (drop-last-word-
+    first), BM25 ranks within a bucket; folded as
+    score = bucket * (sum(idf) + 1) + bm25."""
+    idx = _index(spark, sf_dir)
+    res = idx.search("table join merge", k=10, mode="exhaustive",
+                     matching_strategy="last")
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
 def _q_bm25_word_split(spark, sf_dir):
     """Reference Q6 word splits (query_graph.rs:398-453): 'tablejoin'
     derives the split pair (table, join) from the dictionary."""
@@ -489,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_negated": _q_bm25_negated,
         "bm25_synonyms": _q_bm25_synonyms,
         "bm25_match_all": _q_bm25_match_all,
+        "bm25_last": _q_bm25_last,
         "bm25_word_split": _q_bm25_word_split,
         "bm25_typo_penalty": _q_bm25_typo_penalty,
         "bm25_prefix_rank": _q_bm25_prefix_rank,
@@ -700,6 +713,34 @@ SELECT rank, docid, score FROM (
     sql["bm25_match_all"] = _bm25_sql(
         ["table", "join", "merge"], having="count(DISTINCT td.term) = 3"
     )
+    # Last strategy: bucket = longest matched prefix of (table, join,
+    # merge); folded score = bucket * (sum(idf over the 3 terms) + 1) + bm25
+    # — mirrors QueryPlan.word_groups execution exactly
+    sql["bm25_last"] = f"""
+WITH {_TOKS},
+qoff AS (
+  SELECT sum(ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))) + 1.0 AS off
+  FROM dict di CROSS JOIN corpus c
+  WHERE di.term IN ('table', 'join', 'merge')
+),
+scores AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS bm25,
+         (CASE WHEN bool_or(td.term = 'table') THEN 1 ELSE 0 END)
+         + (CASE WHEN bool_or(td.term = 'table') AND bool_or(td.term = 'join')
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN bool_or(td.term = 'table') AND bool_or(td.term = 'join')
+                      AND bool_or(td.term = 'merge') THEN 1 ELSE 0 END) AS wcnt
+  FROM tdoc td JOIN dict di USING (term) JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN ('table', 'join', 'merge')
+  GROUP BY td.doc_id
+)
+SELECT doc_id AS docid, round(bm25 + wcnt * q.off, {SCORE_ROUND}) AS score
+FROM scores CROSS JOIN qoff q
+ORDER BY score DESC, doc_id LIMIT 10
+"""
     # both halves of the split are derived terms: SPLIT_PENALTY=0.5 each
     sql["bm25_word_split"] = _bm25_sql({"table": 0.5, "join": 0.5})
     # typo expansion of 'tabl' (budget 1): candidates ranked (dist, term),

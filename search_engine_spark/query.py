@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import heapq
 import math
+from collections.abc import Iterable
 from dataclasses import dataclass, field as dc_field
 
 import numpy as np
@@ -75,7 +76,7 @@ def _pick_algo(mode: str, plan: "QueryPlan", has_filter: bool) -> str:
     if mode in ("wand", "maxscore", "exhaustive"):
         return mode
     if (plan.phrases or plan.negated or has_filter or plan.match_all
-            or plan.prox_pairs):
+            or plan.prox_pairs or plan.word_groups):
         return "exhaustive"
     return "maxscore"
 
@@ -102,6 +103,16 @@ class QueryPlan:
     # FROZEN spec, mirrored by the oracle + DuckDB SQL.
     prox_pairs: list[tuple[str, str]] = dc_field(default_factory=list)
     prox_weight: float = 0.0
+    # TermsMatchingStrategy::Last (reference default, ``src/search/mod.rs:
+    # 226-238`` + the words rule ``ranking/words.rs:52-80``): docs bucket
+    # by the longest matched PREFIX of query words ("remove last word
+    # first"), buckets iterate descending, BM25 ranks within a bucket.
+    # ``word_groups[i]`` holds word i's scoring terms (the word plus its
+    # synonym/prefix/typo derivations — a derivative matches its word node,
+    # reference query_graph.rs DerivativeTerm). Executed as score shaping:
+    # score = matched_prefix_words * offset + bm25 with offset > any
+    # possible bm25 sum, so shard merge / pagination stay unchanged.
+    word_groups: list[list[str]] | None = None
 
 
 class SearchIndex:
@@ -305,6 +316,7 @@ class SearchIndex:
         split_take_n: int = 4,
         match_all: bool = False,
         proximity: float = 0.0,
+        matching_strategy: str = "any",
     ) -> QueryPlan:
         """Query plan: exact/prefix/typo lookups plus optional derivations.
 
@@ -321,8 +333,34 @@ class SearchIndex:
         rank by min(df(left), df(right)) descending and keep the top
         ``split_take_n`` (reference ``split_take_n=4``,
         ``src/update/split_config.rs``).
+
+        ``matching_strategy`` (reference TermsMatchingStrategy,
+        ``src/search/mod.rs:226-238``): 'any' = disjunctive BM25 (engine
+        default), 'all' = every scoring term mandatory (== match_all),
+        'last' = the reference DEFAULT: bucket by longest matched prefix of
+        query words, drop-last-word-first (see QueryPlan.word_groups).
+        Under 'last' a word's synonym/prefix/typo derivations count as
+        matching that word; ngram and split derivations still contribute
+        BM25 score but not word-match credit (they span/alter word
+        boundaries — documented deviation). Word order for prefix counting
+        is ``pq.words + pq.prefixes + pq.typos`` (markered words are
+        almost always trailing, matching drop-last semantics).
         """
+        if matching_strategy not in ("any", "all", "last"):
+            raise ValueError(
+                f"matching_strategy must be any|all|last, got {matching_strategy!r}"
+            )
+        if matching_strategy == "all":
+            match_all = True
         pq: ParsedQuery = parse_query(query)
+        # provenance: original query word -> its scoring terms, for 'last'
+        prov: dict[str, list[str]] = {}
+
+        def note(src: str, terms: Iterable[str]) -> None:
+            lst = prov.setdefault(src, [])
+            for t in terms:
+                if t not in lst:
+                    lst.append(t)
         scoring: dict[str, int] = {}
         # per-term derivation penalty (reference K3/K6 analogue, see
         # config.py): exact query words carry 1.0; derived terms carry the
@@ -336,13 +374,20 @@ class SearchIndex:
                 if pen > penalty.get(t, 0.0):
                     penalty[t] = pen
 
-        add(self._lookup_exact(pq.all_scoring_words()), 1.0)
+        found_exact = self._lookup_exact(pq.all_scoring_words())
+        add(found_exact, 1.0)
+        for w in pq.words:
+            if w in found_exact:
+                note(w, [w])
         if synonyms:
-            syn = [s for w in pq.words for s in synonyms.get(w, ())]
-            add(
-                self._lookup_exact([t for s in syn for t in s.split()]),
-                SYNONYM_PENALTY,
+            syn_found = self._lookup_exact(
+                [t for w in pq.words for s in synonyms.get(w, ())
+                 for t in s.split()]
             )
+            add(syn_found, SYNONYM_PENALTY)
+            for w in pq.words:
+                note(w, [t for s in synonyms.get(w, ()) for t in s.split()
+                         if t in syn_found])
         if ngrams:
             words = pq.words
             grams = [
@@ -362,11 +407,15 @@ class SearchIndex:
                 for _, left, right in cands[:split_take_n]:
                     add(self._lookup_exact([left, right]), SPLIT_PENALTY)
         for pref in pq.prefixes:
-            for t, df in self._expand_prefix(pref).items():
+            exp = self._expand_prefix(pref)
+            for t, df in exp.items():
                 add({t: df}, 1.0 if t == pref else PREFIX_PENALTY)
+            note(pref, exp)
         for ty in pq.typos:
-            for t, df in self._expand_typo(ty).items():
+            exp = self._expand_typo(ty)
+            for t, df in exp.items():
                 add({t: df}, TYPO_PENALTY ** levenshtein(ty, t, cap=3))
+            note(ty, exp)
         weights = {
             t: bm25_idf(self.n_docs_indexed, df) * penalty[t]
             for t, df in scoring.items()
@@ -386,10 +435,14 @@ class SearchIndex:
                 for a, b in zip(pq.words, pq.words[1:])
                 if a != b and a in weights and b in weights
             ]
+        word_groups = None
+        if matching_strategy == "last":
+            ordered = [*pq.words, *pq.prefixes, *pq.typos]
+            word_groups = [prov.get(w, []) for w in ordered]
         return QueryPlan(
             term_weights=weights, phrases=pq.phrases, negated=pq.negated, k=k,
             match_all=match_all, prox_pairs=prox_pairs,
-            prox_weight=float(proximity),
+            prox_weight=float(proximity), word_groups=word_groups,
         )
 
     # -- execution ---------------------------------------------------------
@@ -545,6 +598,7 @@ class SearchIndex:
             deleted=self._deleted_bc,
             prox_pairs=plan.prox_pairs,
             prox_weight=plan.prox_weight,
+            word_groups=plan.word_groups,
         )
 
         pq_df = self._postings_for(all_terms)
@@ -611,7 +665,7 @@ class SearchIndex:
         deleted = self._deleted if len(self._deleted) else None
         algo = _pick_algo(mode, plan, False)
         plain = (not plan.phrases and not plan.negated and not plan.match_all
-                 and not plan.prox_pairs)
+                 and not plan.prox_pairs and not plan.word_groups)
         k = plan.k + offset
         if algo == "wand" and plain:
             pairs = _wand_topk(
@@ -629,6 +683,7 @@ class SearchIndex:
                 None, k, self.avgdl, self.config.k1, self.config.b, deleted,
                 match_all=plan.match_all,
                 prox_pairs=plan.prox_pairs, prox_weight=plan.prox_weight,
+                word_groups=plan.word_groups,
             )
         pairs = pairs[offset:]
         if not pairs:
@@ -866,6 +921,7 @@ def make_shard_scorer(
     deleted=None,
     prox_pairs: list[tuple[str, str]] | None = None,
     prox_weight: float = 0.0,
+    word_groups: list[list[str]] | None = None,
 ):
     """Build the per-shard scoring function (cogroup signature).
 
@@ -919,7 +975,7 @@ def make_shard_scorer(
             )
 
         plain = (not phrases and not neg_set and allowed is None
-                 and not match_all and not prox_pairs)
+                 and not match_all and not prox_pairs and not word_groups)
         if algo == "wand" and plain:
             pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b, tomb)
         elif algo == "maxscore" and plain:
@@ -929,6 +985,7 @@ def make_shard_scorer(
                 readers, term_weights, phrases, neg_set, allowed, k, avgdl, k1, b,
                 tomb, match_all=match_all,
                 prox_pairs=prox_pairs, prox_weight=prox_weight,
+                word_groups=word_groups,
             )
         if not pairs:
             return _empty()
@@ -954,13 +1011,17 @@ def _exhaustive_topk(
     match_all: bool = False,
     prox_pairs: list[tuple[str, str]] | None = None,
     prox_weight: float = 0.0,
+    word_groups: list[list[str]] | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized full-decode scoring: concatenate (docid, idf*impact) across
     terms (and segment generations), aggregate per docid with np.add.at,
     apply phrase/negation/filter/tombstone/match-all constraints, add the
-    pair-proximity bonus (reference K4) from stored positions, top-k."""
+    pair-proximity bonus (reference K4) from stored positions, fold the
+    Last-strategy words bucket (QueryPlan.word_groups) into the score,
+    top-k."""
     doc_chunks, score_chunks = [], []
     per_term_docs: list[np.ndarray] = []
+    term_docs: dict[str, np.ndarray] = {}
     for term, idf in term_weights.items():
         t_docs = []
         for r, _scale in readers.get(term, ()):  # scores use current avgdl
@@ -974,6 +1035,8 @@ def _exhaustive_topk(
             per_term_docs.append(
                 np.concatenate(t_docs) if t_docs else np.zeros(0, dtype=np.int64)
             )
+        if word_groups and t_docs:
+            term_docs[term] = np.concatenate(t_docs)
     if not doc_chunks:
         return []
     docs = np.concatenate(doc_chunks)
@@ -1008,6 +1071,29 @@ def _exhaustive_topk(
     uniq, agg = uniq[mask], agg[mask]
     if len(uniq) == 0:
         return []
+    if word_groups:
+        # Last strategy (reference words rule, ranking/words.rs:52-80):
+        # bucket = longest matched prefix of query words; a word matches
+        # through any of its group's terms. Folded as
+        # score += bucket * offset with offset > max possible bm25 + prox
+        # sum, so (bucket desc, bm25 desc) == plain score sort and the
+        # shard merge / pagination stay untouched.
+        offset_val = (
+            sum(abs(v) for v in term_weights.values())
+            + abs(prox_weight) * max(1, len(prox_pairs or ())) + 1.0
+        )
+        alive = np.ones(len(uniq), dtype=bool)
+        wcnt = np.zeros(len(uniq), dtype=np.float64)
+        for grp in word_groups:
+            gdocs = [term_docs[t] for t in grp if t in term_docs]
+            if gdocs:
+                alive &= np.isin(uniq, np.concatenate(gdocs))
+            else:  # unindexed word: no doc can extend the prefix past it
+                alive[:] = False
+            if not alive.any():
+                break
+            wcnt += alive
+        agg = agg + wcnt * offset_val
     kk = min(k, len(uniq))
     idx = np.lexsort((uniq, -agg))[:kk]
     return [(int(uniq[i]), float(agg[i])) for i in idx]

@@ -371,3 +371,37 @@ def test_pin_unpin_results_identical(feature_index):
     after = [tuple(r) for r in
              ix.search("new york pizza", k=5, mode="exhaustive", execution="cluster").collect()]
     assert after == base
+
+
+def test_matching_strategy_last_buckets_by_word_prefix(feature_index):
+    """Reference TermsMatchingStrategy::Last (the reference default,
+    src/search/mod.rs:226-238): docs bucket by the longest matched PREFIX
+    of query words, drop-last-word-first; BM25 ranks within buckets."""
+    ix, _ = feature_index
+    # query "new york pizza": doc1/doc2 match (new, york) = bucket 2;
+    # doc4 matches only pizza (prefix 0); doc0 ("newyork pizza") matches
+    # no bare word prefix -> bucket 0 too.
+    res = ix.search("new york pizza", k=5, matching_strategy="last").collect()
+    by_doc = {r["docid"]: r["rank"] for r in res}
+    assert by_doc[1] < by_doc[4] and by_doc[2] < by_doc[4]
+    # plain BM25 ('any') would rank doc4's pizza hit competitively; Last
+    # must put every bucket-2 doc above every bucket-0 doc regardless of tf
+    top2 = {r["docid"] for r in res[:2]}
+    assert top2 == {1, 2}
+    # driver and cluster paths agree
+    drv = [(r["docid"], round(r["score"], 9)) for r in
+           ix.search("new york pizza", k=5, matching_strategy="last",
+                     execution="driver").collect()]
+    clu = [(r["docid"], round(r["score"], 9)) for r in
+           ix.search("new york pizza", k=5, matching_strategy="last",
+                     execution="cluster").collect()]
+    assert drv == clu
+    # synonym derivations count toward their word's group: 'gotham' ->
+    # 'york' synonym lets doc3-like docs... here doc1/doc2 still match and
+    # a doc matching via synonym gets the same bucket credit
+    syn = ix.search("new gotham", k=5, matching_strategy="last",
+                    synonyms={"gotham": ["york"]}).collect()
+    assert {r["docid"] for r in syn[:2]} == {1, 2}
+    # strategy='all' maps to conjunctive match_all
+    allr = ix.search("new york", k=5, matching_strategy="all").collect()
+    assert {r["docid"] for r in allr} == {1, 2}
