@@ -125,10 +125,13 @@ def terms_agg(term_doc: DataFrame) -> DataFrame:
 
 
 def assign_docids(
-    df: DataFrame, pk_col: str, n_parts: int = 32, return_count: bool = False
+    df: DataFrame, pk_col: str, n_parts: int = 32, return_count: bool = False,
+    out_col: str = "docid",
 ):
-    """docid = global 0-based rank of pk. Scalable two-pass: range-sort, count
-    rows per physical partition, broadcast offsets, rank within partition.
+    """``out_col`` = global 0-based rank of pk. Scalable two-pass: range-sort,
+    count rows per physical partition, broadcast offsets, rank within
+    partition. Also ranks the term dictionary (out_col='term_id') past the
+    single-task window threshold (config.term_window_max_terms).
 
     Deterministic for unique pks at any parallelism: ranks depend only on the
     total order of pk, not on where partition boundaries land. The sorted df
@@ -153,7 +156,7 @@ def assign_docids(
     w = Window.partitionBy("_pid").orderBy(pk_col)
     out = (
         d.join(F.broadcast(off_df), "_pid")
-        .withColumn("docid", F.row_number().over(w) + F.col("_offset") - F.lit(1))
+        .withColumn(out_col, F.row_number().over(w) + F.col("_offset") - F.lit(1))
         .drop("_pid", "_offset")
     )
     # persist released by caller via unpersist/clearCache after materializing
@@ -1084,10 +1087,27 @@ def build_index(
         # term_id = rank in term order. The dictionary is orders of magnitude
         # smaller than the corpus (the reference holds its whole words FST in
         # memory, src/index.rs:56), so a single-task global window is the
-        # right cost/complexity point up to ~10M terms; beyond that, switch
-        # to assign_docids(terms, "term") (scalable two-pass rank).
-        w = Window.orderBy("term")
-        terms = terms.withColumn("term_id", F.row_number().over(w) - F.lit(1))
+        # right cost/complexity point up to term_window_max_terms (10M);
+        # beyond that — or when forced via config.term_rank_mode='rank' —
+        # the build uses the same scalable two-pass range rank as docids.
+        mode = config.term_rank_mode
+        n_terms_known: int | None = None
+        if mode == "auto":
+            terms = terms.persist()
+            n_terms_known = terms.count()
+            use_window = n_terms_known <= config.term_window_max_terms
+        else:
+            use_window = mode == "window"
+        if use_window:
+            w = Window.orderBy("term")
+            terms = terms.withColumn(
+                "term_id", F.row_number().over(w) - F.lit(1)
+            )
+        else:
+            n_rank_parts = max(spark.sparkContext.defaultParallelism, 8)
+            terms = assign_docids(
+                terms, "term", n_parts=n_rank_parts, out_col="term_id"
+            )
         obs = Observation()
         terms = terms.observe(obs, F.count(F.lit(1)).alias("rows"))
         os.makedirs(paths.terms, exist_ok=True)
@@ -1096,6 +1116,7 @@ def build_index(
             "overwrite"
         ).parquet(staging)
         commit()
+        spark.catalog.clearCache()
         log.commit("terms", inputs={"term_doc": "extract"},
                    metrics={"n_terms": int(obs.get["rows"])},
                    wall_s=time.time() - t0)

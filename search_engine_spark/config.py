@@ -109,6 +109,17 @@ class IndexConfig:
     stage1_staging: str = "auto"  # 'auto' | 'cache' | 'parquet'
     stage1_cache_max_bytes: int = 2 << 30
 
+    # term_id assignment (build stage 4). The dictionary is orders of
+    # magnitude smaller than the corpus, so a single-task global window
+    # rank is the right cost/complexity point for most indexes; past
+    # term_window_max_terms the build switches to the same scalable
+    # two-pass range rank used for docids (assign_docids: range shuffle,
+    # per-partition counts, broadcast offsets). 'auto' counts the
+    # dictionary (cheap: the aggregated frame is persisted for the write
+    # anyway) and picks; 'window' / 'rank' force a path.
+    term_rank_mode: str = "auto"  # 'auto' | 'window' | 'rank'
+    term_window_max_terms: int = 10_000_000
+
     # salting threshold is implicit: sharding is unconditional (uniform by
     # docid), which bounds every (term, shard) group to ~df/num_shards.
 

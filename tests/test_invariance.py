@@ -117,3 +117,24 @@ def test_staging_parquet_equals_cache(spark, tmp_path_factory):
     assert not os.path.exists(os.path.join(b, "_staging_sorted_run")), (
         "staging run must be cleaned up after the docs stage"
     )
+
+
+def test_term_rank_mode_rank_equals_window(spark, tmp_path_factory):
+    """term_rank_mode='rank' (scale path past 10M terms: two-pass range
+    rank, no single-task window) must produce the identical dictionary —
+    same (term, term_id, df, cf, max_tf) rows — and identical postings."""
+    tmp = tmp_path_factory.mktemp("trank")
+    pdf = _corpus(300)
+    a = _build(spark, tmp, "win", pdf, 4,
+               num_shards=2, num_buckets=2, term_rank_mode="window")
+    b = _build(spark, tmp, "rank", pdf, 6,
+               num_shards=2, num_buckets=2, term_rank_mode="rank")
+
+    def dict_rows(d):
+        return sorted(
+            (r["term"], r["term_id"], r["df"], r["cf"], r["max_tf"])
+            for r in spark.read.parquet(d + "/terms").collect()
+        )
+
+    assert dict_rows(a) == dict_rows(b)
+    assert _postings_hash(spark, a) == _postings_hash(spark, b)
