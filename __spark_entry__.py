@@ -316,6 +316,16 @@ def _q_facet_value_search(spark, sf_dir):
     return facet_value_search(_docs(spark, sf_dir), "source", "src1", k=5)
 
 
+def _q_facet_stats(spark, sf_dir):
+    """Reference FD1 compute_stats (facet_distribution.rs:271-324): numeric
+    facet (min, max) over the filtered candidate set, for range-facet UIs."""
+    from search_engine_spark.facets import facet_stats
+
+    return facet_stats(
+        _docs(spark, sf_dir), "n_chars", filter_ast={"lang": "en"}
+    )
+
+
 def _q_highlight(spark, sf_dir):
     """Reference O1 highlight: wrap matched terms on the top-k docs only."""
     idx = _index(spark, sf_dir)
@@ -514,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_where": _q_filter_where,
         "facet_distribution": _q_facet_distribution,
         "facet_value_search": _q_facet_value_search,
+        "facet_stats": _q_facet_stats,
         "highlight": _q_highlight,
         # dedup pipeline
         "dedup_exact": _q_dedup_exact,
@@ -935,6 +946,11 @@ WITH counts AS (SELECT source AS value, count(*) AS count FROM documents GROUP B
 SELECT value, count FROM counts
 WHERE value LIKE 'src1%' OR levenshtein(value, 'src1') <= 1
 ORDER BY count DESC, value LIMIT 5
+"""
+
+    sql["facet_stats"] = """
+SELECT min(n_chars) AS min_value, max(n_chars) AS max_value
+FROM documents WHERE lang = 'en'
 """
 
     sql["highlight"] = f"""
