@@ -143,6 +143,90 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def doc_term_array(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """-> (doc_id, terms: array<string>): per-doc feature array, ONE row per
+    doc, zero exchanges. Same features as ``doc_terms`` (which explodes to
+    long rows); docs with no tokens keep an empty array.
+
+    The token array is materialized behind a Generate barrier
+    (``explode(array(tokens))``) so the shingle ``transform`` lambda
+    references a concrete attribute — referencing ``regexp_extract_all``
+    directly from inside the lambda would let CollapseProject inline the
+    regex into every element access (O(len^2) regex work per doc; the
+    pitfall that originally forced doc_terms onto posexplode + window).
+    The FINAL terms array gets the same barrier: consumers like
+    ``_minhash_wide`` reference it 16 times (one transform per seed), and
+    without a barrier CollapseProject would rebuild the shingle array /
+    re-run array_distinct once per reference (measured 1.7x wall on the
+    sf0.1 minhash bench).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens_col(text_col))).alias("toks"),
+    )
+    if shingle_size == 1:
+        if not distinct:
+            return base.select("doc_id", F.col("toks").alias("terms"))
+        terms = F.col("toks")
+    else:
+        n = shingle_size
+        # greatest(len - n, 0) + 1 windows: full shingles for len >= n,
+        # ONE partial shingle (the whole doc) for 0 < len < n — matching
+        # doc_terms' posexplode formulation; slice truncates at the end.
+        terms = F.transform(
+            F.sequence(
+                F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+        )
+        terms = F.when(F.size("toks") == 0, F.array().cast("array<string>")) \
+                 .otherwise(terms)
+    if distinct:
+        terms = F.array_distinct(terms)
+    return base.select("doc_id", F.explode(F.array(terms)).alias("terms"))
+
+
+def _minhash_wide(
+    df: DataFrame,
+    n_hashes: int,
+    id_col: str,
+    text_col: str,
+    shingle_size: int,
+) -> DataFrame:
+    """-> (doc_id, _h0.._hN): per-doc MinHash row, ONE tiny exchange.
+
+    hash_i(term) = md5(i || ':' || term) compared lexicographically — the
+    string min is a valid uniform MinHash and is bit-identical across Spark,
+    DuckDB and Python. No UDF. Terms are built per-row as an array (see
+    doc_term_array: no window/distinct shuffles), then exploded so the 16
+    min-md5 aggregates run inside whole-stage-codegen'd hash aggregation —
+    measured ~3x faster than evaluating md5 through interpreted
+    array higher-order-function lambdas. The ``groupBy(doc_id)`` combines
+    map-side (every doc's terms sit in one task), so the exchange moves
+    exactly one 16-column row per doc — AND that exchange is the subtree
+    the LSH self-join's two sides share, so Spark's exchange reuse computes
+    signatures once, not once per join side. Docs with no tokens have no
+    rows to group — they simply have no signature, as before.
+    """
+    t = doc_term_array(
+        df, id_col, text_col, distinct=True, shingle_size=shingle_size
+    ).select("doc_id", F.explode("terms").alias("term"))
+    return t.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("term")))
+            ).alias(f"_h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 16,
@@ -152,27 +236,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """-> (doc_id, seed, sig): per-seed MinHash over the token set.
 
-    hash_i(term) = md5(i || ':' || term) compared lexicographically — the
-    string min is a valid uniform MinHash and is bit-identical across Spark,
-    DuckDB and Python. No UDF: pure JVM expressions.
-
-    Shape: ONE ``groupBy(doc_id)`` with n_hashes min-aggregate columns —
-    the map-side combine reduces each task to one 16-column row per doc,
-    so the shuffle moves n_docs rows total. (The earlier
-    crossJoin-with-seeds formulation fanned the distinct (doc, term) rows
-    16x before aggregating — same values, 16x the rows through the
-    exchange.) The long (doc_id, seed, sig) output shape is restored by an
-    inline array explode, which is per-doc and free.
+    Computed from the per-doc wide row (see _minhash_wide: one
+    map-side-combined exchange of n_docs rows); the long
+    (doc_id, seed, sig) output shape is restored by an inline array
+    explode, which is per-doc and free. (The earlier
+    crossJoin-with-seeds formulation fanned the (doc, term) rows 16x
+    through an exchange before aggregating.)
     """
-    t = doc_terms(df, id_col, text_col, shingle_size=shingle_size)
-    wide = t.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("term")))
-            ).alias(f"_h{i}")
-            for i in range(n_hashes)
-        ]
-    )
+    wide = _minhash_wide(df, n_hashes, id_col, text_col, shingle_size)
     z = F.explode(
         F.array(
             *[
@@ -226,8 +297,34 @@ def minhash_lsh_pairs(
     exact-Jaccard verification runs only on the candidate pairs.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, n_hashes, id_col, text_col, shingle_size)
-    bk = minhash_band_buckets(sigs, bands, rows_per_band)
+    # band buckets straight off the per-doc wide row (pure projection —
+    # md5 over the band's seed-ordered sigs, identical to
+    # minhash_band_buckets' sort+join on the long shape). Both sides of
+    # the self-join below share the wide row's groupBy exchange
+    # (ReusedExchange), so tokenization + signature hashing run ONCE.
+    wide = _minhash_wide(df, n_hashes, id_col, text_col, shingle_size)
+    bk = wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"_h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("z"),
+    ).select("doc_id", F.col("z.band").alias("band"), F.col("z.bucket").alias("bucket"))
     a = bk.alias("a")
     b = bk.alias("b")
     cand = (
@@ -247,9 +344,30 @@ def _verified_jaccard(
     df: DataFrame, cand: DataFrame, threshold: float, id_col: str, text_col: str,
     shingle_size: int = 1,
 ) -> DataFrame:
-    """Exact feature-set Jaccard for candidate (a, b) pairs only."""
-    t = doc_terms(df, id_col, text_col, shingle_size=shingle_size)
-    sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    """Exact feature-set Jaccard for candidate (a, b) pairs only.
+
+    Tokenization is restricted to docs that appear in >= 1 candidate pair
+    (semi-join on the pair ids) — at web scale candidates are a vanishing
+    fraction of the corpus, so verification cost tracks the candidate set,
+    not the corpus. The repartition pins one exchange over that reduced
+    set, which the three consumers (set sizes + both sides of the
+    intersection join) share via exchange reuse instead of re-tokenizing.
+    """
+    ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    arr = (
+        doc_term_array(df, id_col, text_col, distinct=True,
+                       shingle_size=shingle_size)
+        .join(ids, "doc_id")
+        .repartition("doc_id")
+    )
+    # set sizes per-row from the array (no groupBy); long rows only for
+    # the intersection join on term
+    sizes = arr.select("doc_id", F.size("terms").alias("sz"))
+    t = arr.select("doc_id", F.explode("terms").alias("term"))
     ta = t.select(F.col("doc_id").alias("a"), "term")
     tb = t.select(F.col("doc_id").alias("b"), "term")
     inter = (

@@ -288,13 +288,23 @@ def ivf_assignments(
     the same md5 order; ``assignments`` = (vec_id, cid, 'v' vector) where
     cid maximizes cosine(vector, centroid) (ties -> smaller cid).
 
-    Scale shape: centroids are a broadcast dim table (n_centroids rows);
-    the assignment is one codegen'd scan with a broadcast nested-loop join
-    + per-vector argmax window — no shuffle of the corpus. At 100 TB the
-    assignments table is written ``partitionBy(cid)`` so a probe prunes to
-    ``n_probe`` partitions, and ``n_centroids`` scales to sqrt(n) with a
-    Lloyd-refinement job (iterative broadcast join) if list balance
-    matters; the query plan is unchanged.
+    Scale shape: the centroid set is collapsed to ONE broadcast row (a
+    cid-sorted array of (cid, cvec, cnorm) structs) and the assignment is
+    a single codegen'd projection — ``F.aggregate`` walks the array
+    keeping the running argmax — so the corpus is scanned once with ZERO
+    exchanges (the earlier formulation's per-vector argmax window
+    shuffled n_centroids copies of every vector). Iterating cids
+    ascending with a strict ``>`` reproduces the (csim desc, cid asc)
+    tie rule exactly, and the per-element arithmetic is unchanged:
+    centroid norms are precomputed once on the (tiny) centroid side and
+    the vector's own norm once per row behind a Generate barrier — same
+    IEEE op sequence as inlining them, ~3x fewer O(dim) passes per
+    (vector, centroid), and the barrier stops CollapseProject from
+    re-deriving the norm inside every aggregate step.
+    At 100 TB the assignments table is written ``partitionBy(cid)`` so a
+    probe prunes to ``n_probe`` partitions, and ``n_centroids`` scales to
+    sqrt(n) with a Lloyd-refinement job (iterative broadcast join) if
+    list balance matters; the query plan is unchanged.
     """
     cents = (
         emb.select(
@@ -309,25 +319,39 @@ def ivf_assignments(
             "cvec",
         )
     )
-    v = _vecd(F.col(vec_col))
-    scored = (
-        emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
-        .join(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "v",
-            "cid",
-            (
-                _dot(F.col("v"), F.col("cvec"))
-                / (_norm(F.col("v")) * _norm(F.col("cvec")))
-            ).alias("csim"),
-        )
+    carr = cents.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("cid", "cvec", _norm(F.col("cvec")).alias("cnorm"))
+            )
+        ).alias("carr")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+
+    def _step(acc, c):
+        sim = _dot(F.col("v"), c["cvec"]) / (F.col("nv") * c["cnorm"])
+        return F.when(
+            sim > acc["csim"],
+            F.struct(c["cid"].alias("cid"), sim.alias("csim")),
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(-1).alias("cid"), F.lit(float("-inf")).alias("csim")
+    )
+    v = _vecd(F.col(vec_col))
     assigns = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "v")
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            # Generate barrier: v and nv become concrete attributes, so the
+            # n_centroids aggregate steps below reuse them instead of
+            # re-deriving the cast + norm per step (CollapseProject).
+            F.explode(
+                F.array(F.struct(v.alias("v"), _norm(v).alias("nv")))
+            ).alias("s"),
+        )
+        .select("vec_id", F.col("s.v").alias("v"), F.col("s.nv").alias("nv"))
+        .crossJoin(F.broadcast(carr))
+        .withColumn("best", F.aggregate("carr", init, _step))
+        .select("vec_id", F.col("best.cid").alias("cid"), "v")
     )
     return cents, assigns
 
