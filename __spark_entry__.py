@@ -28,7 +28,7 @@ from search_engine_spark.codecs import PostingReader
 from search_engine_spark.config import IndexConfig
 from search_engine_spark.facets import facet_distribution, facet_value_search
 from search_engine_spark.filters import to_column
-from search_engine_spark.pipelines import dedup, multimodal, similarity, textstats
+from search_engine_spark.pipelines import curation, dedup, multimodal, similarity, textstats
 from search_engine_spark.query import SearchIndex
 
 # bump when build/codec layout changes so cached test indexes rebuild
@@ -452,6 +452,24 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark, sf_dir):
+    # "eval set" = every 97th doc; 5-gram overlap (probe docs self-match,
+    # exact/near dups of them are flagged too)
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    return curation.decontaminate(docs, probes, n=5)
+
+
+def _q_repetition_stats(spark, sf_dir):
+    return curation.repetition_stats(_docs(spark, sf_dir), ngram=2)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    return curation.stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.25, "zh": 0.75}, seed=7
+    ).select("doc_id", "lang")
+
+
 def _q_multimodal(spark, sf_dir):
     payloads = multimodal.attach_binary_payload(_docs(spark, sf_dir))
     return multimodal.extract_features(payloads).select(
@@ -544,6 +562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        # corpus curation
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "stratified_sample": _q_stratified_sample,
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
@@ -1245,6 +1267,54 @@ FROM best
 SELECT doc_id,
        md5(array_to_string(regexp_extract_all(text, '[a-z0-9]+'), ' ')) AS fp
 FROM documents
+"""
+
+    # 5-gram decontamination vs the doc_id % 97 == 0 probe set; partial
+    # shingle (whole doc) for 0 < len < 5 exactly as shingle_expr
+    sql["decontaminate"] = """
+WITH arr AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+shing AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))) AS g
+  FROM arr WHERE len(t) > 0
+),
+dg AS (SELECT DISTINCT doc_id, g FROM shing),
+pg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0)
+SELECT d.doc_id, count(*) AS n_hits
+FROM dg d JOIN pg USING (g)
+GROUP BY 1
+"""
+
+    sql["repetition_stats"] = """
+WITH arr AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS gram
+  FROM arr WHERE len(t) > 0
+),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng, count(*) AS ndist,
+              CAST(max(c) AS BIGINT) AS topc
+       FROM gc GROUP BY 1)
+SELECT a.doc_id,
+       len(a.t) AS n_tokens,
+       round(CASE WHEN len(a.t) > 0
+                  THEN (len(a.t) - len(list_distinct(a.t))) / len(a.t)::DOUBLE
+                  ELSE 0.0 END, 6) AS dup_word_frac,
+       round(coalesce((gs.ng - gs.ndist) / gs.ng::DOUBLE, 0.0), 6) AS dup_ngram_frac,
+       round(coalesce(gs.topc / gs.ng::DOUBLE, 0.0), 6) AS top_ngram_frac
+FROM arr a LEFT JOIN gs USING (doc_id)
+"""
+
+    # md5 coin u = int(md5('7:'||id)[:15 hex]) / 2^60, keep iff u < rate(lang)
+    sql["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE cast(concat('0x', substr(md5(concat('7:', doc_id::VARCHAR)), 1, 15)) AS BIGINT)::DOUBLE
+        / 1152921504606846976.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'zh' THEN 0.75
+                  ELSE 0.0 END
 """
 
     sql["multimodal_features"] = """

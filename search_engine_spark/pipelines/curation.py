@@ -1,0 +1,184 @@
+"""Corpus-curation operators: test-set decontamination, repetition-based
+quality stats, deterministic stratified sampling.
+
+The training-data companions to dedup/textstats: before a web corpus is
+fed to a model you (a) strip documents that overlap the eval sets
+(n-gram decontamination, the C4/GPT-3 procedure), (b) drop pathologically
+repetitive pages (Gopher repetition rules), and (c) downsample strata
+(language/source) to a target mix with a reproducible coin.
+
+All operators are JVM-side DataFrame expressions (no Python in the hot
+path), deterministic (md5 coins), and have exact DuckDB oracles.
+
+Scale shapes (100 TB):
+* ``decontaminate`` — ONE hash join on a 32-char md5 gram key. The probe
+  (eval-set) side is tiny by construction (benchmarks are MBs, corpora are
+  TBs), deduped before the join, and broadcast by AQE; the corpus side
+  streams through map-side. No corpus shuffle.
+* ``repetition_stats`` — pure per-row projection (sort_array + one
+  aggregate pass per doc computes the max duplicate-run); zero exchanges,
+  embarrassingly parallel.
+* ``stratified_sample`` — stateless per-row md5 coin; zero exchanges,
+  identical output at any parallelism (the coin depends only on
+  (seed, doc_id), never on partitioning).
+
+Reference parity: the reference engine has no corpus-curation layer (its
+dedup is by external document id only, ``/root/reference/src/update/
+index_documents/transform.rs:150-360``); these are extensions mandated by
+the training-data-pipeline brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from search_engine_spark.pipelines.dedup import doc_term_array, shingle_expr
+
+ROUND = 6  # fraction rounding (oracle float-compare stability)
+
+
+def _grams(
+    df: DataFrame, n: int, id_col: str, text_col: str, distinct: bool
+) -> DataFrame:
+    """(doc_id, terms: array<string>) word n-grams per doc, per-row."""
+    return doc_term_array(
+        df, id_col=id_col, text_col=text_col, distinct=distinct, shingle_size=n
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus docs sharing >= 1 word n-gram with the probe set.
+
+    -> (doc_id, n_hits): one row per CONTAMINATED doc; n_hits = number of
+    distinct probe n-grams the doc contains. Filter the corpus with an
+    anti-join on this result (or keep docs below a hit threshold).
+
+    Grams are md5-hashed before the join: fixed 32-char keys instead of
+    arbitrarily long 13-gram strings, same match semantics (md5 is
+    injective for any real corpus), and the probe side is distinct-deduped
+    so the join fan-out is bounded by true containment.
+    """
+    doc_g = _grams(docs, n, id_col, text_col, distinct=True).select(
+        "doc_id", F.explode("terms").alias("g")
+    ).select("doc_id", F.md5("g").alias("gh"))
+    probe_g = (
+        _grams(probes, n, probe_id_col, probe_text_col, distinct=True)
+        .select(F.explode("terms").alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    return (
+        doc_g.join(probe_g, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array
+    (== max multiplicity of any element). One linear aggregate pass;
+    empty array -> 0."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals, one row per doc (docs with no
+    tokens keep zero fractions).
+
+    -> (doc_id, n_tokens, dup_word_frac, dup_ngram_frac, top_ngram_frac):
+    * dup_word_frac  = 1 - distinct_words / words (0 when empty)
+    * dup_ngram_frac = 1 - distinct_ngrams / ngrams
+    * top_ngram_frac = occurrences of the most frequent n-gram / ngrams
+
+    The max-multiplicity is computed per row as the longest equal run of
+    the SORTED gram array — O(len log len) per doc, no groupBy, so the
+    operator is a pure projection at any corpus size: one scan, zero
+    exchanges. The gram array is derived from the token array in-row
+    (``shingle_expr``) and pinned behind its own Generate barrier so the
+    four consumers below don't each rebuild it (CollapseProject).
+    """
+    words = _grams(df, 1, id_col, text_col, distinct=False)
+    j = words.select(
+        "doc_id",
+        "terms",
+        F.explode(F.array(shingle_expr(F.col("terms"), ngram))).alias("grams"),
+    )
+    nw = F.size("terms")
+    ng = F.size("grams")
+
+    def frac(num, den):
+        return F.round(
+            F.when(den > 0, num / den.cast("double")).otherwise(F.lit(0.0)), ROUND
+        )
+
+    return j.select(
+        "doc_id",
+        nw.alias("n_tokens"),
+        frac(nw - F.size(F.array_distinct("terms")), nw).alias("dup_word_frac"),
+        frac(ng - F.size(F.array_distinct("grams")), ng).alias("dup_ngram_frac"),
+        frac(_max_run(F.sort_array("grams")), ng).alias("top_ngram_frac"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling with an md5 coin.
+
+    Keeps a row iff ``u(seed, id) < rates[stratum]`` where
+    ``u = int(md5(seed ':' id)[:15 hex], 16) / 2^60`` — uniform in [0, 1),
+    independent of partitioning and cluster size, reproducible in DuckDB
+    and Python. Unlisted strata get ``default_rate``. Returns the
+    surviving rows unchanged (all original columns).
+
+    Unlike ``df.sample``, the decision is a pure function of the row, so
+    the same doc survives in every run, at any parallelism, and across
+    engines — the property a 100 TB pipeline needs for resumable,
+    auditable mixes.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(u < rate)

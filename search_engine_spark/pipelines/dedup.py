@@ -175,21 +175,25 @@ def doc_term_array(
             return base.select("doc_id", F.col("toks").alias("terms"))
         terms = F.col("toks")
     else:
-        n = shingle_size
-        # greatest(len - n, 0) + 1 windows: full shingles for len >= n,
-        # ONE partial shingle (the whole doc) for 0 < len < n — matching
-        # doc_terms' posexplode formulation; slice truncates at the end.
-        terms = F.transform(
-            F.sequence(
-                F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))
-            ),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
-        )
-        terms = F.when(F.size("toks") == 0, F.array().cast("array<string>")) \
-                 .otherwise(terms)
+        terms = shingle_expr(F.col("toks"), shingle_size)
     if distinct:
         terms = F.array_distinct(terms)
     return base.select("doc_id", F.explode(F.array(terms)).alias("terms"))
+
+
+def shingle_expr(toks: Column, n: int) -> Column:
+    """Word n-gram array from a token-array COLUMN (must be a concrete
+    attribute, not an inlineable expression — see doc_term_array's barrier
+    note). greatest(len - n, 0) + 1 windows: full shingles for len >= n,
+    ONE partial shingle (the whole doc) for 0 < len < n — matching
+    doc_terms' posexplode formulation; slice truncates at the end."""
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(shingles)
 
 
 def _minhash_wide(

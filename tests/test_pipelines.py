@@ -268,3 +268,69 @@ def test_facets(spark, docs_df):
     assert {r["value"] for r in filtered} == {"de", "fr"}
     fv = facet_value_search(docs_df, "lang", "e", typo_tolerant=False).collect()
     assert [r["value"] for r in fv] == ["en"]
+
+
+def test_decontaminate(spark, docs_df):
+    from search_engine_spark.pipelines.curation import decontaminate
+
+    probes = docs_df.filter("doc_id = 0")
+    got = {r["doc_id"]: r["n_hits"] for r in
+           decontaminate(docs_df, probes, n=3).collect()}
+    # doc 0/1 exact: all 7 distinct 3-grams hit; doc 2 shares the first 4
+    # 3-grams (the "a"-for-"the" swap breaks every gram from "jumps over
+    # the" on); 3-5 share none
+    assert got == {0: 7, 1: 7, 2: 4}
+    # n too large for any doc -> whole-doc partial shingles; only exact
+    # dups collide
+    got_big = {r["doc_id"]: r["n_hits"] for r in
+               decontaminate(docs_df, probes, n=50).collect()}
+    assert got_big == {0: 1, 1: 1}
+
+
+def test_repetition_stats(spark):
+    from search_engine_spark.pipelines.curation import repetition_stats
+
+    rows = [
+        (0, "a b a b a b"),   # 2-grams: ab,ba,ab,ba,ab -> dup 3/5, top 3/5
+        (1, "x y z w"),
+        (2, "q"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df, ngram=2).collect()}
+    assert got[0]["n_tokens"] == 6
+    assert got[0]["dup_word_frac"] == round(4 / 6, 6)
+    assert got[0]["dup_ngram_frac"] == 0.6
+    assert got[0]["top_ngram_frac"] == 0.6
+    assert got[1]["dup_ngram_frac"] == 0.0
+    assert got[1]["top_ngram_frac"] == round(1 / 3, 6)
+    assert got[2]["n_tokens"] == 1 and got[2]["top_ngram_frac"] == 1.0
+    assert got[3]["n_tokens"] == 0 and got[3]["top_ngram_frac"] == 0.0
+
+
+def test_stratified_sample_deterministic(spark, docs_df):
+    from search_engine_spark.pipelines.curation import stratified_sample
+
+    kept = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs_df, {"en": 1.0, "de": 1.0}, seed=7).collect()
+    )
+    assert kept == [0, 1, 2, 3, 4]  # fr default-rate 0 drops doc 5
+    # identical at different parallelism (partitioning-independent coin)
+    again = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs_df.repartition(7), {"en": 1.0, "de": 1.0}, seed=7
+        ).collect()
+    )
+    assert again == kept
+    # the coin matches the documented formula
+    import hashlib
+
+    def u(seed, i):
+        return int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16) / 2**60
+
+    half = {r["doc_id"] for r in
+            stratified_sample(docs_df, {"en": 0.5}, seed=7).collect()}
+    expect = {i for i in (0, 1, 2, 3) if u(7, i) < 0.5}  # en docs only
+    assert half == expect
