@@ -350,39 +350,39 @@ def _verified_jaccard(
 ) -> DataFrame:
     """Exact feature-set Jaccard for candidate (a, b) pairs only.
 
-    Tokenization is restricted to docs that appear in >= 1 candidate pair
-    (semi-join on the pair ids) — at web scale candidates are a vanishing
-    fraction of the corpus, so verification cost tracks the candidate set,
-    not the corpus. The repartition pins one exchange over that reduced
-    set, which the three consumers (set sizes + both sides of the
-    intersection join) share via exchange reuse instead of re-tokenizing.
+    The INPUT rows are restricted to docs appearing in >= 1 candidate pair
+    (semi-join against the exploded pair ids) BEFORE tokenization, so at
+    web scale verification cost — scan bytes, regex, shingling, the
+    intersection join — tracks the candidate set, not the corpus. The
+    repartition pins one exchange over that reduced set so both sides of
+    the intersection join share a single tokenization via exchange reuse.
+    Set sizes ride the exploded rows (F.size per row, no groupBy and no
+    extra join pair).
     """
-    ids = (
-        cand.select(F.col("a").alias("doc_id"))
-        .union(cand.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
+    ids = cand.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    sub = df.join(ids, id_col, "left_semi")
     arr = (
-        doc_term_array(df, id_col, text_col, distinct=True,
+        doc_term_array(sub, id_col, text_col, distinct=True,
                        shingle_size=shingle_size)
-        .join(ids, "doc_id")
         .repartition("doc_id")
     )
-    # set sizes per-row from the array (no groupBy); long rows only for
-    # the intersection join on term
-    sizes = arr.select("doc_id", F.size("terms").alias("sz"))
-    t = arr.select("doc_id", F.explode("terms").alias("term"))
-    ta = t.select(F.col("doc_id").alias("a"), "term")
-    tb = t.select(F.col("doc_id").alias("b"), "term")
-    inter = (
-        cand.join(ta, "a").join(tb, ["b", "term"]).groupBy("a", "b").agg(F.count("*").alias("inter"))
+    t = arr.select(
+        "doc_id", F.size("terms").alias("sz"), F.explode("terms").alias("term")
     )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    ta = t.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"), "term")
+    tb = t.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"), "term")
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "term"])
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("sza").alias("sza"),
+            F.first("szb").alias("szb"),
+        )
+    )
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
         )
