@@ -53,7 +53,7 @@ def main() -> None:
     from search_engine_spark.build import build_index
     from search_engine_spark.config import IndexConfig
     from search_engine_spark.facets import facet_distribution
-    from search_engine_spark.pipelines import dedup, similarity, textstats
+    from search_engine_spark.pipelines import curation, dedup, similarity, textstats
     from search_engine_spark.query import SearchIndex
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -142,6 +142,9 @@ def main() -> None:
         embs, qv, k=10, n_centroids=16, n_probe=4).collect())
     timed("q_token_stats", lambda: _force(textstats.token_stats(docs)))
     timed("q_quality", lambda: _force(textstats.quality_score(docs)))
+    timed("q_decontaminate", lambda: _force(curation.decontaminate(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), n=5)))
+    timed("q_repetition_stats", lambda: _force(curation.repetition_stats(docs)))
 
     total = round(sum(timings.values()), 3)
     out = {
