@@ -94,7 +94,26 @@ def tokenize(text: str) -> list[str]:
 #
 # These produce byte-identical output to the reference functions above —
 # property-tested in tests/test_analysis.py — but skip work that provably
-# cannot change the result:
+# cannot change the result.
+#
+# The batch fast path is a BYTE-LEVEL kernel (`_ascii_byte_tokenize`): the
+# Arrow string buffer is lowercased with one vectorized add, classified
+# through a 256-entry LUT (alnum / hard-separator / soft-separator), token
+# runs found by boundary detection (with forced breaks at doc boundaries),
+# and the flat token array rebuilt with a single gather + zero-copy
+# ``pa.Array.from_buffers``. This replaces the earlier 4-regex-replace +
+# 2-split RE2 pipeline (measured ~60% of extract kernel time; each replace
+# was a full-corpus allocation pass) — extract is DRAM-bandwidth-bound at
+# high parallelism (SCALE.md), so fewer full-text passes is the strong-
+# scaling lever, not just a constant factor.
+#
+# Positions come from pure index math (same rule as the docstring above):
+# ``pos = token_index + (GAP-1) * n_hard_gaps_before`` where a hard gap is
+# a maximal separator run containing >=1 hard char between two tokens of
+# the same doc. A hard char is the first of its run iff at least one
+# alphanumeric byte lies between it and the previous hard char (tokens
+# separate runs); leading-gap markers cancel out by subtracting the marker
+# count at the doc's first token.
 #  * pure-ASCII text: NFKD is the identity and has no combining marks, so
 #    normalize() collapses to str.lower() (C-speed, no per-char Python).
 #  * token stream: one C-level findall() instead of the finditer loop,
@@ -124,6 +143,169 @@ def tokenize_fast(text: str) -> list[str]:
     return toks
 
 
+_CLS_LUT = None  # built lazily: 0 = soft separator, 1 = alnum, 2 = hard
+
+
+def _cls_lut():
+    global _CLS_LUT
+    if _CLS_LUT is None:
+        import numpy as np
+
+        lut = np.zeros(256, dtype=np.uint8)
+        for c in range(ord("a"), ord("z") + 1):
+            lut[c] = 1
+        for c in range(ord("0"), ord("9") + 1):
+            lut[c] = 1
+        for ch in HARD_SEPARATORS:
+            if ord(ch) < 128:
+                lut[ord(ch)] = 2
+        _CLS_LUT = lut
+    return _CLS_LUT
+
+
+def _cumsum0(a, dtype):
+    import numpy as np
+
+    out = np.zeros(len(a) + 1, dtype=dtype)
+    np.cumsum(a, out=out[1:])
+    return out
+
+
+def _ascii_byte_tokenize(sub, want_positions: bool):
+    """Byte-level tokenize of an all-ASCII ``pa.StringArray``.
+
+    Returns ``(flat_tokens: pa.StringArray, tok_doc: np.int64[],
+    counts: np.int64[len(sub)], positions: np.int64[] | None)`` —
+    byte-identical to mapping ``tokenize_with_positions`` over the docs
+    (property-tested). ``counts`` excludes >MAX_WORD_LENGTH tokens, whose
+    positions still advance (frozen semantics). See the fast-path comment
+    block above for the algorithm.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(sub, pa.ChunkedArray):
+        sub = sub.combine_chunks()
+    if sub.type != pa.string():  # e.g. large_string: 8-byte offsets
+        sub = sub.cast(pa.string())
+    n_sub = len(sub)
+    counts = np.zeros(n_sub, dtype=np.int64)
+    empty = (
+        pa.array([], type=pa.string()),
+        np.empty(0, dtype=np.int64),
+        counts,
+        np.empty(0, dtype=np.int64) if want_positions else None,
+    )
+    if n_sub == 0:
+        return empty
+    bufs = sub.buffers()
+    off_all = np.frombuffer(bufs[1], dtype=np.int32)
+    off = off_all[sub.offset : sub.offset + n_sub + 1].astype(np.int64)
+    if bufs[2] is None or off[-1] == off[0]:
+        return empty
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    buf = data[off[0] : off[-1]]
+    doc_off = off - off[0]
+
+    # lowercase (one pass) + classify (one LUT gather)
+    low = buf.copy()
+    upper = (low >= 65) & (low <= 90)
+    low[upper] += 32
+    cls = _cls_lut()[low]
+    is_al = cls == 1
+
+    nb = len(low)
+    prev_al = np.empty(nb, dtype=bool)
+    prev_al[0] = False
+    prev_al[1:] = is_al[:-1]
+    next_al = np.empty(nb, dtype=bool)
+    next_al[-1] = False
+    next_al[:-1] = is_al[1:]
+    # force token breaks at doc boundaries
+    inner = doc_off[1:-1]
+    inner = inner[(inner > 0) & (inner < nb)]
+    if len(inner):
+        prev_al[inner] = False
+        next_al[inner - 1] = False
+
+    starts = np.flatnonzero(is_al & ~prev_al)
+    n_tok = len(starts)
+    if n_tok == 0:
+        return empty
+    ends = np.flatnonzero(is_al & ~next_al) + 1
+    lens = ends - starts
+    # per-doc token counts via n_docs (not n_tokens) binary searches
+    tok_starts_per_doc = np.searchsorted(starts, doc_off)
+    counts_all = np.diff(tok_starts_per_doc)
+    tok_doc = np.repeat(
+        np.arange(n_sub, dtype=np.int64), counts_all
+    )
+
+    positions = None
+    if want_positions:
+        # markers: first hard char of each separator run (see comment block)
+        hard_idx = np.flatnonzero(cls == 2)
+        if len(hard_idx):
+            al_cum = np.cumsum(is_al)
+            first = np.empty(len(hard_idx), dtype=bool)
+            first[0] = True
+            first[1:] = al_cum[hard_idx[1:]] != al_cum[hard_idx[:-1]]
+            marker_cum = np.zeros(nb + 1, dtype=np.int64)
+            marker_cum[hard_idx[first] + 1] = 1  # marker positions unique
+            np.cumsum(marker_cum, out=marker_cum)
+            m_at_start = marker_cum[starts]
+            # marker count at the doc's FIRST token start, per token
+            has_tok = counts_all > 0
+            first_tok = tok_starts_per_doc[:-1][has_tok]
+            m_at_first = np.repeat(m_at_start[first_tok], counts_all[has_tok])
+            tok_i = np.arange(n_tok, dtype=np.int64) - np.repeat(
+                first_tok, counts_all[has_tok]
+            )
+            positions = tok_i + (HARD_SEPARATOR_GAP - SOFT_SEPARATOR_GAP) * (
+                m_at_start - m_at_first
+            )
+        else:
+            has_tok = counts_all > 0
+            positions = np.arange(n_tok, dtype=np.int64) - np.repeat(
+                tok_starts_per_doc[:-1][has_tok], counts_all[has_tok]
+            )
+
+    # drop over-long tokens AFTER position assignment (frozen semantics)
+    bad = lens > MAX_WORD_LENGTH
+    if bad.any():
+        keep = ~bad
+        drop = np.bincount(tok_doc[bad], minlength=n_sub)
+        counts[:] = counts_all - drop
+        starts = starts[keep]
+        lens = lens[keep]
+        tok_doc = tok_doc[keep]
+        if positions is not None:
+            positions = positions[keep]
+        n_tok = len(starts)
+        if n_tok == 0:
+            return (
+                pa.array([], type=pa.string()),
+                np.empty(0, dtype=np.int64),
+                counts,
+                np.empty(0, dtype=np.int64) if want_positions else None,
+            )
+    else:
+        counts[:] = counts_all
+
+    # single gather into a packed values buffer; zero-copy from_buffers
+    excl = _cumsum0(lens, np.int64)
+    tot = int(excl[-1])
+    gidx = np.arange(tot, dtype=np.int64) + np.repeat(starts - excl[:-1], lens)
+    values = low[gidx]
+    offsets32 = excl.astype(np.int32)
+    flat = pa.Array.from_buffers(
+        pa.utf8(),
+        n_tok,
+        [None, pa.py_buffer(offsets32), pa.py_buffer(values)],
+    )
+    return flat, tok_doc, counts, positions
+
+
 def tokenize_positions_arrow_batch(texts):
     """Vectorized tokenize WITH positions for a ``pa.StringArray``.
 
@@ -131,15 +313,9 @@ def tokenize_positions_arrow_batch(texts):
     that zipping tokens/positions per doc equals
     ``tokenize_with_positions(texts[i])`` exactly (property-tested).
 
-    The hard-separator position rule vectorizes via a two-level split:
-
-    1. literal ``#`` (itself a soft separator) is canonicalized to ``-``;
-    2. every separator run CONTAINING a hard separator collapses to one
-       ``#``; remaining (soft) runs collapse to one space;
-    3. split by ``#`` → segments, split segments by space → tokens.
-       With gaps between tokens now exactly one char, position becomes
-       pure index math: ``pos = token_index + (GAP-1) * segment_index``
-       (each hard gap adds GAP where a soft gap adds 1).
+    ASCII docs run through the byte-level kernel ``_ascii_byte_tokenize``
+    (see the fast-path comment block); positions are pure index math:
+    ``pos = token_index + (GAP-1) * n_hard_gaps_before_token``.
 
     Tokens longer than MAX_WORD_LENGTH advance the position but are not
     emitted (reference semantics) — they are dropped after position
@@ -166,61 +342,14 @@ def tokenize_positions_arrow_batch(texts):
     fast_idx = np.flatnonzero(fast_mask)
     if len(fast_idx):
         sub = texts if len(fast_idx) == n else pc.take(texts, pa.array(fast_idx))
-        low = pc.ascii_lower(sub)
-        s0 = pc.replace_substring(low, pattern="#", replacement="-")
-        s0 = pc.replace_substring_regex(
-            s0, pattern=r"^[^a-z0-9]+|[^a-z0-9]+$", replacement=""
+        flat, tok_doc, sub_counts, positions = _ascii_byte_tokenize(
+            sub, want_positions=True
         )
-        hard = '.!?;:\n\r()\\[\\]{}|"'
-        s1 = pc.replace_substring_regex(
-            s0,
-            pattern=f"[^a-z0-9]*[{hard}][^a-z0-9]*",
-            replacement="#",
-        )
-        s2 = pc.replace_substring_regex(
-            s1, pattern="[^a-z0-9#]+", replacement=" "
-        )
-        segs = pc.split_pattern(s2, pattern="#")  # list<str> per doc
-        seg_per_doc = (
-            pc.list_value_length(segs).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        seg_flat = segs.flatten()
-        toks = pc.split_pattern(seg_flat, pattern=" ")  # list<str> per segment
-        tok_per_seg = (
-            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        flat = toks.flatten()
-        n_tok = len(flat)
-
-        # doc index of each segment / token
-        seg_doc = np.repeat(np.arange(len(fast_idx)), seg_per_doc)
-        tok_doc = np.repeat(seg_doc, tok_per_seg)
-        # token index within doc (0-based) and segment index within doc
-        doc_tok_counts = np.bincount(tok_doc, minlength=len(fast_idx))
-        doc_starts = np.zeros(len(fast_idx) + 1, dtype=np.int64)
-        np.cumsum(doc_tok_counts, out=doc_starts[1:])
-        tok_i = np.arange(n_tok, dtype=np.int64) - np.repeat(
-            doc_starts[:-1], doc_tok_counts
-        )
-        seg_starts = np.zeros(len(fast_idx) + 1, dtype=np.int64)
-        np.cumsum(seg_per_doc, out=seg_starts[1:])
-        seg_i_global = np.repeat(np.arange(len(seg_flat), dtype=np.int64), tok_per_seg)
-        seg_i = seg_i_global - np.repeat(seg_starts[:-1], doc_tok_counts)
-        positions = tok_i + (HARD_SEPARATOR_GAP - SOFT_SEPARATOR_GAP) * seg_i
-
-        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-        bad = (lens == 0) | (lens > MAX_WORD_LENGTH)
-        if bad.any():
-            keep = ~bad
-            drop = np.bincount(tok_doc[bad], minlength=len(fast_idx))
-            flat = flat.filter(pa.array(keep))
-            doc_tok_counts = doc_tok_counts - drop
-            tok_doc = tok_doc[keep]
-            positions = positions[keep]
-        counts[fast_idx] = doc_tok_counts
-        flats.append(flat)
-        idxs.append(fast_idx[tok_doc])
-        poss.append(positions)
+        counts[fast_idx] = sub_counts
+        if len(flat):
+            flats.append(flat)
+            idxs.append(fast_idx[tok_doc])
+            poss.append(positions)
 
     for i in np.flatnonzero(~fast_mask):
         tp = tokenize_with_positions(texts[i].as_py())
@@ -283,28 +412,13 @@ def tokenize_arrow_batch(texts):
     fast_idx = np.flatnonzero(fast_mask)
     if len(fast_idx):
         sub = texts if len(fast_idx) == n else pc.take(texts, pa.array(fast_idx))
-        low = pc.ascii_lower(sub)
-        trimmed = pc.replace_substring_regex(
-            low, pattern=r"^[^a-z0-9]+|[^a-z0-9]+$", replacement=""
+        flat, tok_doc, sub_counts, _ = _ascii_byte_tokenize(
+            sub, want_positions=False
         )
-        toks = pc.split_pattern_regex(trimmed, pattern="[^a-z0-9]+")
-        c = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = toks.flatten()
-        lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-        # "" sentinels (all-separator docs) and >MAX_WORD_LENGTH-byte tokens
-        bad = (lens == 0) | (lens > MAX_WORD_LENGTH)
-        di = np.repeat(fast_idx, c)
-        if bad.any():
-            keep = ~bad
-            drop = np.bincount(
-                np.repeat(np.arange(len(fast_idx)), c)[bad], minlength=len(fast_idx)
-            )
-            flat = flat.filter(pa.array(keep))
-            c = c - drop
-            di = di[keep]
-        counts[fast_idx] = c
-        flats.append(flat)
-        idxs.append(di)
+        counts[fast_idx] = sub_counts
+        if len(flat):
+            flats.append(flat)
+            idxs.append(fast_idx[tok_doc])
 
     for i in np.flatnonzero(~fast_mask):
         toks = tokenize_fast(texts[i].as_py())

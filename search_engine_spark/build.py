@@ -343,16 +343,23 @@ def make_extract_fn(config: IndexConfig):
             d_raw = batch.column(batch.schema.get_field_index("docid")).to_numpy(
                 zero_copy_only=False
             )
-            # docid-asc batch order makes every output array docid-sorted
-            order0 = np.argsort(d_raw, kind="stable")
-            take_idx = pa.array(order0, type=pa.int64())
-            doc_ids = np.ascontiguousarray(d_raw[order0], dtype=np.int64)
-            n_docs_b = len(doc_ids)
+            # docid-asc batch order makes every output array docid-sorted.
+            # Batches read from the staging/docs parquet are already sorted
+            # — skip the argsort AND the full string-column take (a whole-
+            # batch text copy) in that common case.
+            n_docs_b = len(d_raw)
+            if n_docs_b and np.all(d_raw[1:] >= d_raw[:-1]):
+                take_idx = None
+                doc_ids = np.ascontiguousarray(d_raw, dtype=np.int64)
+            else:
+                order0 = np.argsort(d_raw, kind="stable")
+                take_idx = pa.array(order0, type=pa.int64())
+                doc_ids = np.ascontiguousarray(d_raw[order0], dtype=np.int64)
 
             if not multi_field:
-                texts_sorted = pc.take(
-                    batch.column(batch.schema.get_field_index("text")), take_idx
-                )
+                texts_sorted = batch.column(batch.schema.get_field_index("text"))
+                if take_idx is not None:
+                    texts_sorted = pc.take(texts_sorted, take_idx)
                 if store_positions:
                     flat_arrow, doc_idx_arrow, lengths, pos_flat_np = (
                         tokenize_positions_arrow_batch(texts_sorted)
@@ -368,10 +375,9 @@ def make_extract_fn(config: IndexConfig):
                 flats, idxs, poss_l = [], [], []
                 lengths = np.zeros(n_docs_b, dtype=np.int64)
                 for fid, (fname, w) in enumerate(fields):
-                    col_sorted = pc.take(
-                        batch.column(batch.schema.get_field_index(fname)),
-                        take_idx,
-                    )
+                    col_sorted = batch.column(batch.schema.get_field_index(fname))
+                    if take_idx is not None:
+                        col_sorted = pc.take(col_sorted, take_idx)
                     if store_positions:
                         fa, di, ln, pf = tokenize_positions_arrow_batch(
                             col_sorted
@@ -459,10 +465,15 @@ def make_extract_fn(config: IndexConfig):
                 # larger, so a STABLE sort on the (term, doc) key alone
                 # leaves positions ascending within every group — one sort
                 # pass instead of lexsort's two (property-tested against
-                # the per-doc tokenizer).
+                # the per-doc tokenizer). key_sorted is already sorted, so
+                # groups come from boundary detection, not np.unique
+                # (which would sort the token stream a second time).
                 order = np.argsort(key, kind="stable")
                 key_sorted = key[order]
-                uniq_keys, tf = np.unique(key_sorted, return_counts=True)
+                kb = np.flatnonzero(key_sorted[1:] != key_sorted[:-1]) + 1
+                kstarts = np.concatenate(([0], kb))
+                uniq_keys = key_sorted[kstarts]
+                tf = np.diff(np.concatenate((kstarts, [len(key_sorted)])))
                 pos_sorted = pos_flat_np[order]
             else:
                 uniq_keys, tf = np.unique(key, return_counts=True)
@@ -519,10 +530,13 @@ def make_extract_fn(config: IndexConfig):
                 starts_o = orig_starts[order2]
                 tf_s64 = tf_s.astype(np.int64)
                 tot = int(tf_s64.sum())
-                base = np.repeat(starts_o, tf_s)
                 excl = np.concatenate(([0], np.cumsum(tf_s64)))[:-1].astype(np.int32)
-                within = np.arange(tot, dtype=np.int32) - np.repeat(excl, tf_s)
-                pos_group_flat = pos_sorted[base + within].astype(np.int32)
+                # gather index = arange + repeat(run_start - run_excl_cum):
+                # ONE tot-sized repeat temporary instead of two
+                gidx = np.arange(tot, dtype=np.int32) + np.repeat(
+                    starts_o - excl, tf_s
+                )
+                pos_group_flat = pos_sorted[gidx].astype(np.int32)
                 inner = pa.ListArray.from_arrays(
                     _offsets(tf_s64), pa.array(pos_group_flat, type=pa.int32())
                 )
