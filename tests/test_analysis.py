@@ -137,3 +137,32 @@ def test_tokenize_positions_arrow_batch_matches_reference():
         got = [(flat_py[j], int(pos[j])) for j in sel]
         assert got == want, (i, repr(s), got[:6], want[:6])
         assert counts[i] == len(want)
+
+
+def test_ascii_byte_tokenize_sliced_and_large_string():
+    """The byte kernel must honor Arrow slice offsets and 8-byte
+    (large_string) offset buffers — both change buffer interpretation."""
+    import numpy as np
+    import pyarrow as pa
+
+    from search_engine_spark.analysis import (
+        _ascii_byte_tokenize,
+        tokenize_with_positions,
+    )
+
+    docs = ["pad me out", "Hello. world", "", "end.", "a(b)c"]
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(docs, type=typ).slice(1, 4)
+        flat, doc_idx, counts, pos = _ascii_byte_tokenize(arr, True)
+        flat_py = flat.to_pylist()
+        for i, s in enumerate(docs[1:]):
+            want = tokenize_with_positions(s)
+            sel = np.flatnonzero(doc_idx == i)
+            got = [(flat_py[j], int(pos[j])) for j in sel]
+            assert got == want, (typ, i, got, want)
+            assert counts[i] == len(want)
+
+    # all-empty / all-separator slice -> empty result, zero counts
+    arr = pa.array(["x", "", "  ", "..."]).slice(1, 3)
+    flat, doc_idx, counts, pos = _ascii_byte_tokenize(arr, True)
+    assert len(flat) == 0 and counts.tolist() == [0, 0, 0]
