@@ -80,6 +80,9 @@ out = {"cpus": int(cpus), "n_docs": n_docs, "build_s": round(build_s, 2),
        "q_p50_s": round(lat[len(lat)//2], 3), "q_p95_s": round(lat[-1], 3)}
 print("RESULT " + json.dumps(out))
 spark.stop()
+# a 4M-doc index is ~7 GB; three levels x min-of-2 runs filled the disk to
+# 95% once (ENOSPC mid-build) — always clean up after measuring
+shutil.rmtree(idx_dir, ignore_errors=True)
 """
 
 GEN = r"""
