@@ -669,18 +669,31 @@ def make_encode_fn(config: IndexConfig, avgdl: float, lineage_dir: str | None = 
             tfs = np.concatenate([t_val[t_off[r] : t_off[r + 1]] for r in rows])
             dls = np.concatenate([l_val[l_off[r] : l_off[r + 1]] for r in rows])
             if store_positions:
-                positions = [
-                    i_val[i_off[j] : i_off[j + 1]]
-                    for r in rows
-                    for j in range(o_off[r], o_off[r + 1])
-                ]
+                # flat (values, per-posting lens) — a row's postings are
+                # contiguous in both the posting and the value stream, so
+                # per-ROW slices suffice; no per-posting Python objects
+                plens = np.concatenate(
+                    [i_lens[o_off[r] : o_off[r + 1]] for r in rows]
+                )
+                pflat = np.concatenate(
+                    [i_val[i_off[o_off[r]] : i_off[o_off[r + 1]]] for r in rows]
+                )
             else:
-                positions = None
+                plens = pflat = None
             if e - s > 1:
                 ordr = np.argsort(docids, kind="stable")
                 docids, tfs, dls = docids[ordr], tfs[ordr], dls[ordr]
-                if positions is not None:
-                    positions = [positions[i] for i in ordr]
+                if store_positions and len(plens):
+                    pstarts = np.zeros(len(plens), dtype=np.int64)
+                    np.cumsum(plens[:-1], out=pstarts[1:])
+                    plens = plens[ordr]
+                    excl = np.zeros(len(plens) + 1, dtype=np.int64)
+                    np.cumsum(plens, out=excl[1:])
+                    gidx = np.arange(int(excl[-1]), dtype=np.int64) + np.repeat(
+                        pstarts[ordr] - excl[:-1], plens
+                    )
+                    pflat = pflat[gidx]
+            positions = (pflat, plens) if store_positions else None
             enc = encode_postings(
                 docids, tfs, dls, positions,
                 block_size=block_size, avgdl=avgdl, k1=k1, b=b,

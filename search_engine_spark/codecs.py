@@ -139,7 +139,7 @@ def encode_postings(
     docids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    positions: list[np.ndarray] | None,
+    positions: "list[np.ndarray] | tuple[np.ndarray, np.ndarray] | None",
     *,
     block_size: int,
     avgdl: float,
@@ -147,7 +147,10 @@ def encode_postings(
     b: float,
 ) -> EncodedPostings:
     """Encode one (term, shard) posting list. ``docids`` must be sorted asc
-    and unique; ``positions[i]`` (if given) sorted asc with len == tfs[i]."""
+    and unique; ``positions`` (if given) is either a list of per-posting
+    arrays (each sorted asc, len == tfs[i]) or the equivalent pre-flattened
+    ``(flat_values, per_posting_lens)`` pair — the hot build path passes the
+    flat form so no per-posting Python objects are created."""
     n = int(len(docids))
     docids = np.ascontiguousarray(docids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -190,8 +193,14 @@ def encode_postings(
     dls_b, dl_off = _venc(dls, starts)
 
     if positions is not None:
-        lens = np.fromiter((len(p) for p in positions), np.int64, n)
-        flat = np.concatenate(positions) if lens.sum() else np.zeros(0, dtype=np.int64)
+        if isinstance(positions, tuple):
+            flat, lens = positions
+            flat = np.ascontiguousarray(flat, dtype=np.int64)
+            lens = np.ascontiguousarray(lens, dtype=np.int64)
+        else:
+            lens = np.fromiter((len(p) for p in positions), np.int64, n)
+            flat = (np.concatenate(positions) if lens.sum()
+                    else np.zeros(0, dtype=np.int64))
         doc_starts = np.zeros(n, dtype=np.int64)
         np.cumsum(lens[:-1], out=doc_starts[1:])
         pdeltas = delta_encode(flat.astype(np.int64))
