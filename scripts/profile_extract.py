@@ -16,8 +16,9 @@ sys.path.insert(0, "/root/repo")
 from search_engine_spark.build import make_extract_fn  # noqa: E402
 from search_engine_spark.config import IndexConfig  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 50000
-REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+_args = [a for a in sys.argv[1:] if a != "--profile"]
+N = int(_args[0]) if len(_args) > 0 else 50000
+REPS = int(_args[1]) if len(_args) > 1 else 3
 
 tbl = pq.read_table("/root/testdata/sf0.1/documents.parquet", columns=["doc_id", "text"])
 # replicate rows to reach N docs with distinct docids

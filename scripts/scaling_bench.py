@@ -60,29 +60,31 @@ shutil.rmtree(idx_dir, ignore_errors=True)
 cfg = IndexConfig(text_col="text", pk_col="url", ts_col="warc_ts",
                   attr_cols=("lang",), num_shards=16, num_buckets=8,
                   store_positions=False)
-t0 = time.time()
-build_index(spark, pages, idx_dir, cfg)
-build_s = time.time() - t0
-
-ix = SearchIndex(spark, idx_dir)
-queries = ["web search engine", "distributed data index", "the of and",
-           "crawl rank score", "spark query term", "page table data",
-           "search engine", "index term score rank", "of the web data",
-           "engine crawl page"]
-lat = []
-for q in queries:
+# a 4M-doc index is ~7 GB; three levels x min-of-N runs filled the disk to
+# 95% once (ENOSPC mid-build) — clean up even when the build itself dies
+try:
     t0 = time.time()
-    ix.search(q, k=10, mode="wand").collect()
-    lat.append(time.time() - t0)
-lat.sort()
-out = {"cpus": int(cpus), "n_docs": n_docs, "build_s": round(build_s, 2),
-       "docs_per_sec": round(n_docs / build_s, 1),
-       "q_p50_s": round(lat[len(lat)//2], 3), "q_p95_s": round(lat[-1], 3)}
-print("RESULT " + json.dumps(out))
-spark.stop()
-# a 4M-doc index is ~7 GB; three levels x min-of-2 runs filled the disk to
-# 95% once (ENOSPC mid-build) — always clean up after measuring
-shutil.rmtree(idx_dir, ignore_errors=True)
+    build_index(spark, pages, idx_dir, cfg)
+    build_s = time.time() - t0
+
+    ix = SearchIndex(spark, idx_dir)
+    queries = ["web search engine", "distributed data index", "the of and",
+               "crawl rank score", "spark query term", "page table data",
+               "search engine", "index term score rank", "of the web data",
+               "engine crawl page"]
+    lat = []
+    for q in queries:
+        t0 = time.time()
+        ix.search(q, k=10, mode="wand").collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    out = {"cpus": int(cpus), "n_docs": n_docs, "build_s": round(build_s, 2),
+           "docs_per_sec": round(n_docs / build_s, 1),
+           "q_p50_s": round(lat[len(lat)//2], 3), "q_p95_s": round(lat[-1], 3)}
+    print("RESULT " + json.dumps(out))
+    spark.stop()
+finally:
+    shutil.rmtree(idx_dir, ignore_errors=True)
 """
 
 GEN = r"""

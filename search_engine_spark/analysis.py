@@ -180,12 +180,20 @@ def _ascii_byte_tokenize(sub, want_positions: bool):
     (property-tested). ``counts`` excludes >MAX_WORD_LENGTH tokens, whose
     positions still advance (frozen semantics). See the fast-path comment
     block above for the algorithm.
+
+    ``sub`` must be null-free (Arrow permits null slots to carry arbitrary
+    offset ranges whose bytes would be read as phantom tokens) — nulls are
+    filled to "" here as a guard; callers normally ``fill_null`` upstream.
     """
     import numpy as np
     import pyarrow as pa
 
     if isinstance(sub, pa.ChunkedArray):
         sub = sub.combine_chunks()
+    if sub.null_count:
+        import pyarrow.compute as pc
+
+        sub = pc.fill_null(sub, "")
     if sub.type != pa.string():  # e.g. large_string: 8-byte offsets
         sub = sub.cast(pa.string())
     n_sub = len(sub)
@@ -283,12 +291,7 @@ def _ascii_byte_tokenize(sub, want_positions: bool):
             positions = positions[keep]
         n_tok = len(starts)
         if n_tok == 0:
-            return (
-                pa.array([], type=pa.string()),
-                np.empty(0, dtype=np.int64),
-                counts,
-                np.empty(0, dtype=np.int64) if want_positions else None,
-            )
+            return empty  # counts is shared by reference and already set
     else:
         counts[:] = counts_all
 
@@ -383,9 +386,9 @@ def tokenize_arrow_batch(texts):
     counts: np.int64[len(texts)])`` where ``flat_tokens[flat_doc_idx == i]``
     equals ``tokenize(texts[i])`` exactly (property-tested).
 
-    Pure-ASCII short docs never allocate a Python string: lowercasing,
-    edge-trimming, separator splitting, and length filtering all run in
-    Arrow C++ (RE2). This is what keeps the extract stage strong-scaling —
+    Pure-ASCII short docs never allocate a Python string: they run through
+    the byte-level numpy kernel ``_ascii_byte_tokenize`` (see the fast-path
+    comment block). This is what keeps the extract stage strong-scaling —
     per-token PyObject churn was measured as kernel-time-bound (mmap/TLB)
     at high parallelism. Docs that are non-ASCII, or big enough that the
     MAX_POSITION emission stop could trigger (>16384 bytes), take the
