@@ -792,16 +792,19 @@ def _stage1_staging_dir(
 ) -> str | None:
     """Resolve config.stage1_staging ('auto'|'cache'|'parquet') to a
     staging path or None (= cache). 'auto' stages to parquet when the
-    input is file-backed and larger than stage1_cache_max_bytes — the
-    measured cache-pressure switch point (config.py) — and caches small /
-    in-memory inputs (tests, small batches)."""
+    input's on-disk size is unknown (non-file-backed — could be huge) or
+    exceeds stage1_cache_max_bytes — the measured cache-pressure switch
+    point (config.py) — and caches small file-backed inputs."""
     mode = config.stage1_staging
     if mode == "cache":
         return None
     if mode == "parquet":
         return os.path.join(index_dir, "_staging_sorted_run")
     size = _input_bytes(pages)
-    if size is not None and size > config.stage1_cache_max_bytes:
+    # unknown size (non-file-backed input) takes the safe parquet path:
+    # it could be arbitrarily large and the persist path degrades ~1.7x
+    # under storage-pool pressure (config.py switch-point note)
+    if size is None or size > config.stage1_cache_max_bytes:
         return os.path.join(index_dir, "_staging_sorted_run")
     return None
 

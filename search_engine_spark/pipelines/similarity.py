@@ -160,13 +160,16 @@ def lsh_bucket(vec_col: Column, n_planes: int = 12) -> Column:
     """
     from pyspark.sql.functions import pandas_udf
 
+    # closure-level so the O(n_planes*dim) md5 matrix is built once per
+    # executor per dim, not once per Arrow batch
+    planes: dict[int, "np.ndarray"] = {}
+
     @pandas_udf("long")
     def sketch(s: pd.Series) -> pd.Series:
         import numpy as np
 
         if not len(s):
             return pd.Series(np.zeros(0, dtype=np.int64))
-        planes: dict[int, np.ndarray] = {}
         weights = np.asarray([1 << p for p in range(n_planes)], dtype=np.int64)
         dims = s.map(len).to_numpy()
         out = np.zeros(len(s), dtype=np.int64)

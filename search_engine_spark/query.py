@@ -742,8 +742,10 @@ class SearchIndex:
         ``src/score_details.rs:31-57``, per-rule rank/max_rank replaced by
         per-term BM25 contributions): for each top-k document, one row per
         contributing scoring term with its ``part = weight * idf-impact``,
-        plus one ``~prox:a:b`` row per proximity pair bonus. Sum(part)
-        grouped by docid equals the search score exactly.
+        plus one ``~prox:a:b`` row per proximity pair bonus and — under
+        ``matching_strategy='last'`` — one ``~words`` row carrying the
+        words-rule ``bucket * offset`` fold. Sum(part) grouped by docid
+        equals the search score exactly, for every matching strategy.
 
         -> DataFrame(docid long, term string, part double), driver-built
         (k-bounded output; postings slices are the query's own terms)."""
@@ -782,6 +784,35 @@ class SearchIndex:
                     (int(dd), f"~prox:{a}:{bb}", float(pp))
                     for dd, pp in zip(pd_docs[sel], bonus[sel])
                 )
+        if plan.word_groups:
+            # mirror _exhaustive_topk's Last-strategy fold exactly: the
+            # executed score includes bucket * offset_val, so emit it as a
+            # '~words' component to keep sum(part) == score
+            offset_val = (
+                sum(abs(v) for v in plan.term_weights.values())
+                + abs(plan.prox_weight) * max(1, len(plan.prox_pairs or ()))
+                + 1.0
+            )
+            term_docs: dict[str, np.ndarray] = {}
+            for t in {x for grp in plan.word_groups for x in grp}:
+                chunks = [r.decode_all()[0] for r, _s in readers.get(t, ())]
+                if chunks:
+                    term_docs[t] = np.concatenate(chunks)
+            alive = np.ones(len(docids), dtype=bool)
+            wcnt = np.zeros(len(docids), dtype=np.float64)
+            for grp in plan.word_groups:
+                gdocs = [term_docs[t] for t in grp if t in term_docs]
+                if gdocs:
+                    alive &= np.isin(docids, np.concatenate(gdocs))
+                else:
+                    alive[:] = False
+                if not alive.any():
+                    break
+                wcnt += alive
+            rows.extend(
+                (int(dd), "~words", float(c * offset_val))
+                for dd, c in zip(docids, wcnt) if c > 0
+            )
         return self.spark.createDataFrame(
             rows, "docid long, term string, part double"
         )
@@ -1046,8 +1077,8 @@ def _exhaustive_topk(
     np.add.at(agg, inv, scores)
 
     if prox_weight and prox_pairs:
-        for a, b in prox_pairs:
-            pd_docs, pd_bonus = _pair_prox_bonus(readers, a, b, prox_weight)
+        for ta, tb in prox_pairs:  # don't shadow the BM25 `b` parameter
+            pd_docs, pd_bonus = _pair_prox_bonus(readers, ta, tb, prox_weight)
             if len(pd_docs):
                 pos = np.searchsorted(uniq, pd_docs)
                 ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == pd_docs)

@@ -52,7 +52,6 @@ from search_engine_spark.build import (
 from search_engine_spark.config import IndexConfig
 from search_engine_spark.index import (
     IndexPaths,
-    parquet_dir_rows,
     read_meta,
     staged_write,
     write_meta,
@@ -211,7 +210,7 @@ def add_documents(
         avgdl=float(avgdl),
         total_dl=int(total_dl),
         max_docid=int(offset + n_new - 1),
-        n_deleted=int(parquet_dir_rows(paths.deletes)),
+        n_deleted=_n_deleted(spark, paths),
     )
     _rewrite_meta(paths, config, meta)
     return read_meta(paths)
@@ -315,7 +314,7 @@ def delete_documents(spark: SparkSession, index_dir: str, pks: list) -> dict:
     n_live, avgdl, total_dl = _live_stats(spark, paths)
     meta.update(
         n_docs=int(n_live), avgdl=float(avgdl), total_dl=int(total_dl),
-        n_deleted=int(parquet_dir_rows(paths.deletes)),
+        n_deleted=_n_deleted(spark, paths),
     )
     _rewrite_meta(paths, config, meta)
     return read_meta(paths)
@@ -343,7 +342,7 @@ def delete_by_filter(
     n_live, avgdl, total_dl = _live_stats(spark, paths)
     meta.update(
         n_docs=int(n_live), avgdl=float(avgdl), total_dl=int(total_dl),
-        n_deleted=int(parquet_dir_rows(paths.deletes)),
+        n_deleted=_n_deleted(spark, paths),
     )
     _rewrite_meta(paths, config, meta)
     return read_meta(paths)
@@ -525,6 +524,15 @@ def _deleted_df(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
     if not os.path.isdir(paths.deletes):
         return None
     return spark.read.parquet(paths.deletes).select("docid").distinct()
+
+
+def _n_deleted(spark: SparkSession, paths: IndexPaths) -> int:
+    """Distinct tombstoned docids. The deletes dir is append-only and a
+    replace-then-delete flow (or overlapping delete_by_filter calls) appends
+    the same docid twice; a raw row count would inflate n_deleted and drift
+    idf away from the frozen 'live + tombstoned' denominator (query.py:134)."""
+    deleted = _deleted_df(spark, paths)
+    return int(deleted.count()) if deleted is not None else 0
 
 
 def _live_stats(spark: SparkSession, paths: IndexPaths) -> tuple[int, float, int]:

@@ -141,7 +141,8 @@ def test_unknown_term_empty(search_index):
 def test_score_details_sum_equals_score(search_index):
     """K9 breakdown invariant: sum of per-term parts (+ proximity rows)
     per docid reproduces the search score exactly."""
-    for kw in ({}, {"proximity": 1.0}):
+    for kw in ({}, {"proximity": 1.0}, {"matching_strategy": "last"},
+               {"matching_strategy": "last", "proximity": 1.0}):
         res = dict(search_index.search_list(
             "web search engine", k=10, mode="exhaustive", **kw
         ))

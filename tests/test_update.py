@@ -98,6 +98,34 @@ def test_delete_by_filter(spark, small_index):
     assert {p for p, _ in _pk_results(ix, "window stream")} == {"c"}
 
 
+def test_overlapping_deletes_count_distinct_docids(spark, small_index):
+    """Overlapping delete_by_filter / replace-then-delete flows append the
+    same docid to the tombstone log more than once; n_deleted (and hence
+    the frozen idf denominator n_docs + n_deleted) must count DISTINCT
+    tombstoned docids, not raw tombstone rows."""
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import (
+        add_documents, delete_by_filter, delete_documents,
+    )
+
+    # replace 'b' (tombstones its old docid) ...
+    add_documents(spark, small_index, spark.createDataFrame(
+        pd.DataFrame([("b", "replacement content", "en")],
+                     columns=["url", "text", "lang"])))
+    # ... then two overlapping filter deletes both match old docids
+    meta = delete_by_filter(spark, small_index, {"lang": "en"})
+    meta = delete_by_filter(spark, small_index, {"lang": "en"})
+    # live: only c (de). tombstoned distinct docids: a, b(old), b(new), d
+    assert meta["n_docs"] == 1
+    assert meta["n_deleted"] == 4
+    # delete_documents of an already-tombstoned pk resolves to docids that
+    # are already tombstoned — count must not grow
+    meta = delete_documents(spark, small_index, ["a"])
+    assert meta["n_deleted"] == 4
+    ix = SearchIndex(spark, small_index)
+    assert ix.n_docs_indexed == 5  # 1 live + 4 distinct tombstoned
+
+
 def test_compact_equals_clean_rebuild(spark, small_index, tmp_path):
     from search_engine_spark.build import build_index
     from search_engine_spark.config import IndexConfig
