@@ -53,7 +53,13 @@ from search_engine_spark.analysis import (
     tokenize_arrow_batch,
     tokenize_positions_arrow_batch,
 )
-from search_engine_spark.codecs import encode_postings
+from search_engine_spark.codecs import (
+    delta_decode_runs,
+    delta_encode_runs,
+    encode_postings,
+    varint_decode,
+    varint_encode_runs,
+)
 from search_engine_spark.config import IndexConfig
 from search_engine_spark.index import (
     CheckpointLog,
@@ -71,22 +77,33 @@ POSTINGS_SCHEMA = (
 )
 
 # Extraction spill rows are map-side combined: one row per (term, shard)
-# per extract task, with parallel arrays (docids asc; tfs/dls/poss aligned).
-# This is the partial-aggregation analogue of the reference's per-chunk
-# grenad sorters (P9, helpers/grenad_helpers.rs:34-57): the shuffle that
-# feeds the encoder moves ~vocab-sized rows instead of one row per posting,
-# which at web scale cuts shuffle row count by orders of magnitude (the
-# bytes are the same; the per-row/LPT overhead is not).
+# per extract task. This is the partial-aggregation analogue of the
+# reference's per-chunk grenad sorters (P9, helpers/grenad_helpers.rs:34-57):
+# the shuffle that feeds the encoder moves ~vocab-sized rows instead of one
+# row per posting, which at web scale cuts shuffle row count by orders of
+# magnitude.
+# The per-run posting payload is COMPRESSED ALREADY IN THE EXTRACT KERNEL —
+# docids delta+varint (first absolute, then gaps), tfs/dls plain varint,
+# positions per-posting delta+varint — all emitted from ONE vectorized
+# varint pass per batch (codecs.varint_encode_runs). Rationale: the spill
+# representation is traversed ~6x (Python->JVM Arrow IPC, UnsafeRow
+# conversion, parquet write, read, groupBy(shard) shuffle, IPC into the
+# encoder), and the raw array form costs 16B/posting where the varint form
+# costs ~4.3B (measured, 1M-doc webtext) — at the 8->32-thread level the
+# build is DRAM-bandwidth-bound (SCALE.md), so bytes moved IS wall time.
+# Scalar df/cf/max_tf per run ride along so the dictionary aggregation
+# (terms_agg) stays JVM-side without touching the blobs.
 # Doc lengths ride along as one synthetic row per extract batch under
-# bucket = -1 (term='', shard=0, docids=[batch docids], tfs=[dl per doc]) —
-# partition pruning on bucket makes reading them free.
+# bucket = -1 (term='', shard=0, docs=delta+varint batch docids,
+# tfs=varint dl per doc) — partition pruning on bucket makes reading them
+# free.
 TERM_DOC_SCHEMA = (
-    "bucket int, term string, shard int, "
-    "docids array<long>, tfs array<int>, dls array<int>, poss array<array<int>>"
+    "bucket int, term string, shard int, n int, cf long, max_tf int, "
+    "docs binary, tfs binary, dls binary, poss binary"
 )
 TERM_DOC_SCHEMA_NOPOS = (
-    "bucket int, term string, shard int, "
-    "docids array<long>, tfs array<int>, dls array<int>"
+    "bucket int, term string, shard int, n int, cf long, max_tf int, "
+    "docs binary, tfs binary, dls binary"
 )
 
 DL_BUCKET = -1
@@ -97,29 +114,61 @@ def term_doc_schema(config: "IndexConfig") -> str:
 
 
 def doc_lengths(term_doc: DataFrame) -> DataFrame:
-    """(docid, dl) rows from the bucket=-1 doc-length spill rows."""
-    z = term_doc.filter(F.col("bucket") == DL_BUCKET).select(
-        F.explode(F.arrays_zip("docids", "tfs")).alias("z")
-    )
-    return z.select(
-        F.col("z.docids").alias("docid"), F.col("z.tfs").alias("dl")
+    """(docid, dl) rows decoded from the bucket=-1 doc-length spill rows
+    (docs = delta+varint batch docids, tfs = varint per-doc lengths)."""
+    import pyarrow as pa
+
+    def decode(batches) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            docids_chunks, dls_chunks = [], []
+            n_col = batch.column(0).to_numpy(zero_copy_only=False)
+            d_col, t_col = batch.column(1), batch.column(2)
+            for i in range(batch.num_rows):
+                n = int(n_col[i])
+                if not n:
+                    continue
+                d = delta_decode_runs(
+                    varint_decode(d_col[i].as_py(), n).astype(np.int64),
+                    np.zeros(1, dtype=np.int64),
+                )
+                docids_chunks.append(d)
+                dls_chunks.append(
+                    varint_decode(t_col[i].as_py(), n).astype(np.int32)
+                )
+            docids = (
+                np.concatenate(docids_chunks) if docids_chunks
+                else np.zeros(0, np.int64)
+            )
+            dls = (
+                np.concatenate(dls_chunks) if dls_chunks
+                else np.zeros(0, np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(docids, type=pa.int64()),
+                 pa.array(dls, type=pa.int32())],
+                names=["docid", "dl"],
+            )
+
+    return (
+        term_doc.filter(F.col("bucket") == DL_BUCKET)
+        .select("n", "docs", "tfs")
+        .mapInArrow(decode, schema="docid long, dl int")
     )
 
 
 def terms_agg(term_doc: DataFrame) -> DataFrame:
-    """Global (term, df, cf, max_tf) dictionary aggregation over array rows.
+    """Global (term, df, cf, max_tf) dictionary aggregation.
 
-    All JVM-side (size / aggregate / array_max) — no Python in the loop.
-    """
+    Pure scalar groupBy over the per-run df/cf/max_tf the extract kernel
+    emitted — column pruning skips the posting blobs entirely, so this
+    reads ~vocab-sized data, not the postings."""
     return (
         term_doc.filter(F.col("bucket") != DL_BUCKET)
         .groupBy("term")
         .agg(
-            F.sum(F.size("docids")).alias("df"),
-            F.sum(
-                F.aggregate("tfs", F.lit(0).cast("long"), lambda a, x: a + x)
-            ).alias("cf"),
-            F.max(F.array_max("tfs")).alias("max_tf"),
+            F.sum("n").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
         )
     )
 
@@ -288,13 +337,27 @@ def _extract_arrow_schema(store_positions: bool):
         pa.field("bucket", pa.int32()),
         pa.field("term", pa.string()),
         pa.field("shard", pa.int32()),
-        pa.field("docids", pa.list_(pa.int64())),
-        pa.field("tfs", pa.list_(pa.int32())),
-        pa.field("dls", pa.list_(pa.int32())),
+        pa.field("n", pa.int32()),
+        pa.field("cf", pa.int64()),
+        pa.field("max_tf", pa.int32()),
+        pa.field("docs", pa.binary()),
+        pa.field("tfs", pa.binary()),
+        pa.field("dls", pa.binary()),
     ]
     if store_positions:
-        fields.append(pa.field("poss", pa.list_(pa.list_(pa.int32()))))
+        fields.append(pa.field("poss", pa.binary()))
     return pa.schema(fields)
+
+
+def _binary_runs(buf: bytes, byte_offsets: np.ndarray) -> "object":
+    """Zero-copy Arrow binary array: value i = buf[off[i]:off[i+1]]."""
+    import pyarrow as pa
+
+    offs = np.ascontiguousarray(byte_offsets, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(offs) - 1,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)],
+    )
 
 
 def make_extract_fn(config: IndexConfig):
@@ -329,12 +392,6 @@ def make_extract_fn(config: IndexConfig):
     # and len(positions) == tf stays true so the codec is untouched.
     fields = config.searchable_fields()
     multi_field = fields != (("text", 1),)
-
-    def _offsets(counts: np.ndarray) -> "pa.Array":
-        return pa.array(
-            np.concatenate(([0], np.cumsum(counts, dtype=np.int64))).astype(np.int32),
-            type=pa.int32(),
-        )
 
     def extract(batches) -> Iterator["pa.RecordBatch"]:
         import pyarrow.compute as pc
@@ -413,31 +470,31 @@ def make_extract_fn(config: IndexConfig):
                 )
 
             if n_docs_b:
-                # doc-length row: every doc in the batch, tokens or not
+                # doc-length row: every doc in the batch, tokens or not.
+                # docids ascend within the batch -> delta+varint like a
+                # posting run; dls plain varint.
+                one = np.array([0, n_docs_b], dtype=np.int64)
+                d_buf, d_offs = varint_encode_runs(
+                    delta_encode_runs(doc_ids, np.zeros(1, dtype=np.int64)),
+                    one,
+                )
+                l_buf, l_offs = varint_encode_runs(
+                    lengths.astype(np.int64), one
+                )
                 dl_cols = [
                     pa.array([DL_BUCKET], type=pa.int32()),
                     pa.array([""], type=pa.string()),
                     pa.array([0], type=pa.int32()),
-                    pa.ListArray.from_arrays(
-                        _offsets(np.array([n_docs_b])), pa.array(doc_ids, type=pa.int64())
-                    ),
-                    pa.ListArray.from_arrays(
-                        _offsets(np.array([n_docs_b])),
-                        pa.array(lengths.astype(np.int32), type=pa.int32()),
-                    ),
-                    pa.ListArray.from_arrays(
-                        _offsets(np.array([0])), pa.array([], type=pa.int32())
-                    ),
+                    pa.array([n_docs_b], type=pa.int32()),
+                    pa.array([0], type=pa.int64()),
+                    pa.array([0], type=pa.int32()),
+                    _binary_runs(d_buf, d_offs),
+                    _binary_runs(l_buf, l_offs),
+                    _binary_runs(b"", np.zeros(2, dtype=np.int64)),
                 ]
                 if store_positions:
                     dl_cols.append(
-                        pa.ListArray.from_arrays(
-                            _offsets(np.array([0])),
-                            pa.ListArray.from_arrays(
-                                _offsets(np.empty(0, dtype=np.int64)),
-                                pa.array([], type=pa.int32()),
-                            ),
-                        )
+                        _binary_runs(b"", np.zeros(2, dtype=np.int64))
                     )
                 yield pa.RecordBatch.from_arrays(dl_cols, schema=out_schema)
 
@@ -505,19 +562,27 @@ def make_extract_fn(config: IndexConfig):
             g_code = (g_sorted[starts] // num_shards).astype(np.int64)
             g_shard = (g_sorted[starts] % num_shards).astype(np.int32)
 
+            # per-run value offsets into the flat posting arrays
+            run_offs = np.concatenate((starts, [len(g_sorted)])).astype(np.int64)
+            # posting payload blobs: ONE vectorized varint pass per stream,
+            # cut at run boundaries (see TERM_DOC_SCHEMA rationale)
+            d_buf, d_boffs = varint_encode_runs(
+                delta_encode_runs(docid_s, starts), run_offs
+            )
+            t_buf, t_boffs = varint_encode_runs(tf_s.astype(np.int64), run_offs)
+            l_buf, l_boffs = varint_encode_runs(dl_s.astype(np.int64), run_offs)
+            run_cf = np.add.reduceat(tf_s.astype(np.int64), starts)
+            run_max_tf = np.maximum.reduceat(tf_s, starts).astype(np.int32)
             cols = [
                 pa.array(bucket_u[g_code], type=pa.int32()),
                 pa.array(uniq_arr[g_code], type=pa.string()),
                 pa.array(g_shard, type=pa.int32()),
-                pa.ListArray.from_arrays(
-                    _offsets(counts), pa.array(docid_s, type=pa.int64())
-                ),
-                pa.ListArray.from_arrays(
-                    _offsets(counts), pa.array(tf_s, type=pa.int32())
-                ),
-                pa.ListArray.from_arrays(
-                    _offsets(counts), pa.array(dl_s, type=pa.int32())
-                ),
+                pa.array(counts.astype(np.int32), type=pa.int32()),
+                pa.array(run_cf, type=pa.int64()),
+                pa.array(run_max_tf, type=pa.int32()),
+                _binary_runs(d_buf, d_boffs),
+                _binary_runs(t_buf, t_boffs),
+                _binary_runs(l_buf, l_boffs),
             ]
             if store_positions:
                 # flat positions gathered into group order: posting j's run
@@ -530,17 +595,19 @@ def make_extract_fn(config: IndexConfig):
                 starts_o = orig_starts[order2]
                 tf_s64 = tf_s.astype(np.int64)
                 tot = int(tf_s64.sum())
-                excl = np.concatenate(([0], np.cumsum(tf_s64)))[:-1].astype(np.int32)
+                excl64 = np.concatenate(([0], np.cumsum(tf_s64)))
+                excl = excl64[:-1].astype(np.int32)
                 # gather index = arange + repeat(run_start - run_excl_cum):
                 # ONE tot-sized repeat temporary instead of two
                 gidx = np.arange(tot, dtype=np.int32) + np.repeat(
                     starts_o - excl, tf_s
                 )
-                pos_group_flat = pos_sorted[gidx].astype(np.int32)
-                inner = pa.ListArray.from_arrays(
-                    _offsets(tf_s64), pa.array(pos_group_flat, type=pa.int32())
-                )
-                cols.append(pa.ListArray.from_arrays(_offsets(counts), inner))
+                pos_group_flat = pos_sorted[gidx].astype(np.int64)
+                # per-POSTING delta (first position absolute), varint cut at
+                # RUN boundaries in token space (runs are contiguous)
+                p_deltas = delta_encode_runs(pos_group_flat, excl64[:-1])
+                p_buf, p_boffs = varint_encode_runs(p_deltas, excl64[run_offs])
+                cols.append(_binary_runs(p_buf, p_boffs))
             yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return extract
@@ -608,51 +675,61 @@ def make_encode_fn(config: IndexConfig, avgdl: float, lineage_dir: str | None = 
     num_buckets = config.num_buckets
     out_schema = _postings_arrow_schema()
 
-    def _flat(tbl, name, np_t):
+    def _blob_flat(tbl, name) -> "np.ndarray":
+        """Concatenated value bytes of a (never-null) binary column, in row
+        order, as uint8 — zero-copy from the Arrow buffers. Varint streams
+        are self-delimiting, so decoding the concatenation decodes every
+        row's run in order."""
         arr = tbl.column(name)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        lens = (
-            pc.list_value_length(arr)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
+        offs_buf = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+        data_buf = arr.buffers()[2]
+        data = (
+            np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.zeros(0, np.uint8)
         )
-        offs = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offs[1:])
-        flat = arr.flatten()
-        return offs, flat
+        start = int(offs_buf[arr.offset])
+        end = int(offs_buf[arr.offset + len(arr)])
+        return data[start:end]
 
     def encode(tbl: "pa.Table") -> "pa.Table":
         if tbl.num_rows == 0:
             return out_schema.empty_table()
         terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
         order = np.argsort(terms, kind="stable")
-        d_off, d_flat = _flat(tbl, "docids", np.int64)
-        d_val = d_flat.to_numpy(zero_copy_only=False).astype(np.int64)
-        t_off, t_flat = _flat(tbl, "tfs", np.int64)
-        t_val = t_flat.to_numpy(zero_copy_only=False).astype(np.int64)
-        l_off, l_flat = _flat(tbl, "dls", np.int64)
-        l_val = l_flat.to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-row value offsets: n postings per run
+        n_row = (
+            tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        d_off = np.zeros(len(n_row) + 1, dtype=np.int64)
+        np.cumsum(n_row, out=d_off[1:])
+        t_off = l_off = d_off  # parallel streams, same run lengths
+        # ONE vectorized varint decode per stream over the whole group,
+        # then a segmented delta decode for docids (runs = rows)
+        d_val = delta_decode_runs(
+            varint_decode(_blob_flat(tbl, "docs"), int(d_off[-1])).astype(
+                np.int64
+            ),
+            d_off[:-1],
+        )
+        t_val = varint_decode(
+            _blob_flat(tbl, "tfs"), int(d_off[-1])
+        ).astype(np.int64)
+        l_val = varint_decode(
+            _blob_flat(tbl, "dls"), int(d_off[-1])
+        ).astype(np.int64)
         if store_positions:
-            outer = tbl.column("poss")
-            if isinstance(outer, pa.ChunkedArray):
-                outer = outer.combine_chunks()
-            o_lens = (
-                pc.list_value_length(outer)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            o_off = np.zeros(len(o_lens) + 1, dtype=np.int64)
-            np.cumsum(o_lens, out=o_off[1:])
-            inner = outer.flatten()
-            i_lens = (
-                pc.list_value_length(inner)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
+            o_off = d_off
+            i_lens = t_val  # positions per posting == tf (codec invariant)
             i_off = np.zeros(len(i_lens) + 1, dtype=np.int64)
             np.cumsum(i_lens, out=i_off[1:])
-            i_val = inner.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            i_val = delta_decode_runs(
+                varint_decode(
+                    _blob_flat(tbl, "poss"), int(i_off[-1])
+                ).astype(np.int64),
+                i_off[:-1],
+            )
         shard = int(tbl.column("shard")[0].as_py())
 
         terms_sorted = terms[order]
@@ -836,7 +913,7 @@ def _run_extract(
         obs,
         F.count(F.lit(1)).alias("rows"),
         F.sum(
-            F.when(F.col("bucket") != DL_BUCKET, F.size("docids")).otherwise(0)
+            F.when(F.col("bucket") != DL_BUCKET, F.col("n")).otherwise(0)
         ).alias("postings"),
     )
     os.makedirs(paths.term_doc, exist_ok=True)

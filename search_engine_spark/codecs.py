@@ -96,6 +96,60 @@ def delta_decode(deltas: np.ndarray, base: int = 0) -> np.ndarray:
     return d
 
 
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte counts (int64) for non-negative ints."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    return (np.searchsorted(_BOUNDS, v, side="right") + 1).astype(np.int64)
+
+
+def varint_encode_runs(
+    values: np.ndarray, run_value_offsets: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Varint-encode a flat value array once and return the BYTE offsets that
+    cut the encoded buffer at the given value offsets (len = n_runs + 1).
+
+    Varint streams are self-delimiting, so slicing the single encoded buffer
+    at these offsets yields exactly per-run ``varint_encode(run_values)`` —
+    the building block for emitting thousands of per-(term, shard) runs from
+    one vectorized pass (no per-run Python encode calls).
+    """
+    buf = varint_encode(values)
+    nb = varint_nbytes(values)
+    cum = np.zeros(len(nb) + 1, dtype=np.int64)
+    np.cumsum(nb, out=cum[1:])
+    return buf, cum[np.ascontiguousarray(run_value_offsets, dtype=np.int64)]
+
+
+def delta_encode_runs(values: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Per-run delta encode a flat array of concatenated ascending runs:
+    each run's first value stays ABSOLUTE, later values become gaps —
+    so runs decode independently (``delta_decode_runs``)."""
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    out = np.empty_like(v)
+    if v.size:
+        out[0] = v[0]
+        np.subtract(v[1:], v[:-1], out=out[1:])
+        out[run_starts] = v[run_starts]
+    return out
+
+
+def delta_decode_runs(deltas: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Inverse of ``delta_encode_runs``: one global cumsum + a per-run base
+    correction (vectorized segmented prefix sum)."""
+    d = np.ascontiguousarray(deltas, dtype=np.int64)
+    if not d.size:
+        return d
+    c = np.cumsum(d)
+    starts = np.ascontiguousarray(run_starts, dtype=np.int64)
+    if len(starts) <= 1:
+        return c
+    # base[i] = cumsum just before run i (0 for run 0); runs start absolute,
+    # so subtracting the pre-run cumsum restores each run's values
+    base = np.concatenate(([0], c[starts[1:] - 1]))
+    reps = np.diff(np.append(starts, len(d)))
+    return c - np.repeat(base, reps)
+
+
 def bm25_impact(tf: np.ndarray, dl: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
     """Document-dependent BM25 factor: tf / (tf + k1*(1 - b + b*dl/avgdl))."""
     tf = tf.astype(np.float64)

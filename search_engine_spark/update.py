@@ -477,37 +477,76 @@ def _filter_deleted_from_arrays(
     store_positions = config.store_positions
     schema = td.schema
 
+    from search_engine_spark.codecs import (
+        delta_encode,
+        varint_decode,
+        varint_encode,
+    )
+
     def fn(batches):
         del_arr = bc.value
         for pdf in batches:
             if len(pdf) == 0 or len(del_arr) == 0:
                 yield pdf
                 continue
-            docids_new, tfs_new, dls_new, poss_new, keep = [], [], [], [], []
-            poss_col = pdf["poss"] if store_positions and "poss" in pdf else None
+            keep = []
+            docs_new, tfs_new, dls_new, poss_new = [], [], [], []
+            cf_new, maxtf_new, n_new = [], [], []
+            has_poss = store_positions and "poss" in pdf
             for i in range(len(pdf)):
-                d = np.asarray(pdf["docids"].iloc[i], dtype=np.int64)
+                n = int(pdf["n"].iloc[i])
+                if n == 0:
+                    keep.append(False)
+                    continue
+                d = np.cumsum(
+                    varint_decode(pdf["docs"].iloc[i], n).astype(np.int64)
+                )
                 mask = ~np.isin(d, del_arr)
                 if not mask.any():
                     keep.append(False)
                     continue
                 keep.append(True)
-                docids_new.append(d[mask])
-                t = np.asarray(pdf["tfs"].iloc[i], dtype=np.int32)
-                tfs_new.append(t[mask] if len(t) == len(d) else t)
-                dl = np.asarray(pdf["dls"].iloc[i], dtype=np.int32)
-                dls_new.append(dl[mask] if len(dl) == len(d) else dl)
-                if poss_col is not None:
-                    cell = poss_col.iloc[i]
-                    p = [] if cell is None else list(cell)
-                    poss_new.append(
-                        [p[j] for j in np.flatnonzero(mask)] if len(p) == len(d) else p
-                    )
+                t = varint_decode(pdf["tfs"].iloc[i], n).astype(np.int64)
+                dm, tm = d[mask], t[mask]
+                n_new.append(len(dm))
+                docs_new.append(varint_encode(delta_encode(dm).astype(np.uint64)))
+                tfs_new.append(varint_encode(tm.astype(np.uint64)))
+                dl_bytes = pdf["dls"].iloc[i]
+                is_dl_row = len(dl_bytes) == 0  # DL spill rows carry no dls
+                if is_dl_row:
+                    dls_new.append(b"")
+                    cf_new.append(0)
+                    maxtf_new.append(0)
+                else:
+                    dl = varint_decode(dl_bytes, n).astype(np.int64)
+                    dls_new.append(varint_encode(dl[mask].astype(np.uint64)))
+                    cf_new.append(int(tm.sum()))
+                    maxtf_new.append(int(tm.max()))
+                if has_poss:
+                    p_bytes = pdf["poss"].iloc[i]
+                    if is_dl_row or len(p_bytes) == 0:
+                        poss_new.append(b"")
+                    else:
+                        tok_off = np.zeros(n + 1, dtype=np.int64)
+                        np.cumsum(t, out=tok_off[1:])
+                        p_deltas = varint_decode(
+                            p_bytes, int(tok_off[-1])
+                        ).astype(np.uint64)
+                        # per-posting runs decode independently (first
+                        # position absolute), so surviving postings' delta
+                        # runs can be re-concatenated without re-encoding
+                        kept = np.flatnonzero(mask)
+                        poss_new.append(varint_encode(np.concatenate(
+                            [p_deltas[tok_off[j]:tok_off[j + 1]] for j in kept]
+                        ) if len(kept) else np.zeros(0, np.uint64)))
             out = pdf.loc[keep].reset_index(drop=True)
-            out["docids"] = pd.Series(docids_new, dtype="object")
+            out["n"] = pd.Series(n_new, dtype="int32")
+            out["cf"] = pd.Series(cf_new, dtype="int64")
+            out["max_tf"] = pd.Series(maxtf_new, dtype="int32")
+            out["docs"] = pd.Series(docs_new, dtype="object")
             out["tfs"] = pd.Series(tfs_new, dtype="object")
             out["dls"] = pd.Series(dls_new, dtype="object")
-            if poss_col is not None:
+            if has_poss:
                 out["poss"] = pd.Series(poss_new, dtype="object")
             yield out
 

@@ -180,3 +180,43 @@ def test_phrase_docids_matches_bruteforce():
     assert _phrase_docids(readers, ["a", "a"]).tolist() == [1, 3]
     assert _phrase_docids(readers, ["b", "a"]).tolist() == [2, 3]
     assert _phrase_docids(readers, ["a", "c"]).tolist() == []
+
+
+def test_segmented_run_codec_roundtrip():
+    """varint_encode_runs / delta_encode_runs / delta_decode_runs — the
+    extract-kernel spill codec (one vectorized pass, per-run cut points):
+    slicing the single buffer at the returned byte offsets must equal
+    per-run varint_encode, and the segmented delta must round-trip."""
+    from search_engine_spark.codecs import (
+        delta_decode_runs,
+        delta_encode_runs,
+        varint_encode_runs,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(100):
+        n_runs = int(rng.integers(1, 9))
+        runs = [
+            np.sort(rng.integers(0, 10 ** int(rng.integers(1, 13)),
+                                 int(rng.integers(1, 40))))
+            for _ in range(n_runs)
+        ]
+        flat = np.concatenate(runs).astype(np.int64)
+        counts = np.array([len(r) for r in runs], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        deltas = delta_encode_runs(flat, offs[:-1])
+        assert (deltas >= 0).all()
+        back = delta_decode_runs(deltas, offs[:-1])
+        assert np.array_equal(back, flat), trial
+        buf, boffs = varint_encode_runs(deltas.astype(np.uint64), offs)
+        for i in range(n_runs):
+            seg = buf[boffs[i]:boffs[i + 1]]
+            exp = varint_encode(deltas[offs[i]:offs[i + 1]].astype(np.uint64))
+            assert seg == exp, (trial, i)
+    # degenerate shapes
+    empty = np.zeros(0, dtype=np.int64)
+    assert delta_decode_runs(empty, empty).size == 0
+    one = np.array([42], dtype=np.int64)
+    assert delta_decode_runs(
+        delta_encode_runs(one, np.zeros(1, np.int64)), np.zeros(1, np.int64)
+    ).tolist() == [42]
