@@ -177,7 +177,15 @@ class SearchIndex:
         # posting slices it touches total at most this many postings
         # (point-read path; ~ms latency). Head terms at web scale exceed it
         # and fall back to the document-partitioned cluster path.
+        # The budget is per-ALGORITHM cost, not per posting-count alone:
+        # the vectorized scorers (maxscore/exhaustive, ~0.5-1.2us/posting
+        # measured at 1M docs) afford 2M postings in ~1-2s, but strict
+        # doc-at-a-time block-max WAND is a Python pivot loop
+        # (~10us/posting) — a 2M-posting driver WAND query would take ~20s
+        # where the cluster path takes ~2s. execute() divides the budget
+        # by wand_driver_cost_ratio when the resolved algo is 'wand'.
         self.driver_exec_max_postings = 2_000_000
+        self.wand_driver_cost_ratio = 16
         # pin(): executor-cached postings slice (reference analogue: LMDB's
         # OS page cache keeps hot posting pages resident, src/index.rs txns)
         self._pinned: DataFrame | None = None
@@ -577,7 +585,10 @@ class SearchIndex:
             )
         if execution != "cluster" and filter_ast is None:
             dfs = self._lookup_exact(all_terms)
-            small = sum(dfs.values()) <= self.driver_exec_max_postings
+            budget = self.driver_exec_max_postings
+            if _pick_algo(mode, plan, False) == "wand":
+                budget //= self.wand_driver_cost_ratio
+            small = sum(dfs.values()) <= budget
             if execution == "driver" or (execution == "auto" and small):
                 return self._execute_driver(plan, mode, offset, all_terms)
 
