@@ -436,6 +436,27 @@ def _q_ann_lsh(spark, sf_dir):
     ).select("vec_id", "sim")
 
 
+def _q_embed_docs(spark, sf_dir):
+    """Pluggable embedder slot (reference P8 vector extraction,
+    extract_vector_points.rs + src/vector/mod.rs embed_chunks): default
+    deterministic md5-projection embedder; exploded to (doc_id, d, v) for
+    value-stable hashing."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipelines import embed
+
+    out = embed.embed_documents(_docs(spark, sf_dir), dim=8)
+    return (
+        out.select("doc_id", F.posexplode("embedding").alias("d", "v0"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("d").cast("int").alias("d"),
+            (F.round("v0", 6) + F.lit(0.0)).alias("v"),  # kill -0.0
+        )
+        .orderBy("doc_id", "d")
+    )
+
+
 def _q_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -557,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_stream": _q_dedup_stream,
+        "embed_docs": _q_embed_docs,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -1200,6 +1222,29 @@ FROM cand
 WHERE round(list_sum(list_transform(range(1, 65), i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
             / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
                * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))), 6) >= 0.4
+"""
+
+    # pluggable-embedder slot: md5-projection bag-of-words (the exact
+    # pipelines/embed.HashedBowEmbedder formula), L2-normalized, exploded
+    sql["embed_docs"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+  FROM documents
+),
+comp AS (
+  SELECT t.doc_id, g.d,
+         sum(cast(concat('0x', substr(md5(concat(t.term, ':', g.d)), 1, 15)) AS BIGINT)::DOUBLE
+             / 576460752303423488.0 - 1.0) AS s
+  FROM toks t CROSS JOIN generate_series(0, 7) g(d)
+  GROUP BY 1, 2
+),
+norms AS (SELECT doc_id, sqrt(sum(s * s)) AS nrm FROM comp GROUP BY 1)
+SELECT cast(dd.doc_id AS BIGINT) AS doc_id, g.d::INT AS d,
+       round(coalesce(c.s / greatest(n.nrm, 1e-12), 0.0), 6) + 0.0 AS v
+FROM documents dd CROSS JOIN generate_series(0, 7) g(d)
+LEFT JOIN comp c ON c.doc_id = dd.doc_id AND c.d = g.d
+LEFT JOIN norms n ON n.doc_id = dd.doc_id
+ORDER BY 1, 2
 """
 
     sql["token_stats"] = f"""

@@ -11,6 +11,9 @@ operations a large-scale corpus-preparation pipeline needs:
                    document fingerprinting
 * ``multimodal`` — binary-payload plumbing (schema, batching, Arrow UDF
                    signatures) with a stubbed decoder
+* ``embed``      — pluggable batch-embedder UDF slot (reference P8) with a
+                   deterministic md5-projection default
+* ``curation``   — decontamination, repetition stats, stratified sampling
 
 Design rule shared by every operator: the hot path is built-in
 ``pyspark.sql.functions`` (JVM, whole-stage codegen) wherever the semantics
@@ -19,6 +22,13 @@ Python's ``hashlib`` — which is what lets the driver's DuckDB oracle verify
 each operator end-to-end.
 """
 
-from search_engine_spark.pipelines import dedup, multimodal, similarity, textstats
+from search_engine_spark.pipelines import (
+    curation,
+    dedup,
+    embed,
+    multimodal,
+    similarity,
+    textstats,
+)
 
-__all__ = ["dedup", "similarity", "textstats", "multimodal"]
+__all__ = ["dedup", "similarity", "textstats", "multimodal", "embed", "curation"]

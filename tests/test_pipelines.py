@@ -334,3 +334,51 @@ def test_stratified_sample_deterministic(spark, docs_df):
             stratified_sample(docs_df, {"en": 0.5}, seed=7).collect()}
     expect = {i for i in (0, 1, 2, 3) if u(7, i) < 0.5}  # en docs only
     assert half == expect
+
+
+def test_embed_documents_deterministic_and_normalized(spark, docs_df):
+    """P8 embedder slot: the default md5-projection embedder matches the
+    documented per-token formula, L2-normalizes, is partitioning-invariant,
+    and the pluggable-callable contract works."""
+    import hashlib
+
+    import numpy as np
+
+    from search_engine_spark.pipelines.embed import (
+        HashedBowEmbedder,
+        embed_documents,
+    )
+
+    out = {r["doc_id"]: np.array(r["embedding"])
+           for r in embed_documents(docs_df, dim=4).collect()}
+    assert len(out) == docs_df.count()
+    # normalized (or all-zero for token-less docs)
+    for v in out.values():
+        n = float(np.linalg.norm(v))
+        assert abs(n - 1.0) < 1e-9 or n == 0.0
+    # partitioning-invariant
+    again = {r["doc_id"]: np.array(r["embedding"])
+             for r in embed_documents(docs_df.repartition(5), dim=4).collect()}
+    for k in out:
+        assert np.allclose(out[k], again[k], atol=1e-12)
+    # formula check against hashlib for a one-token doc
+    import pandas as pd
+
+    one = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [99], "text": ["hello"]})
+    )
+    got = np.array(
+        embed_documents(one, dim=4).collect()[0]["embedding"]
+    )
+    raw = np.array([
+        int(hashlib.md5(f"hello:{d}".encode()).hexdigest()[:15], 16) / 2**59 - 1.0
+        for d in range(4)
+    ])
+    assert np.allclose(got, raw / np.linalg.norm(raw), atol=1e-12)
+    # pluggable embedder: a custom callable takes over
+    class Const:
+        def __call__(self, texts):
+            return np.tile(np.arange(3, dtype=np.float64), (len(texts), 1))
+
+    cst = embed_documents(one, dim=3, embedder=Const()).collect()[0]["embedding"]
+    assert list(cst) == [0.0, 1.0, 2.0]
