@@ -377,25 +377,50 @@ class PostingReader:
         dls = varint_decode(self._dls, self.n_docs).astype(np.int64)
         return docids, tfs, dls
 
-    def decode_block_positions(self, i: int) -> list[np.ndarray]:
-        """Per-doc sorted positions for block i (requires stored positions)."""
+    @staticmethod
+    def _decode_pos_runs(pos_bytes: bytes, tfs: np.ndarray) -> np.ndarray:
+        """Decode a delta+varint position slice into flat absolute positions.
+
+        The encoder (``encode_postings``) resets the delta at every doc's
+        first position (the run start is stored absolute), so one whole-slice
+        varint decode + one segmented prefix sum recovers every doc's sorted
+        positions with zero per-posting Python work."""
+        total = int(tfs.sum())
+        deltas = varint_decode(pos_bytes, total).astype(np.int64)
+        doc_starts = np.zeros(len(tfs), dtype=np.int64)
+        np.cumsum(tfs[:-1], out=doc_starts[1:])
+        return delta_decode_runs(deltas, doc_starts[tfs > 0])
+
+    def decode_flat_positions(self) -> tuple[np.ndarray, np.ndarray]:
+        """-> (flat absolute positions, per-posting lens) for the whole list
+        (requires stored positions). This is the scorer-path form: callers
+        pair it with ``np.repeat(docids, lens)`` and stay fully vectorized —
+        no per-posting array objects are created."""
+        if len(self._poss) == 0:
+            raise ValueError("positions not stored in this index")
+        tfs = varint_decode(self._tfs, self.n_docs).astype(np.int64)
+        return self._decode_pos_runs(self._poss, tfs), tfs
+
+    def decode_block_flat_positions(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """-> (flat absolute positions, per-posting lens) for block i."""
         if len(self._poss) == 0:
             raise ValueError("positions not stored in this index")
         n = self._block_len(i)
         tfs = varint_decode(self._tfs[self.tf_off[i] : self.tf_off[i + 1]], n).astype(np.int64)
-        flat = varint_decode(
-            self._poss[self.pos_off[i] : self.pos_off[i + 1]], int(tfs.sum())
-        ).astype(np.int64)
-        out: list[np.ndarray] = []
-        at = 0
-        for tf in tfs:
-            chunk = flat[at : at + int(tf)]
-            out.append(np.cumsum(chunk))
-            at += int(tf)
-        return out
+        flat = self._decode_pos_runs(
+            self._poss[self.pos_off[i] : self.pos_off[i + 1]], tfs
+        )
+        return flat, tfs
+
+    def decode_block_positions(self, i: int) -> list[np.ndarray]:
+        """Per-doc sorted positions for block i — compat wrapper over the
+        flat form (``np.split`` views, no per-posting decode work)."""
+        flat, tfs = self.decode_block_flat_positions(i)
+        return np.split(flat, np.cumsum(tfs[:-1]))
 
     def decode_all_positions(self) -> list[np.ndarray]:
-        return [p for i in range(self.n_blocks) for p in self.decode_block_positions(i)]
+        flat, tfs = self.decode_flat_positions()
+        return np.split(flat, np.cumsum(tfs[:-1]))
 
 
 def _grouped_cumsum(values: np.ndarray, group_starts: np.ndarray) -> np.ndarray:

@@ -788,8 +788,11 @@ class SearchIndex:
                     for dd, pp in zip(d[sel], part)
                 )
         if plan.prox_weight and plan.prox_pairs:
+            occ_cache: dict[str, np.ndarray] = {}
             for a, bb in plan.prox_pairs:
-                pd_docs, bonus = _pair_prox_bonus(readers, a, bb, plan.prox_weight)
+                pd_docs, bonus = _pair_prox_bonus(
+                    readers, a, bb, plan.prox_weight, occ_cache
+                )
                 sel = np.isin(pd_docs, docids)
                 rows.extend(
                     (int(dd), f"~prox:{a}:{bb}", float(pp))
@@ -1088,8 +1091,11 @@ def _exhaustive_topk(
     np.add.at(agg, inv, scores)
 
     if prox_weight and prox_pairs:
+        occ_cache: dict[str, np.ndarray] = {}
         for ta, tb in prox_pairs:  # don't shadow the BM25 `b` parameter
-            pd_docs, pd_bonus = _pair_prox_bonus(readers, ta, tb, prox_weight)
+            pd_docs, pd_bonus = _pair_prox_bonus(
+                readers, ta, tb, prox_weight, occ_cache
+            )
             if len(pd_docs):
                 pos = np.searchsorted(uniq, pd_docs)
                 ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == pd_docs)
@@ -1141,17 +1147,36 @@ def _exhaustive_topk(
     return [(int(uniq[i]), float(agg[i])) for i in idx]
 
 
-def _pos_map(
-    readers: dict[str, list[tuple[PostingReader, float]]], term: str
-) -> dict[int, np.ndarray]:
-    """docid -> sorted positions for one term, merged across generations
-    (docids are disjoint across a term's generations)."""
-    pmap: dict[int, np.ndarray] = {}
+_POS_STRIDE = np.int64(1) << 32  # positions are token indexes, far below 2^32
+_POS_MASK = _POS_STRIDE - 1
+
+
+def _occurrence_keys(
+    readers: dict[str, list[tuple[PostingReader, float]]],
+    term: str,
+    cache: dict[str, np.ndarray] | None = None,
+) -> np.ndarray:
+    """Every (docid, position) occurrence of ``term`` packed as
+    ``docid << 32 | pos``, globally sorted. One flat decode per generation
+    (docids disjoint across generations); a single-generation stream is
+    already sorted, multi-generation streams get one ``np.sort``."""
+    if cache is not None and term in cache:
+        return cache[term]
+    chunks = []
     for r, _scale in readers.get(term, ()):
         docids, _, _ = r.decode_all()
-        positions = r.decode_all_positions()
-        pmap.update({int(d): p for d, p in zip(docids, positions)})
-    return pmap
+        flat, lens = r.decode_flat_positions()
+        if len(flat):
+            chunks.append((np.repeat(docids, lens) << 32) | flat)
+    if not chunks:
+        keys = np.zeros(0, dtype=np.int64)
+    elif len(chunks) == 1:
+        keys = chunks[0]
+    else:
+        keys = np.sort(np.concatenate(chunks))
+    if cache is not None:
+        cache[term] = keys
+    return keys
 
 
 def _pair_prox_bonus(
@@ -1159,6 +1184,7 @@ def _pair_prox_bonus(
     a: str,
     b: str,
     prox_weight: float,
+    occ_cache: dict[str, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc proximity bonus for one consecutive query word pair
     (reference K4, frozen spec in QueryPlan): for docs containing both
@@ -1166,30 +1192,39 @@ def _pair_prox_bonus(
     else (pa - pb + 1) — the reference's asymmetric word distance
     (``src/proximity.rs:7-15``) — clamped to >= 1; bonus
     ``prox_weight / minprox`` when minprox <= 7, else no bonus.
-    -> (sorted docids, bonus) arrays, only rows with a bonus."""
-    amap = _pos_map(readers, a)
-    bmap = _pos_map(readers, b)
-    common = sorted(amap.keys() & bmap.keys())
-    out_d, out_b = [], []
-    for d in common:
-        pa, pb = amap[d], bmap[d]
-        i = np.searchsorted(pb, pa, side="left")
-        best = np.inf
-        fwd = i < len(pb)
-        if fwd.any():
-            best = min(best, float((pb[i[fwd]] - pa[fwd]).min()))
-        j = i - 1
-        bwd = j >= 0
-        if bwd.any():
-            best = min(best, float((pa[bwd] - pb[j[bwd]] + 1).min()))
-        best = max(best, 1.0)
-        if best <= 7:
-            out_d.append(d)
-            out_b.append(prox_weight / best)
-    return (
-        np.asarray(out_d, dtype=np.int64),
-        np.asarray(out_b, dtype=np.float64),
-    )
+    -> (sorted docids, bonus) arrays, only rows with a bonus.
+
+    Fully vectorized (no per-doc Python): both terms' occurrences are packed
+    ``docid << 32 | pos`` sorted streams; for each occurrence of ``a`` ONE
+    ``np.searchsorted`` into ``b``'s stream yields its nearest same-doc
+    neighbor in each direction (the per-occurrence minimum is achieved at a
+    nearest neighbor since the distance is monotone in the gap), then
+    ``np.minimum.reduceat`` at docid boundaries folds occurrences to the
+    per-doc minimum."""
+    ka = _occurrence_keys(readers, a, occ_cache)
+    kb = _occurrence_keys(readers, b, occ_cache)
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+    if not len(ka) or not len(kb):
+        return empty
+    da = ka >> 32
+    pa = ka & _POS_MASK
+    i = np.searchsorted(kb, ka, side="left")
+    best = np.full(len(ka), np.inf)
+    # forward: first b-occurrence with key >= ka — same doc means pb >= pa
+    kf = kb[np.minimum(i, len(kb) - 1)]
+    fwd = (i < len(kb)) & ((kf >> 32) == da)
+    best[fwd] = (kf[fwd] & _POS_MASK) - pa[fwd]
+    # backward: last b-occurrence with key < ka — same doc means pb < pa
+    kbk = kb[np.maximum(i - 1, 0)]
+    bwd = (i > 0) & ((kbk >> 32) == da)
+    best[bwd] = np.minimum(best[bwd], (pa[bwd] - (kbk[bwd] & _POS_MASK) + 1))
+    np.maximum(best, 1.0, out=best)
+    # per-doc min over a's occurrences (da is sorted because ka is)
+    doc_starts = np.flatnonzero(np.r_[True, da[1:] != da[:-1]])
+    dmin = np.minimum.reduceat(best, doc_starts)
+    docs = da[doc_starts]
+    sel = dmin <= 7
+    return docs[sel], prox_weight / dmin[sel]
 
 
 def _phrase_docids(
@@ -1207,7 +1242,7 @@ def _phrase_docids(
     Python loop: a head-word phrase over a large shard costs
     O(sum postings · log) sort-merge work instead of a dict/set probe per
     candidate position."""
-    stride = np.int64(1) << 32  # positions are token indexes, far below 2^32
+    stride = _POS_STRIDE
     keysets = []
     for i, t in enumerate(phrase):
         rs = readers.get(t, ())
@@ -1215,12 +1250,11 @@ def _phrase_docids(
             return np.zeros(0, dtype=np.int64)
         chunks = []
         for r, _scale in rs:
-            docids, tfs, _ = r.decode_all()
-            plist = r.decode_all_positions()
-            if not plist:
+            docids, _, _ = r.decode_all()
+            pos, lens = r.decode_flat_positions()
+            if not len(pos):
                 continue
-            pos = np.concatenate(plist).astype(np.int64, copy=False)
-            rep = np.repeat(docids, tfs)
+            rep = np.repeat(docids, lens)
             if i:  # a term at position < i cannot start-align a phrase
                 keep = pos >= i
                 pos, rep = pos[keep], rep[keep]

@@ -220,3 +220,77 @@ def test_segmented_run_codec_roundtrip():
     assert delta_decode_runs(
         delta_encode_runs(one, np.zeros(1, np.int64)), np.zeros(1, np.int64)
     ).tolist() == [42]
+
+
+def test_flat_positions_match_list_form():
+    """decode_flat_positions / decode_block_flat_positions are the scorer-path
+    form; they must agree exactly with the per-posting list form (which is now
+    a np.split view over them) and with the original encoded positions."""
+    for n, universe, block in [(1, 10, 128), (129, 10**6, 128), (1000, 2000, 64)]:
+        docids, tfs, dls, positions = _random_posting(n, universe)
+        enc = encode_postings(docids, tfs, dls, positions, block_size=block,
+                              avgdl=100.0, k1=1.2, b=0.75)
+        r = PostingReader.from_row(
+            {"n_docs": enc.n_docs, "docs": enc.docs, "tfs": enc.tfs,
+             "dls": enc.dls, "poss": enc.poss,
+             "block_meta": enc.block_meta_rows()},
+            block_size=block,
+        )
+        flat, lens = r.decode_flat_positions()
+        assert np.array_equal(lens, tfs)
+        assert np.array_equal(flat, np.concatenate(positions))
+        # block form stitches back to the whole
+        bf = [r.decode_block_flat_positions(i) for i in range(r.n_blocks)]
+        assert np.array_equal(np.concatenate([f for f, _ in bf]), flat)
+        assert np.array_equal(np.concatenate([t for _, t in bf]), tfs)
+
+
+def test_pair_prox_bonus_matches_bruteforce():
+    """Property check of the vectorized packed-key proximity kernel against a
+    direct per-doc oracle (the reference's asymmetric distance,
+    src/proximity.rs:7-15), including multi-generation readers and the
+    shared-occurrence cache."""
+    from search_engine_spark.query import _pair_prox_bonus
+
+    def brute(docs, a, b, w):
+        out = {}
+        for d, toks in docs.items():
+            pas = [i for i, t in enumerate(toks) if t == a]
+            pbs = [i for i, t in enumerate(toks) if t == b]
+            if not pas or not pbs:
+                continue
+            best = min(
+                (pb - pa) if pb > pa else (pa - pb + 1)
+                for pa in pas for pb in pbs
+            )
+            best = max(best, 1)
+            if best <= 7:
+                out[d] = w / best
+        return out
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(8)]
+    for trial in range(30):
+        docs = {
+            int(d): [vocab[int(i)] for i in rng.integers(0, len(vocab),
+                                                         size=rng.integers(2, 60))]
+            for d in rng.choice(50_000, size=rng.integers(4, 50), replace=False)
+        }
+        if trial % 3 == 2:  # multi-generation: split docids across two readers
+            lo = {d: t for d, t in docs.items() if d % 2 == 0}
+            hi = {d: t for d, t in docs.items() if d % 2 == 1}
+            r_lo, r_hi = _readers_from_docs(lo), _readers_from_docs(hi)
+            readers = {t: r_lo.get(t, []) + r_hi.get(t, [])
+                       for t in set(r_lo) | set(r_hi)}
+        else:
+            readers = _readers_from_docs(docs)
+        cache = {}
+        for a, b in [("w0", "w1"), ("w2", "w2"), ("w1", "w0"), ("w3", "w7")]:
+            got_d, got_b = _pair_prox_bonus(readers, a, b, 1.5, cache)
+            want = brute(docs, a, b, 1.5)
+            assert got_d.tolist() == sorted(want), (trial, a, b)
+            assert np.allclose(got_b, [want[d] for d in sorted(want)]), (trial, a, b)
+    # term absent entirely
+    readers = _readers_from_docs({1: ["x", "y"]})
+    d0, b0 = _pair_prox_bonus(readers, "x", "zzz", 1.0)
+    assert d0.size == 0 and b0.size == 0
