@@ -29,7 +29,7 @@ Apache Spark DataFrames:
                    multimodal plumbing
 """
 
-from search_engine_spark.config import IndexConfig
+from search_engine_spark.config import IndexConfig, IndexSettings
 
 
 def __getattr__(name):

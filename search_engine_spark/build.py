@@ -60,7 +60,7 @@ from search_engine_spark.codecs import (
     varint_decode,
     varint_encode_runs,
 )
-from search_engine_spark.config import IndexConfig
+from search_engine_spark.config import IndexConfig, IndexSettings
 from search_engine_spark.index import (
     CheckpointLog,
     IndexPaths,
@@ -951,10 +951,16 @@ def build_index(
     index_dir: str,
     config: IndexConfig | None = None,
     *,
+    settings: "IndexSettings | None" = None,
     fail_after: str | None = None,
     build_id: str | None = None,
 ) -> dict:
     """Build (or resume) an index at ``index_dir``. Returns the meta dict.
+
+    ``settings`` — per-index query-time settings (synonyms, matching
+    strategy, typo thresholds …) persisted in meta.json; queries default
+    from them (reference ``src/update/settings.rs``). Defaults to
+    ``IndexSettings()``.
 
     ``fail_after='<stage>'`` injects a failure right after that stage commits
     (kill-and-resume test harness). A resumed build skips every stage whose
@@ -1296,6 +1302,7 @@ def build_index(
         # block-max bounds by max(1, query_avgdl / encode_avgdl) so pruning
         # stays admissible after appends shift the live avgdl
         "generations": {"0": {"avgdl": float(avgdl), "n_docs": int(ds_meta["n_docs"])}},
+        "settings": (settings or IndexSettings()).to_dict(),
     }
     write_meta(paths, config, scalars)
     if metrics_rows:

@@ -145,3 +145,66 @@ class IndexConfig:
             (str(c), int(w)) for c, w in d.get("field_cols", ())
         )
         return IndexConfig(**d)
+
+
+# IndexConfig fields whose change alters what the extract stage produces —
+# a settings diff touching any of these requires a reindex (reference
+# ``Settings::execute`` decides the same way, ``src/update/settings.rs:865+``:
+# searchable/filterable attribute changes re-run extraction, query-time
+# settings like synonyms/typo just commit). Tuning knobs (stage1_*,
+# term_rank_*, extract_partitions) change HOW the build runs, not what it
+# produces, so they rewrite meta only.
+EXTRACTION_AFFECTING = frozenset(
+    {
+        "text_col", "field_cols", "pk_col", "ts_col", "docid_col",
+        "attr_cols", "num_shards", "num_buckets", "block_size",
+        "store_positions", "k1", "b",
+    }
+)
+
+
+@dataclass
+class IndexSettings:
+    """Per-index QUERY-TIME settings, persisted in ``meta.json`` alongside
+    the build config (reference: synonyms, typo config and matching strategy
+    are index state set once via the settings update, not per-query
+    arguments — ``src/update/settings.rs:189-243``, typo config
+    ``src/update/typo_config.rs``). ``SearchIndex.plan()`` defaults from the
+    stored values; explicit ``plan()`` keyword arguments still override
+    per-call (the reference's per-search overrides).
+
+    None of these affect extraction, so updating them never reindexes —
+    see ``update.update_settings`` for the diff logic."""
+
+    synonyms: dict[str, list[str]] = field(default_factory=dict)
+    matching_strategy: str = "any"  # reference default is "last"; "any" keeps
+    # the engine's round-1 behavior for existing indexes
+    proximity: float = 0.0
+    ngrams: bool = False
+    splits: bool = False
+    split_take_n: int = 4
+    typos_enabled: bool = True
+    typo_one_min_len: int = TYPO_ONE_MIN_LEN
+    typo_two_min_len: int = TYPO_TWO_MIN_LEN
+    typo_max_expansions: int = TYPO_MAX_EXPANSIONS
+
+    def __post_init__(self):
+        if self.matching_strategy not in ("any", "all", "last"):
+            raise ValueError(
+                "matching_strategy must be any|all|last, got "
+                f"{self.matching_strategy!r}"
+            )
+
+    def to_dict(self) -> dict:
+        d = asdict(self)
+        d["synonyms"] = {str(k): list(v) for k, v in self.synonyms.items()}
+        return d
+
+    @staticmethod
+    def from_dict(d: dict) -> "IndexSettings":
+        d = dict(d)
+        d["synonyms"] = {
+            str(k): [str(x) for x in v]
+            for k, v in (d.get("synonyms") or {}).items()
+        }
+        return IndexSettings(**d)

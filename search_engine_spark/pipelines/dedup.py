@@ -410,13 +410,22 @@ def simhash(
 
     bit_j = 1 iff sum over terms of tf * (2*bit_j(md5(term)) - 1) > 0.
 
-    Shape: ONE ``groupBy(doc_id)`` with 60 conditional-sum aggregate
-    columns over the per-(doc, term) tf rows, then a pure projection packs
-    the sign bits into the fingerprint. All JVM expressions; the map-side
-    combine reduces each task to one 60-column row per doc, so the shuffle
-    moves n_docs rows. (The earlier bit-position explode materialized 60
-    rows per (doc, term) and ran a second aggregation — same values, 60x
-    the rows through the first exchange.)
+    Shape: explode the 60 bit positions into ROWS and fold them with two
+    narrow single-column aggregations — groupBy(doc_id, j).sum(contrib),
+    then groupBy(doc_id) packing the sign bits. The bit fan-out is map-side
+    (the partial hash-agg combines each task down to its local
+    (doc, j) groups before any exchange), so the extra aggregation adds NO
+    extra full-data shuffle; the (doc_id, j) exchange carries n_docs*60
+    3-column rows ≈ the same bytes as one n_docs-row 61-column wide-agg
+    exchange.
+
+    Measured (sf0.1, local[32], warm, same session, 2026-08-18): this shape
+    0.68-0.73s; the 60-conditional-sum wide agg 1.7-2.0s (the 60 aggregate
+    expressions are evaluated per (doc, term) row — ~60M expression evals
+    dominate); a 21-bit-packed 20-sum variant 2.0-2.9s. Narrow hash-agg
+    probes beat per-row expression width, and the bytes shuffled are
+    equivalent, so the exploded shape wins at bench scale and holds the
+    same scale story at 100 TB.
     """
     tf = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term"))
@@ -424,21 +433,28 @@ def simhash(
         .agg(F.count("*").alias("tf"))
         .withColumn("h", _term_hash60(F.col("term")))
     )
-    wide = tf.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.col("tf") * (F.expr(f"shiftright(h, {j}) & 1") * 2 - 1)
-            ).alias(f"_s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    bits = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        "tf",
+        "h",
+    ).withColumn(
+        # shiftright/shiftleft with a Column shift amount needs expr()
+        "contrib",
+        F.col("tf") * (F.expr("shiftright(h, j) & 1") * 2 - 1),
     )
-    sim = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(
-            F.col(f"_s{j}") > 0, F.lit(1 << j).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else (sim + bit)
-    return wide.select("doc_id", sim.alias("simhash"))
+    return (
+        bits.groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
 
 
 def simhash_pairs(

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.codecs import PostingReader
-from search_engine_spark.config import IndexConfig
+from search_engine_spark.config import IndexConfig, IndexSettings
 from search_engine_spark.filters import to_column
 from search_engine_spark.index import IndexPaths, read_meta, term_bucket
 from search_engine_spark.config import (
@@ -123,6 +123,11 @@ class SearchIndex:
         self.paths = IndexPaths(index_dir)
         meta = read_meta(self.paths)
         self.config = IndexConfig.from_dict(meta["config"])
+        # persisted per-index query-time settings (reference
+        # src/update/settings.rs: synonyms/typo/matching-strategy live in
+        # the index); plan() defaults from these, per-call kwargs override.
+        # Indexes written before settings existed read as the defaults.
+        self.settings = IndexSettings.from_dict(meta.get("settings", {}))
         self.n_docs: int = meta["n_docs"]
         # idf is computed over the *indexed* doc count (live + tombstoned),
         # matching the stale per-term df below (Lucene semantics: deleted
@@ -289,7 +294,12 @@ class SearchIndex:
         return {r["term"]: r["df"] for r in rows}
 
     def _expand_typo(self, word: str) -> dict[str, int]:
-        budget = max_typos_for(word)
+        s = self.settings
+        budget = (
+            max_typos_for(word, s.typo_one_min_len, s.typo_two_min_len)
+            if s.typos_enabled
+            else 0
+        )
         if budget == 0:
             return self._lookup_exact([word])
         d = self._local_dict()
@@ -310,7 +320,10 @@ class SearchIndex:
                 .collect()
             )
             stats = {r["term"]: r["df"] for r in cand}
-        chosen = typo_candidates(word, stats.keys())
+        chosen = typo_candidates(
+            word, stats.keys(), budget=budget,
+            max_expansions=s.typo_max_expansions,
+        )
         return {t: stats[t] for t in chosen}
 
     def plan(
@@ -318,13 +331,13 @@ class SearchIndex:
         query: str,
         k: int = 10,
         *,
-        ngrams: bool = False,
+        ngrams: bool | None = None,
         synonyms: dict[str, list[str]] | None = None,
-        splits: bool = False,
-        split_take_n: int = 4,
+        splits: bool | None = None,
+        split_take_n: int | None = None,
         match_all: bool = False,
-        proximity: float = 0.0,
-        matching_strategy: str = "any",
+        proximity: float | None = None,
+        matching_strategy: str | None = None,
     ) -> QueryPlan:
         """Query plan: exact/prefix/typo lookups plus optional derivations.
 

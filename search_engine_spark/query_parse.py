@@ -105,21 +105,33 @@ def levenshtein(a: str, b: str, cap: int = 3) -> int:
     return min(prev[-1], cap)
 
 
-def max_typos_for(word: str) -> int:
-    """Reference typo thresholds (src/update/typo_config.rs:27-35)."""
+def max_typos_for(
+    word: str,
+    one_min_len: int = TYPO_ONE_MIN_LEN,
+    two_min_len: int = TYPO_TWO_MIN_LEN,
+) -> int:
+    """Reference typo thresholds (src/update/typo_config.rs:27-35).
+    Thresholds default to the frozen reference values; a persisted
+    ``IndexSettings`` can override them per index."""
     n = len(word)
-    if n >= TYPO_TWO_MIN_LEN:
+    if n >= two_min_len:
         return 2
-    if n >= TYPO_ONE_MIN_LEN:
+    if n >= one_min_len:
         return 1
     return 0
 
 
-def typo_candidates(word: str, dictionary: Iterable[str]) -> list[str]:
+def typo_candidates(
+    word: str,
+    dictionary: Iterable[str],
+    budget: int | None = None,
+    max_expansions: int = TYPO_MAX_EXPANSIONS,
+) -> list[str]:
     """Dictionary terms within the word's typo budget, ranked
-    (distance asc, term asc), capped at TYPO_MAX_EXPANSIONS.
+    (distance asc, term asc), capped at ``max_expansions``.
     Distance-0 (exact) is included first when present."""
-    budget = max_typos_for(word)
+    if budget is None:
+        budget = max_typos_for(word)
     if budget == 0:
         return [word] if word in set(dictionary) else []
     scored: list[tuple[int, str]] = []
@@ -130,4 +142,4 @@ def typo_candidates(word: str, dictionary: Iterable[str]) -> list[str]:
         if d <= budget:
             scored.append((d, t))
     scored.sort()
-    return [t for _, t in scored[:TYPO_MAX_EXPANSIONS]]
+    return [t for _, t in scored[:max_expansions]]
