@@ -100,6 +100,40 @@ def _index_mf(spark: SparkSession, sf_dir: str) -> SearchIndex:
     return _INDEX_MF_CACHE[key]
 
 
+_INDEX_ST_CACHE: dict[str, SearchIndex] = {}
+
+
+def _index_settings(spark: SparkSession, sf_dir: str) -> SearchIndex:
+    """Index with PERSISTED per-index settings (reference
+    ``src/update/settings.rs``: synonyms live in the index, not the query):
+    built once with ``IndexSettings(synonyms={'merge': ['join']})`` stored
+    in meta.json; queries default from it with no per-call argument."""
+    from search_engine_spark.config import IndexSettings
+
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_ST_CACHE:
+        return _INDEX_ST_CACHE[key]
+    tag = hashlib.md5(f"{ENGINE_TAG}:st:{key}".encode()).hexdigest()[:12]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"seg_idx_{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        cfg = IndexConfig(
+            text_col="text",
+            pk_col="doc_id",
+            ts_col=None,
+            docid_col="doc_id",
+            attr_cols=("lang",),
+            num_shards=4,
+            num_buckets=8,
+            block_size=64,
+        )
+        build_index(
+            spark, _docs(spark, sf_dir), idx_dir, cfg,
+            settings=IndexSettings(synonyms={"merge": ["join"]}),
+        )
+    _INDEX_ST_CACHE[key] = SearchIndex(spark, idx_dir)
+    return _INDEX_ST_CACHE[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 (block-max WAND path) over sf0.001."""
     idx = _index(spark, "/root/testdata/sf0.001")
@@ -199,6 +233,16 @@ def _q_bm25_synonyms(spark, sf_dir):
     idx = _index(spark, sf_dir)
     res = idx.search("merge", k=10, mode="exhaustive",
                      synonyms={"merge": ["join"]})
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
+def _q_bm25_stored_settings(spark, sf_dir):
+    """Reference settings persistence (src/update/settings.rs:189-243):
+    the SAME synonym expansion as bm25_synonyms, but served from settings
+    STORED in the index's meta.json — the search call passes no synonym
+    argument at all."""
+    idx = _index_settings(spark, sf_dir)
+    res = idx.search("merge", k=10, mode="exhaustive")
     return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
 
 
@@ -549,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_paginated": _q_bm25_paginated,
         "bm25_negated": _q_bm25_negated,
         "bm25_synonyms": _q_bm25_synonyms,
+        "bm25_stored_settings": _q_bm25_stored_settings,
         "bm25_match_all": _q_bm25_match_all,
         "bm25_last": _q_bm25_last,
         "bm25_word_split": _q_bm25_word_split,
@@ -765,6 +810,8 @@ SELECT rank, docid, score FROM (
     )
     # synonym-derived 'join' carries SYNONYM_PENALTY=0.5 (config.py)
     sql["bm25_synonyms"] = _bm25_sql({"merge": 1.0, "join": 0.5})
+    # stored-settings entry: identical semantics, synonyms come from meta.json
+    sql["bm25_stored_settings"] = _bm25_sql({"merge": 1.0, "join": 0.5})
     sql["bm25_match_all"] = _bm25_sql(
         ["table", "join", "merge"], having="count(DISTINCT td.term) = 3"
     )

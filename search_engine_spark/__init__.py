@@ -46,6 +46,7 @@ def __getattr__(name):
         "delete_by_filter": ("search_engine_spark.update", "delete_by_filter"),
         "compact": ("search_engine_spark.update", "compact"),
         "reindex": ("search_engine_spark.update", "reindex"),
+        "update_settings": ("search_engine_spark.update", "update_settings"),
         "build_session": ("search_engine_spark.session", "build_session"),
         "apply_runtime_env": ("search_engine_spark.session", "apply_runtime_env"),
     }
@@ -61,6 +62,7 @@ __all__ = [
     "IndexConfig", "build_index", "SearchIndex", "hybrid_search",
     "highlight_best", "add_documents", "update_documents",
     "delete_documents", "delete_by_filter", "compact", "reindex",
+    "update_settings", "IndexSettings",
     "build_session", "apply_runtime_env",
 ]
 __version__ = "0.1.0"

@@ -366,7 +366,25 @@ class SearchIndex:
         boundaries — documented deviation). Word order for prefix counting
         is ``pq.words + pq.prefixes + pq.typos`` (markered words are
         almost always trailing, matching drop-last semantics).
+
+        Every keyword above (plus the typo thresholds used by
+        ``_expand_typo``) DEFAULTS from the index's persisted settings
+        (``meta.json["settings"]``, reference ``src/update/settings.rs``);
+        passing it explicitly overrides per call.
         """
+        s = self.settings
+        if ngrams is None:
+            ngrams = s.ngrams
+        if synonyms is None:
+            synonyms = s.synonyms or None
+        if splits is None:
+            splits = s.splits
+        if split_take_n is None:
+            split_take_n = s.split_take_n
+        if proximity is None:
+            proximity = s.proximity
+        if matching_strategy is None:
+            matching_strategy = s.matching_strategy
         if matching_strategy not in ("any", "all", "last"):
             raise ValueError(
                 f"matching_strategy must be any|all|last, got {matching_strategy!r}"

@@ -49,7 +49,11 @@ from search_engine_spark.build import (
     make_extract_fn,
     terms_agg,
 )
-from search_engine_spark.config import IndexConfig
+from search_engine_spark.config import (
+    EXTRACTION_AFFECTING,
+    IndexConfig,
+    IndexSettings,
+)
 from search_engine_spark.index import (
     IndexPaths,
     read_meta,
@@ -589,7 +593,59 @@ def _rewrite_meta(paths: IndexPaths, config: IndexConfig, meta: dict):
     write_meta(paths, config, scalars)
 
 
-def reindex(spark: SparkSession, index_dir: str, new_config: IndexConfig) -> dict:
+def update_settings(spark: SparkSession, index_dir: str, **changes) -> dict:
+    """Diff-aware per-index settings update (reference ``Settings::execute``,
+    ``src/update/settings.rs:189-243`` decide-then-``:865+`` reindex).
+
+    ``changes`` may mix:
+
+    * ``IndexSettings`` fields (synonyms, matching_strategy, proximity,
+      ngrams/splits, typo thresholds …) — query-time only: meta.json is
+      rewritten, NO data touched. Queries pick the new defaults up on the
+      next ``SearchIndex`` open.
+    * ``IndexConfig`` fields — if any is extraction-affecting
+      (``config.EXTRACTION_AFFECTING``: searchable fields, attr set,
+      positions, sharding, BM25 params …) the index is REBUILT from its
+      docs snapshot via :func:`reindex` (docids preserved); pure tuning
+      knobs (stage1_*, term_rank_*, extract_partitions) rewrite meta only.
+
+    Returns the updated meta dict.
+    """
+    import dataclasses
+
+    paths, meta, config = _load(spark, index_dir)
+    sfields = {f.name for f in dataclasses.fields(IndexSettings)}
+    cfields = {f.name for f in dataclasses.fields(IndexConfig)}
+    unknown = set(changes) - sfields - cfields
+    if unknown:
+        raise ValueError(f"unknown settings: {sorted(unknown)}")
+    old_settings = IndexSettings.from_dict(meta.get("settings", {}))
+    new_settings = IndexSettings.from_dict(
+        {**old_settings.to_dict(),
+         **{k: v for k, v in changes.items() if k in sfields}}
+    )
+    meta["settings"] = new_settings.to_dict()
+    c_changes = {
+        k: v for k, v in changes.items()
+        if k in cfields and getattr(config, k) != (
+            tuple(v) if isinstance(getattr(config, k), tuple) else v)
+    }
+    if c_changes:
+        new_config = IndexConfig.from_dict({**config.to_dict(), **c_changes})
+        if any(k in EXTRACTION_AFFECTING for k in c_changes):
+            return reindex(spark, index_dir, new_config,
+                           settings=new_settings)
+        config = new_config
+    _rewrite_meta(paths, config, meta)
+    return read_meta(paths)
+
+
+def reindex(
+    spark: SparkSession,
+    index_dir: str,
+    new_config: IndexConfig,
+    settings: IndexSettings | None = None,
+) -> dict:
     """Settings change -> full rebuild from the canonical document store
     (reference T8 ``Settings::execute`` + ``reindex``,
     ``src/update/settings.rs:865+``): the docs snapshot is re-extracted
@@ -597,7 +653,8 @@ def reindex(spark: SparkSession, index_dir: str, new_config: IndexConfig) -> dic
     params, attr set) without touching the original input. docids are
     preserved (the snapshot already carries them), so external references
     stay valid across the settings change — same guarantee the reference's
-    in-place reindex gives.
+    in-place reindex gives. Persisted query-time settings carry over
+    (``settings`` overrides them when given).
     """
     import os
     import shutil
@@ -606,6 +663,8 @@ def reindex(spark: SparkSession, index_dir: str, new_config: IndexConfig) -> dic
     from search_engine_spark.build import build_index
 
     paths, meta, _old = _load(spark, index_dir)
+    if settings is None:
+        settings = IndexSettings.from_dict(meta.get("settings", {}))
     docs = spark.read.parquet(paths.docs)
     deleted = _deleted_df(spark, paths)
     if deleted is not None:
@@ -620,7 +679,7 @@ def reindex(spark: SparkSession, index_dir: str, new_config: IndexConfig) -> dic
     )
     staging = tempfile.mkdtemp(prefix="reindex-", dir=os.path.dirname(index_dir.rstrip("/")) or ".")
     try:
-        build_index(spark, docs, staging, cfg)
+        build_index(spark, docs, staging, cfg, settings=settings)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
