@@ -308,6 +308,18 @@ def _q_bm25_proximity(spark, sf_dir):
     return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
 
 
+def _q_bm25_proximity_full(spark, sf_dir):
+    """Reference ProximityRule cost paths (ranking/proximity.rs:16-227 +
+    proximity_cost.rs:17-110) folded to a scalar: ALL query word pairs i<j
+    weighted 1/(j-i), pair cost min(minprox, 8) (8 when absent), bonus
+    prox_weight * max(0, 4S - cost)/4S — for consecutive-only pairs the
+    budget 4S is the reference's (terms-1)*4."""
+    idx = _index(spark, sf_dir)
+    res = idx.search("table join merge", k=10, mode="exhaustive",
+                     proximity=1.0, proximity_mode="cost")
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
 def _q_score_details(spark, sf_dir):
     """Reference K9 score_details (src/score_details.rs:31-57): per-term
     BM25 contribution rows for the top-10 docs; sum(part) per docid equals
@@ -600,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_typo_penalty": _q_bm25_typo_penalty,
         "bm25_prefix_rank": _q_bm25_prefix_rank,
         "bm25_proximity": _q_bm25_proximity,
+        "bm25_proximity_full": _q_bm25_proximity_full,
         "bm25f": _q_bm25f,
         "score_details": _q_score_details,
         "hybrid_rank": _q_hybrid_rank,
@@ -983,6 +996,43 @@ SELECT sc.doc_id AS docid,
        round(sc.score + coalesce(CASE WHEN p.mp <= 7 THEN 1.0 / greatest(p.mp, 1) END, 0.0),
              {SCORE_ROUND}) AS score
 FROM scores sc LEFT JOIN prox p ON p.doc_id = sc.doc_id
+ORDER BY score DESC, docid LIMIT 10
+"""
+
+
+    # multi-pair budgeted cost proximity: pairs (table,join) g=1,
+    # (join,merge) g=1, (table,merge) g=0.5 -> S=2.5, budget 10; pair cost
+    # least(minprox, 8), absent pairs cost 8 (via 8*S minus found savings)
+    sql["bm25_proximity_full"] = f"""
+WITH {_TOKS},
+pairs(ta, tb, g) AS (VALUES ('table','join',1.0), ('join','merge',1.0),
+                            ('table','merge',0.5)),
+prox AS (
+  SELECT p.ta, p.tb, p.g, a.doc_id,
+         least(min(CASE WHEN b.pos > a.pos THEN b.pos - a.pos
+                        ELSE a.pos - b.pos + 1 END), 8) AS c
+  FROM pairs p
+  JOIN toks a ON a.term = p.ta
+  JOIN toks b ON b.doc_id = a.doc_id AND b.term = p.tb
+  GROUP BY 1, 2, 3, 4
+),
+sav AS (SELECT doc_id, sum(g * (8 - c)) AS saving FROM prox GROUP BY 1),
+scores AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td
+  JOIN dict di USING (term)
+  JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN ('table', 'join', 'merge')
+  GROUP BY td.doc_id
+)
+SELECT sc.doc_id AS docid,
+       round(sc.score
+             + greatest(0, 4*2.5 - (8*2.5 - coalesce(sv.saving, 0))) / (4*2.5),
+             {SCORE_ROUND}) AS score
+FROM scores sc LEFT JOIN sav sv ON sv.doc_id = sc.doc_id
 ORDER BY score DESC, docid LIMIT 10
 """
 

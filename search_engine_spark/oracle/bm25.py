@@ -166,6 +166,7 @@ def oracle_search(
     k: int = 10,
     allowed_docids: set[int] | None = None,
     prox_weight: float = 0.0,
+    prox_mode: str = "pairs",
 ) -> list[tuple[int, float]]:
     """-> [(docid, score)] top-k, ties (score desc, docid asc).
 
@@ -223,19 +224,42 @@ def oracle_search(
         candidate_docs &= allowed_docids
 
     # proximity bonus (reference K4, frozen spec shared with QueryPlan):
-    # consecutive query word pairs (exact words, a != b, both indexed) add
-    # prox_weight / minprox when minprox <= 7
-    prox_pairs: list[tuple[str, str]] = []
+    # 'pairs' — consecutive query word pairs (exact words, a != b, both
+    #   indexed) add prox_weight / minprox when minprox <= 7;
+    # 'cost' — multi-pair budgeted cost model (QueryPlan.prox_gaps spec):
+    #   ALL pairs i<j with gap weight g = 1/(j-i), pair cost
+    #   min(minprox, 8) (8 when absent), bonus
+    #   prox_weight * max(0, 4S - cost)/4S with S = sum g.
+    prox_pairs: list[tuple[str, str, float]] = []
     if prox_weight:
-        prox_pairs = [
-            (a, b)
-            for a, b in zip(pq.words, pq.words[1:])
-            if a != b and idx.df(a) and idx.df(b)
-        ]
+        if prox_mode == "cost":
+            ws = pq.words
+            prox_pairs = [
+                (ws[i], ws[j], 1.0 / (j - i))
+                for i in range(len(ws))
+                for j in range(i + 1, len(ws))
+                if ws[i] != ws[j] and idx.df(ws[i]) and idx.df(ws[j])
+            ]
+        else:
+            prox_pairs = [
+                (a, b, 1.0)
+                for a, b in zip(pq.words, pq.words[1:])
+                if a != b and idx.df(a) and idx.df(b)
+            ]
 
     def total_score(d: int) -> float:
         s = _bm25_score(idx, term_weights, d)
-        for a, b in prox_pairs:
+        if prox_mode == "cost" and prox_pairs:
+            S = sum(g for _, _, g in prox_pairs)
+            cost = 0.0
+            for a, b, g in prox_pairs:
+                pa = idx.positions.get(a, {}).get(d)
+                pb = idx.positions.get(b, {}).get(d)
+                c = min(_min_prox(pa, pb), 8.0) if (pa and pb) else 8.0
+                cost += g * c
+            s += prox_weight * max(0.0, 4.0 * S - cost) / (4.0 * S)
+            return s
+        for a, b, _g in prox_pairs:
             pa = idx.positions.get(a, {}).get(d)
             pb = idx.positions.get(b, {}).get(d)
             if pa and pb:

@@ -103,6 +103,19 @@ class QueryPlan:
     # FROZEN spec, mirrored by the oracle + DuckDB SQL.
     prox_pairs: list[tuple[str, str]] = dc_field(default_factory=list)
     prox_weight: float = 0.0
+    # Multi-pair cost model (reference proximity rule over cost paths,
+    # ``ranking/proximity.rs:16-227`` + ``proximity_cost.rs:17-110``): when
+    # set, ``prox_gaps[i]`` is pair i's query-gap weight g = 1/(j-i) over
+    # ALL word pairs i<j (not just consecutive), and the bonus folds the
+    # reference's budgeted path cost to a scalar:
+    #   c_pair(doc) = min(minprox, 8)   (8 when the pair is absent)
+    #   cost(doc)   = sum g * c_pair;  S = sum g;  budget B = 4*S
+    #   bonus(doc)  = prox_weight * max(0, B - cost) / B
+    # For consecutive-only pairs S = terms-1, so B = (terms-1)*4 — the
+    # reference's budget constant. Docs whose weighted cost exceeds the
+    # budget get nothing (the reference's "beyond budget -> last bucket").
+    # None -> legacy per-pair mode (prox_weight/minprox per pair, <=7).
+    prox_gaps: list[float] | None = None
     # TermsMatchingStrategy::Last (reference default, ``src/search/mod.rs:
     # 226-238`` + the words rule ``ranking/words.rs:52-80``): docs bucket
     # by the longest matched PREFIX of query words ("remove last word
@@ -337,6 +350,7 @@ class SearchIndex:
         split_take_n: int | None = None,
         match_all: bool = False,
         proximity: float | None = None,
+        proximity_mode: str = "pairs",
         matching_strategy: str | None = None,
     ) -> QueryPlan:
         """Query plan: exact/prefix/typo lookups plus optional derivations.
@@ -460,6 +474,11 @@ class SearchIndex:
             for t, df in scoring.items()
         }
         prox_pairs: list[tuple[str, str]] = []
+        prox_gaps: list[float] | None = None
+        if proximity_mode not in ("pairs", "cost"):
+            raise ValueError(
+                f"proximity_mode must be pairs|cost, got {proximity_mode!r}"
+            )
         if proximity:
             if not self.config.store_positions:
                 raise ValueError(
@@ -469,11 +488,27 @@ class SearchIndex:
             # consecutive original-query word pairs whose members both made
             # it into the scoring set (exact words only — derivations have
             # no query position); self-pairs are meaningless, skip
-            prox_pairs = [
-                (a, b)
-                for a, b in zip(pq.words, pq.words[1:])
-                if a != b and a in weights and b in weights
-            ]
+            if proximity_mode == "cost":
+                # multi-pair budgeted cost model (QueryPlan.prox_gaps spec):
+                # ALL word pairs i<j with both words indexed, query-gap
+                # weight g = 1/(j-i); consecutive-only S = terms-1 recovers
+                # the reference budget (terms-1)*4
+                prox_gaps = []
+                ws = pq.words
+                for i in range(len(ws)):
+                    for j in range(i + 1, len(ws)):
+                        a_w, b_w = ws[i], ws[j]
+                        if a_w != b_w and a_w in weights and b_w in weights:
+                            prox_pairs.append((a_w, b_w))
+                            prox_gaps.append(1.0 / (j - i))
+                if not prox_pairs:
+                    prox_gaps = None
+            else:
+                prox_pairs = [
+                    (a, b)
+                    for a, b in zip(pq.words, pq.words[1:])
+                    if a != b and a in weights and b in weights
+                ]
         word_groups = None
         if matching_strategy == "last":
             ordered = [*pq.words, *pq.prefixes, *pq.typos]
@@ -481,7 +516,8 @@ class SearchIndex:
         return QueryPlan(
             term_weights=weights, phrases=pq.phrases, negated=pq.negated, k=k,
             match_all=match_all, prox_pairs=prox_pairs,
-            prox_weight=float(proximity), word_groups=word_groups,
+            prox_weight=float(proximity), prox_gaps=prox_gaps,
+            word_groups=word_groups,
         )
 
     # -- execution ---------------------------------------------------------
@@ -640,6 +676,7 @@ class SearchIndex:
             deleted=self._deleted_bc,
             prox_pairs=plan.prox_pairs,
             prox_weight=plan.prox_weight,
+            prox_gaps=plan.prox_gaps,
             word_groups=plan.word_groups,
         )
 
@@ -725,7 +762,7 @@ class SearchIndex:
                 None, k, self.avgdl, self.config.k1, self.config.b, deleted,
                 match_all=plan.match_all,
                 prox_pairs=plan.prox_pairs, prox_weight=plan.prox_weight,
-                word_groups=plan.word_groups,
+                prox_gaps=plan.prox_gaps, word_groups=plan.word_groups,
             )
         pairs = pairs[offset:]
         if not pairs:
@@ -820,15 +857,28 @@ class SearchIndex:
                 )
         if plan.prox_weight and plan.prox_pairs:
             occ_cache: dict[str, np.ndarray] = {}
-            for a, bb in plan.prox_pairs:
-                pd_docs, bonus = _pair_prox_bonus(
-                    readers, a, bb, plan.prox_weight, occ_cache
+            if plan.prox_gaps is not None:
+                # cost model: one '~prox' component per doc (the budgeted
+                # fold is not per-pair additive)
+                bonus = _cost_prox_bonus(
+                    readers, plan.prox_pairs, plan.prox_gaps,
+                    plan.prox_weight, docids, occ_cache,
                 )
-                sel = np.isin(pd_docs, docids)
                 rows.extend(
-                    (int(dd), f"~prox:{a}:{bb}", float(pp))
-                    for dd, pp in zip(pd_docs[sel], bonus[sel])
+                    (int(dd), "~prox", float(pp))
+                    for dd, pp in zip(docids, bonus)
+                    if pp
                 )
+            else:
+                for a, bb in plan.prox_pairs:
+                    pd_docs, bonus = _pair_prox_bonus(
+                        readers, a, bb, plan.prox_weight, occ_cache
+                    )
+                    sel = np.isin(pd_docs, docids)
+                    rows.extend(
+                        (int(dd), f"~prox:{a}:{bb}", float(pp))
+                        for dd, pp in zip(pd_docs[sel], bonus[sel])
+                    )
         if plan.word_groups:
             # mirror _exhaustive_topk's Last-strategy fold exactly: the
             # executed score includes bucket * offset_val, so emit it as a
@@ -997,6 +1047,7 @@ def make_shard_scorer(
     deleted=None,
     prox_pairs: list[tuple[str, str]] | None = None,
     prox_weight: float = 0.0,
+    prox_gaps: list[float] | None = None,
     word_groups: list[list[str]] | None = None,
 ):
     """Build the per-shard scoring function (cogroup signature).
@@ -1061,7 +1112,7 @@ def make_shard_scorer(
                 readers, term_weights, phrases, neg_set, allowed, k, avgdl, k1, b,
                 tomb, match_all=match_all,
                 prox_pairs=prox_pairs, prox_weight=prox_weight,
-                word_groups=word_groups,
+                prox_gaps=prox_gaps, word_groups=word_groups,
             )
         if not pairs:
             return _empty()
@@ -1087,14 +1138,16 @@ def _exhaustive_topk(
     match_all: bool = False,
     prox_pairs: list[tuple[str, str]] | None = None,
     prox_weight: float = 0.0,
+    prox_gaps: list[float] | None = None,
     word_groups: list[list[str]] | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized full-decode scoring: concatenate (docid, idf*impact) across
     terms (and segment generations), aggregate per docid with np.add.at,
     apply phrase/negation/filter/tombstone/match-all constraints, add the
-    pair-proximity bonus (reference K4) from stored positions, fold the
-    Last-strategy words bucket (QueryPlan.word_groups) into the score,
-    top-k."""
+    pair-proximity bonus (reference K4; ``prox_gaps`` set selects the
+    multi-pair budgeted cost model, see QueryPlan) from stored positions,
+    fold the Last-strategy words bucket (QueryPlan.word_groups) into the
+    score, top-k."""
     doc_chunks, score_chunks = [], []
     per_term_docs: list[np.ndarray] = []
     term_docs: dict[str, np.ndarray] = {}
@@ -1123,14 +1176,19 @@ def _exhaustive_topk(
 
     if prox_weight and prox_pairs:
         occ_cache: dict[str, np.ndarray] = {}
-        for ta, tb in prox_pairs:  # don't shadow the BM25 `b` parameter
-            pd_docs, pd_bonus = _pair_prox_bonus(
-                readers, ta, tb, prox_weight, occ_cache
+        if prox_gaps is not None:  # multi-pair budgeted cost model
+            agg += _cost_prox_bonus(
+                readers, prox_pairs, prox_gaps, prox_weight, uniq, occ_cache
             )
-            if len(pd_docs):
-                pos = np.searchsorted(uniq, pd_docs)
-                ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == pd_docs)
-                np.add.at(agg, pos[ok], pd_bonus[ok])
+        else:
+            for ta, tb in prox_pairs:  # don't shadow the BM25 `b` parameter
+                pd_docs, pd_bonus = _pair_prox_bonus(
+                    readers, ta, tb, prox_weight, occ_cache
+                )
+                if len(pd_docs):
+                    pos = np.searchsorted(uniq, pd_docs)
+                    ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == pd_docs)
+                    np.add.at(agg, pos[ok], pd_bonus[ok])
 
     mask = np.ones(len(uniq), dtype=bool)
     if match_all:
@@ -1210,20 +1268,17 @@ def _occurrence_keys(
     return keys
 
 
-def _pair_prox_bonus(
+def _pair_minprox(
     readers: dict[str, list[tuple[PostingReader, float]]],
     a: str,
     b: str,
-    prox_weight: float,
     occ_cache: dict[str, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc proximity bonus for one consecutive query word pair
-    (reference K4, frozen spec in QueryPlan): for docs containing both
-    terms, minprox = min over occurrence pairs of (pb - pa) when pb > pa
-    else (pa - pb + 1) — the reference's asymmetric word distance
-    (``src/proximity.rs:7-15``) — clamped to >= 1; bonus
-    ``prox_weight / minprox`` when minprox <= 7, else no bonus.
-    -> (sorted docids, bonus) arrays, only rows with a bonus.
+    """Per-doc minimum proximity for one query word pair: for docs
+    containing both terms, minprox = min over occurrence pairs of
+    (pb - pa) when pb > pa else (pa - pb + 1) — the reference's asymmetric
+    word distance (``src/proximity.rs:7-15``) — clamped to >= 1.
+    -> (sorted docids, minprox) over ALL docs containing both terms.
 
     Fully vectorized (no per-doc Python): both terms' occurrences are packed
     ``docid << 32 | pos`` sorted streams; for each occurrence of ``a`` ONE
@@ -1254,8 +1309,52 @@ def _pair_prox_bonus(
     doc_starts = np.flatnonzero(np.r_[True, da[1:] != da[:-1]])
     dmin = np.minimum.reduceat(best, doc_starts)
     docs = da[doc_starts]
+    keep = np.isfinite(dmin)  # docs where b never co-occurs (inf) drop out
+    return docs[keep], dmin[keep]
+
+
+def _pair_prox_bonus(
+    readers: dict[str, list[tuple[PostingReader, float]]],
+    a: str,
+    b: str,
+    prox_weight: float,
+    occ_cache: dict[str, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Legacy per-pair proximity bonus (reference K4, frozen spec in
+    QueryPlan): bonus ``prox_weight / minprox`` when minprox <= 7, else no
+    bonus. -> (sorted docids, bonus), only rows with a bonus."""
+    docs, dmin = _pair_minprox(readers, a, b, occ_cache)
     sel = dmin <= 7
     return docs[sel], prox_weight / dmin[sel]
+
+
+def _cost_prox_bonus(
+    readers: dict[str, list[tuple[PostingReader, float]]],
+    prox_pairs: list[tuple[str, str]],
+    prox_gaps: list[float],
+    prox_weight: float,
+    uniq: np.ndarray,
+    occ_cache: dict[str, np.ndarray] | None = None,
+) -> np.ndarray:
+    """Multi-pair budgeted cost bonus (QueryPlan.prox_gaps spec) aligned to
+    the candidate array ``uniq`` (sorted docids) — returns per-candidate
+    bonus. Absent pairs cost 8 implicitly: the fold starts every doc at
+    cost 8*S and subtracts each found pair's saving g*(8 - c)."""
+    S = float(sum(prox_gaps))
+    if S <= 0 or not len(uniq):
+        return np.zeros(len(uniq), dtype=np.float64)
+    saving = np.zeros(len(uniq), dtype=np.float64)
+    for (ta, tb), g in zip(prox_pairs, prox_gaps):
+        pd_docs, dmin = _pair_minprox(readers, ta, tb, occ_cache)
+        if not len(pd_docs):
+            continue
+        c = np.minimum(dmin, 8.0)
+        pos = np.searchsorted(uniq, pd_docs)
+        ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == pd_docs)
+        np.add.at(saving, pos[ok], g * (8.0 - c[ok]))
+    cost = 8.0 * S - saving
+    budget = 4.0 * S
+    return prox_weight * np.maximum(0.0, budget - cost) / budget
 
 
 def _phrase_docids(

@@ -172,3 +172,77 @@ def test_proximity_driver_path_identical(search_index, oracle_idx):
     oracle = oracle_search(oracle_idx, q, k=10, prox_weight=1.0)
     assert_rank_identical(cluster, oracle, "prox-cluster", q)
     assert_rank_identical(driver, oracle, "prox-driver", q)
+
+
+@pytest.mark.parametrize(
+    "qid,query,k",
+    [q for q in QUERIES if "-" not in q[1] and '"' not in q[1]
+     and len(q[1].split()) >= 2],
+    ids=[f"q{q[0]}" for q in QUERIES if "-" not in q[1] and '"' not in q[1]
+         and len(q[1].split()) >= 2],
+)
+def test_rank_identity_proximity_cost(search_index, oracle_idx, qid, query, k):
+    """Multi-pair budgeted cost proximity (reference ranking/proximity.rs
+    cost paths folded to a scalar, QueryPlan.prox_gaps spec) must be
+    rank-identical between the engine and the oracle."""
+    engine = search_index.search_list(
+        query, k=k, mode="exhaustive", proximity=1.0, proximity_mode="cost"
+    )
+    oracle = oracle_search(oracle_idx, query, k=k, prox_weight=1.0,
+                           prox_mode="cost")
+    assert_rank_identical(engine, oracle, qid, f"{query} [prox-cost]")
+
+
+def test_proximity_cost_nonadjacent_pair_changes_order(spark, tmp_path):
+    """The cost model sees NON-ADJACENT query pairs: two docs with identical
+    consecutive-pair proximities but different (w1, w3) distance must tie
+    under 'pairs' mode and rank apart under 'cost' mode."""
+    import pandas as pd
+
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+
+    # alpha beta gamma: same dl, same vocab, tf=1 each -> identical BM25;
+    # both docs have c(alpha,beta)=1 and c(beta,gamma)=3, but doc X has
+    # c(alpha,gamma)=2 (gamma just before alpha) and doc Y has 4 (after).
+    rows = [
+        ("x", "gamma alpha beta zz ww"),
+        ("y", "alpha beta zz ww gamma"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "text"])
+    d = str(tmp_path / "cost_idx")
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                      num_shards=2, num_buckets=2)
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    ix = SearchIndex(spark, d)
+
+    q = "alpha beta gamma"
+    pairs = ix.search(q, k=2, mode="exhaustive", proximity=1.0)
+    cost = ix.search(q, k=2, mode="exhaustive", proximity=1.0,
+                     proximity_mode="cost")
+    p = {r["pk"]: r["score"] for r in pairs.collect()}
+    c = {r["pk"]: r["score"] for r in cost.collect()}
+    # identical dl and tf -> same BM25; consecutive pairs identical
+    assert abs(p["x"] - p["y"]) < 1e-12, "pairs mode should tie"
+    # cost mode: S = 1 + 1 + 0.5 = 2.5, budget 10;
+    # x: cost = 1 + 3 + 0.5*2 = 5 -> bonus 0.5; y: 1 + 3 + 0.5*4 = 6 -> 0.4
+    assert c["x"] - c["y"] == pytest.approx(0.1, abs=1e-9)
+    ranks = [r["pk"] for r in cost.collect()]
+    assert ranks == ["x", "y"]
+
+
+def test_score_details_sum_equals_score_cost_mode(search_index):
+    """K9 invariant holds for the cost model: sum(part) == executed score
+    (the '~prox' component carries the whole budgeted bonus)."""
+    kw = {"proximity": 1.0, "proximity_mode": "cost"}
+    top = {r["docid"]: r["score"]
+           for r in search_index.search("search engine", k=5,
+                                        mode="exhaustive", **kw).collect()}
+    parts = search_index.score_details("search engine", k=5,
+                                       mode="exhaustive", **kw).collect()
+    by_doc: dict[int, float] = {}
+    for r in parts:
+        by_doc[r["docid"]] = by_doc.get(r["docid"], 0.0) + r["part"]
+    for d, s in top.items():
+        assert by_doc[d] == pytest.approx(s, abs=1e-9)
