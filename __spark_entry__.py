@@ -320,6 +320,23 @@ def _q_bm25_proximity_full(spark, sf_dir):
     return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
 
 
+def _q_bm25_exactness(spark, sf_dir):
+    """Reference ExactnessRule ExactAttribute (ranking/exactness.rs:16-95 +
+    field_id_word_count_docids, extract_fid_word_count_docids.rs:15-91):
+    the query is the shortest document's whole text; that doc's field
+    equals the query (anchored at position 0, dl == n), so it takes the
+    +5.0 boost while every BM25 competitor doesn't."""
+    idx = _index(spark, sf_dir)
+    q = (
+        _docs(spark, sf_dir)
+        .orderBy(F.length("text").asc(), F.col("doc_id").asc())
+        .select("text")
+        .first()["text"]
+    )
+    res = idx.search(q, k=10, mode="exhaustive", exactness=5.0)
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
 def _q_score_details(spark, sf_dir):
     """Reference K9 score_details (src/score_details.rs:31-57): per-term
     BM25 contribution rows for the top-10 docs; sum(part) per docid equals
@@ -613,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix_rank": _q_bm25_prefix_rank,
         "bm25_proximity": _q_bm25_proximity,
         "bm25_proximity_full": _q_bm25_proximity_full,
+        "bm25_exactness": _q_bm25_exactness,
         "bm25f": _q_bm25f,
         "score_details": _q_score_details,
         "hybrid_rank": _q_hybrid_rank,
@@ -1033,6 +1051,36 @@ SELECT sc.doc_id AS docid,
              + greatest(0, 4*2.5 - (8*2.5 - coalesce(sv.saving, 0))) / (4*2.5),
              {SCORE_ROUND}) AS score
 FROM scores sc LEFT JOIN sav sv ON sv.doc_id = sc.doc_id
+ORDER BY score DESC, docid LIMIT 10
+"""
+
+
+    # exact-attribute exactness: query = the shortest doc's whole text;
+    # exact docs (token sequence == query tokens) get +5.0
+    sql["bm25_exactness"] = f"""
+WITH {_TOKS},
+q AS (SELECT regexp_extract_all(text, '[a-z0-9]+') AS qt
+      FROM documents ORDER BY length(text), doc_id LIMIT 1),
+qterms AS (SELECT DISTINCT unnest(qt) AS term FROM q),
+scores AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td
+  JOIN dict di USING (term)
+  JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN (SELECT term FROM qterms)
+  GROUP BY td.doc_id
+),
+exact AS (
+  SELECT d.doc_id FROM documents d, q
+  WHERE regexp_extract_all(d.text, '[a-z0-9]+') = q.qt
+)
+SELECT sc.doc_id AS docid,
+       round(sc.score + CASE WHEN e.doc_id IS NOT NULL THEN 5.0 ELSE 0.0 END,
+             {SCORE_ROUND}) AS score
+FROM scores sc LEFT JOIN exact e USING (doc_id)
 ORDER BY score DESC, docid LIMIT 10
 """
 

@@ -50,6 +50,10 @@ class OracleIndex:
     positions: dict[str, dict[int, list[int]]] = field(default_factory=dict)
     docid_to_pk: dict[int, str] = field(default_factory=dict)
     attrs: dict[int, dict] = field(default_factory=dict)
+    # single-field indexes verify ExactAttribute with dl == n (nothing
+    # follows the query words); multi-field mirrors the engine's
+    # whole-field-prefix deviation (per-field word counts not stored)
+    dl_check: bool = True
 
     def df(self, term: str) -> int:
         return len(self.postings.get(term, {}))
@@ -85,6 +89,7 @@ def build_oracle_index(
     field_list = fields if fields is not None else [(text_col, 1)]
 
     idx = OracleIndex()
+    idx.dl_check = fields is None
     idx.n_docs = len(df)
     total_dl = 0
     for docid, row in df.iterrows():
@@ -167,6 +172,7 @@ def oracle_search(
     allowed_docids: set[int] | None = None,
     prox_weight: float = 0.0,
     prox_mode: str = "pairs",
+    exact_boost: float = 0.0,
 ) -> list[tuple[int, float]]:
     """-> [(docid, score)] top-k, ties (score desc, docid asc).
 
@@ -247,8 +253,31 @@ def oracle_search(
                 if a != b and idx.df(a) and idx.df(b)
             ]
 
+    # ExactAttribute (QueryPlan.exact_boost spec): a field's whole content
+    # equals the query words — anchored occurrence a + i in positions[w_i]
+    # for some field anchor a = fid << 16, plus dl == n on single-field
+    # indexes (so nothing follows)
+    def is_exact(d: int) -> bool:
+        ws = pq.words
+        if not ws:
+            return False
+        if idx.dl_check and idx.dl.get(d) != len(ws):
+            return False
+        p0 = idx.positions.get(ws[0], {}).get(d)
+        if not p0:
+            return False
+        for a in p0:
+            if a & 0xFFFF:
+                continue  # not a field start
+            if all((a + i) in idx.positions.get(w, {}).get(d, ())
+                   for i, w in enumerate(ws)):
+                return True
+        return False
+
     def total_score(d: int) -> float:
         s = _bm25_score(idx, term_weights, d)
+        if exact_boost and is_exact(d):
+            s += exact_boost
         if prox_mode == "cost" and prox_pairs:
             S = sum(g for _, _, g in prox_pairs)
             cost = 0.0

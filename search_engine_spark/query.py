@@ -76,7 +76,7 @@ def _pick_algo(mode: str, plan: "QueryPlan", has_filter: bool) -> str:
     if mode in ("wand", "maxscore", "exhaustive"):
         return mode
     if (plan.phrases or plan.negated or has_filter or plan.match_all
-            or plan.prox_pairs or plan.word_groups):
+            or plan.prox_pairs or plan.word_groups or plan.exact_boost):
         return "exhaustive"
     return "maxscore"
 
@@ -116,6 +116,17 @@ class QueryPlan:
     # budget get nothing (the reference's "beyond budget -> last bucket").
     # None -> legacy per-pair mode (prox_weight/minprox per pair, <=7).
     prox_gaps: list[float] | None = None
+    # ExactAttribute exactness (reference ExactnessRule,
+    # ``ranking/exactness.rs:16-95`` backed by field_id_word_count_docids,
+    # ``extract_fid_word_count_docids.rs:15-91``): docs where a searchable
+    # field's whole content equals the query words get +exact_boost —
+    # the reference's exact-attribute rank bucket folded to score shaping.
+    # Verified from stored positions (anchored match at field position 0)
+    # plus, on single-field indexes, dl == len(words) so nothing follows;
+    # multi-field indexes boost whole-field PREFIX matches (documented
+    # deviation: per-field word counts are not stored).
+    exact_boost: float = 0.0
+    exact_words: list[str] | None = None
     # TermsMatchingStrategy::Last (reference default, ``src/search/mod.rs:
     # 226-238`` + the words rule ``ranking/words.rs:52-80``): docs bucket
     # by the longest matched PREFIX of query words ("remove last word
@@ -351,6 +362,7 @@ class SearchIndex:
         match_all: bool = False,
         proximity: float | None = None,
         proximity_mode: str = "pairs",
+        exactness: float = 0.0,
         matching_strategy: str | None = None,
     ) -> QueryPlan:
         """Query plan: exact/prefix/typo lookups plus optional derivations.
@@ -473,6 +485,14 @@ class SearchIndex:
             t: bm25_idf(self.n_docs_indexed, df) * penalty[t]
             for t, df in scoring.items()
         }
+        exact_words: list[str] | None = None
+        if exactness:
+            if not self.config.store_positions:
+                raise ValueError(
+                    "exactness needs positions: the index was built with "
+                    "store_positions=False"
+                )
+            exact_words = list(pq.words)
         prox_pairs: list[tuple[str, str]] = []
         prox_gaps: list[float] | None = None
         if proximity_mode not in ("pairs", "cost"):
@@ -517,6 +537,7 @@ class SearchIndex:
             term_weights=weights, phrases=pq.phrases, negated=pq.negated, k=k,
             match_all=match_all, prox_pairs=prox_pairs,
             prox_weight=float(proximity), prox_gaps=prox_gaps,
+            exact_boost=float(exactness), exact_words=exact_words,
             word_groups=word_groups,
         )
 
@@ -677,6 +698,9 @@ class SearchIndex:
             prox_pairs=plan.prox_pairs,
             prox_weight=plan.prox_weight,
             prox_gaps=plan.prox_gaps,
+            exact_boost=plan.exact_boost,
+            exact_words=plan.exact_words,
+            exact_dl_check=not self.config.field_cols,
             word_groups=plan.word_groups,
         )
 
@@ -744,7 +768,8 @@ class SearchIndex:
         deleted = self._deleted if len(self._deleted) else None
         algo = _pick_algo(mode, plan, False)
         plain = (not plan.phrases and not plan.negated and not plan.match_all
-                 and not plan.prox_pairs and not plan.word_groups)
+                 and not plan.prox_pairs and not plan.word_groups
+                 and not plan.exact_boost)
         k = plan.k + offset
         if algo == "wand" and plain:
             pairs = _wand_topk(
@@ -762,7 +787,10 @@ class SearchIndex:
                 None, k, self.avgdl, self.config.k1, self.config.b, deleted,
                 match_all=plan.match_all,
                 prox_pairs=plan.prox_pairs, prox_weight=plan.prox_weight,
-                prox_gaps=plan.prox_gaps, word_groups=plan.word_groups,
+                prox_gaps=plan.prox_gaps, exact_boost=plan.exact_boost,
+                exact_words=plan.exact_words,
+                exact_dl_check=not self.config.field_cols,
+                word_groups=plan.word_groups,
             )
         pairs = pairs[offset:]
         if not pairs:
@@ -879,6 +907,17 @@ class SearchIndex:
                         (int(dd), f"~prox:{a}:{bb}", float(pp))
                         for dd, pp in zip(pd_docs[sel], bonus[sel])
                     )
+        if plan.exact_boost and plan.exact_words:
+            # indexed exact words are scoring terms, so `readers` has them;
+            # an unindexed word yields the empty exact set either way
+            ed = _exact_attr_docids(
+                readers, plan.exact_words, not self.config.field_cols,
+            )
+            sel = np.isin(ed, docids)
+            rows.extend(
+                (int(dd), "~exact", float(plan.exact_boost))
+                for dd in ed[sel]
+            )
         if plan.word_groups:
             # mirror _exhaustive_topk's Last-strategy fold exactly: the
             # executed score includes bucket * offset_val, so emit it as a
@@ -886,7 +925,7 @@ class SearchIndex:
             offset_val = (
                 sum(abs(v) for v in plan.term_weights.values())
                 + abs(plan.prox_weight) * max(1, len(plan.prox_pairs or ()))
-                + 1.0
+                + abs(plan.exact_boost) + 1.0
             )
             term_docs: dict[str, np.ndarray] = {}
             for t in {x for grp in plan.word_groups for x in grp}:
@@ -1048,6 +1087,9 @@ def make_shard_scorer(
     prox_pairs: list[tuple[str, str]] | None = None,
     prox_weight: float = 0.0,
     prox_gaps: list[float] | None = None,
+    exact_boost: float = 0.0,
+    exact_words: list[str] | None = None,
+    exact_dl_check: bool = True,
     word_groups: list[list[str]] | None = None,
 ):
     """Build the per-shard scoring function (cogroup signature).
@@ -1102,7 +1144,8 @@ def make_shard_scorer(
             )
 
         plain = (not phrases and not neg_set and allowed is None
-                 and not match_all and not prox_pairs and not word_groups)
+                 and not match_all and not prox_pairs and not word_groups
+                 and not exact_boost)
         if algo == "wand" and plain:
             pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b, tomb)
         elif algo == "maxscore" and plain:
@@ -1112,7 +1155,9 @@ def make_shard_scorer(
                 readers, term_weights, phrases, neg_set, allowed, k, avgdl, k1, b,
                 tomb, match_all=match_all,
                 prox_pairs=prox_pairs, prox_weight=prox_weight,
-                prox_gaps=prox_gaps, word_groups=word_groups,
+                prox_gaps=prox_gaps, exact_boost=exact_boost,
+                exact_words=exact_words, exact_dl_check=exact_dl_check,
+                word_groups=word_groups,
             )
         if not pairs:
             return _empty()
@@ -1139,6 +1184,9 @@ def _exhaustive_topk(
     prox_pairs: list[tuple[str, str]] | None = None,
     prox_weight: float = 0.0,
     prox_gaps: list[float] | None = None,
+    exact_boost: float = 0.0,
+    exact_words: list[str] | None = None,
+    exact_dl_check: bool = True,
     word_groups: list[list[str]] | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized full-decode scoring: concatenate (docid, idf*impact) across
@@ -1190,6 +1238,13 @@ def _exhaustive_topk(
                     ok = (pos < len(uniq)) & (uniq[np.minimum(pos, len(uniq) - 1)] == pd_docs)
                     np.add.at(agg, pos[ok], pd_bonus[ok])
 
+    if exact_boost and exact_words:
+        ed = _exact_attr_docids(readers, exact_words, exact_dl_check)
+        if len(ed):
+            epos = np.searchsorted(uniq, ed)
+            eok = (epos < len(uniq)) & (uniq[np.minimum(epos, len(uniq) - 1)] == ed)
+            agg[epos[eok]] += exact_boost
+
     mask = np.ones(len(uniq), dtype=bool)
     if match_all:
         for t_docs in per_term_docs:
@@ -1217,7 +1272,8 @@ def _exhaustive_topk(
         # shard merge / pagination stay untouched.
         offset_val = (
             sum(abs(v) for v in term_weights.values())
-            + abs(prox_weight) * max(1, len(prox_pairs or ())) + 1.0
+            + abs(prox_weight) * max(1, len(prox_pairs or ()))
+            + abs(exact_boost) + 1.0
         )
         alive = np.ones(len(uniq), dtype=bool)
         wcnt = np.zeros(len(uniq), dtype=np.float64)
@@ -1355,6 +1411,60 @@ def _cost_prox_bonus(
     cost = 8.0 * S - saving
     budget = 4.0 * S
     return prox_weight * np.maximum(0.0, budget - cost) / budget
+
+
+def _exact_attr_docids(
+    readers: dict[str, list[tuple[PostingReader, float]]],
+    words: list[str],
+    dl_check: bool,
+) -> np.ndarray:
+    """Docs where a searchable field's whole content equals ``words``
+    (QueryPlan.exact_boost spec). Anchored variant of ``_phrase_docids``:
+    occurrence keys keep only positions whose field-local part equals the
+    word's query index i, packed ``docid << 32 | (pos - i)`` so the
+    intersection's surviving anchors are exactly ``fid << 16`` (field
+    starts). ``dl_check`` (single-field indexes) additionally requires the
+    doc's token count to equal ``len(words)``."""
+    n = len(words)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    keysets = []
+    for i, t in enumerate(words):
+        rs = readers.get(t, ())
+        if not rs:
+            return np.zeros(0, dtype=np.int64)
+        chunks = []
+        for r, _scale in rs:
+            docids, _, _ = r.decode_all()
+            pos, lens = r.decode_flat_positions()
+            if not len(pos):
+                continue
+            rep = np.repeat(docids, lens)
+            keep = (pos & np.int64(0xFFFF)) == i  # field-local position == i
+            if keep.any():
+                chunks.append((rep[keep] << 32) | (pos[keep] - i))
+        if not chunks:
+            return np.zeros(0, dtype=np.int64)
+        keysets.append(np.unique(np.concatenate(chunks)))
+    inter = keysets[0]
+    for ks in keysets[1:]:
+        if len(inter) == 0:
+            break
+        inter = np.intersect1d(inter, ks, assume_unique=True)
+    docs = np.unique(inter >> 32).astype(np.int64, copy=False)
+    if dl_check and len(docs):
+        # exact docs necessarily contain words[0]; its postings carry dl
+        d_chunks, l_chunks = [], []
+        for r, _scale in readers.get(words[0], ()):
+            d, _, dl = r.decode_all()
+            d_chunks.append(d)
+            l_chunks.append(dl)
+        dd = np.concatenate(d_chunks)
+        ll = np.concatenate(l_chunks)
+        order = np.argsort(dd, kind="stable")
+        dd, ll = dd[order], ll[order]
+        docs = docs[ll[np.searchsorted(dd, docs)] == n]
+    return docs
 
 
 def _phrase_docids(

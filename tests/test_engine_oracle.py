@@ -246,3 +246,103 @@ def test_score_details_sum_equals_score_cost_mode(search_index):
         by_doc[r["docid"]] = by_doc.get(r["docid"], 0.0) + r["part"]
     for d, s in top.items():
         assert by_doc[d] == pytest.approx(s, abs=1e-9)
+
+
+def test_exactness_exact_field_outranks_equal_bm25(spark, tmp_path):
+    """Reference ExactnessRule ExactAttribute (ranking/exactness.rs:16-95):
+    a doc whose whole field equals the query outranks docs with identical
+    BM25; a doc merely STARTING with the query fails the single-field dl
+    check."""
+    import pandas as pd
+
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+
+    rows = [
+        ("x", "table join"),        # exact: anchored at 0, dl == 2
+        ("y", "join table"),        # same tf/dl -> identical BM25, not exact
+        ("z", "table join extra"),  # prefix only: dl check rejects
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "text"])
+    d = str(tmp_path / "exact_idx")
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                      num_shards=2, num_buckets=2)
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    ix = SearchIndex(spark, d)
+
+    plain = {r["pk"]: r["score"]
+             for r in ix.search("table join", k=3, mode="exhaustive").collect()}
+    assert plain["x"] == pytest.approx(plain["y"], abs=1e-12)
+    boosted = ix.search("table join", k=3, mode="exhaustive",
+                        exactness=2.0).collect()
+    b = {r["pk"]: r["score"] for r in boosted}
+    assert b["x"] == pytest.approx(plain["x"] + 2.0, abs=1e-9)
+    assert b["y"] == pytest.approx(plain["y"], abs=1e-12)
+    assert b["z"] == pytest.approx(plain["z"], abs=1e-12)
+    assert [r["pk"] for r in boosted][0] == "x"
+
+    # oracle mirror agrees rank- and score-identically
+    from search_engine_spark.oracle.bm25 import build_oracle_index, oracle_search
+
+    oidx = build_oracle_index(pdf, text_col="text", pk_col="url", ts_col=None)
+    ora = oracle_search(oidx, "table join", k=3, exact_boost=2.0)
+    eng = [(r["docid"], r["score"]) for r in boosted]
+    assert [d_ for d_, _ in eng] == [d_ for d_, _ in ora]
+    for (d1, s1), (d2, s2) in zip(eng, ora):
+        assert s1 == pytest.approx(s2, abs=1e-9)
+
+
+def test_exactness_multifield_whole_field(spark, tmp_path):
+    """BM25F path: a doc whose SOURCE field equals the query gets the boost
+    (anchored at fid << 16); positions never cross fields."""
+    import pandas as pd
+
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+
+    rows = [
+        ("x", "lots of words here", "alpha beta"),   # source == query
+        ("y", "alpha beta words here", "gamma src"),  # query only in text tail? no: text STARTS with it
+    ]
+    pdf = pd.DataFrame(rows, columns=["url", "text", "source"])
+    d = str(tmp_path / "exact_mf")
+    cfg = IndexConfig(field_cols=(("text", 1), ("source", 2)),
+                      pk_col="url", ts_col=None, num_shards=2, num_buckets=2)
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    ix = SearchIndex(spark, d)
+    plain = {r["pk"]: r["score"]
+             for r in ix.search("alpha beta", k=2, mode="exhaustive").collect()}
+    b = {r["pk"]: r["score"]
+         for r in ix.search("alpha beta", k=2, mode="exhaustive",
+                            exactness=3.0).collect()}
+    # x: source field equals query -> boost. y: text field STARTS with the
+    # query -> multi-field prefix deviation boosts it too (documented).
+    assert b["x"] == pytest.approx(plain["x"] + 3.0, abs=1e-9)
+    assert b["y"] == pytest.approx(plain["y"] + 3.0, abs=1e-9)
+
+
+def test_score_details_sum_equals_score_exactness(spark, tmp_path):
+    import pandas as pd
+
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+
+    rows = [("x", "table join"), ("y", "join table"), ("z", "table join extra")]
+    d = str(tmp_path / "exact_sd")
+    build_index(spark, spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "text"])), d,
+        IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                    num_shards=2, num_buckets=2))
+    ix = SearchIndex(spark, d)
+    kw = {"exactness": 2.0}
+    top = {r["docid"]: r["score"]
+           for r in ix.search("table join", k=3, mode="exhaustive", **kw).collect()}
+    parts = ix.score_details("table join", k=3, mode="exhaustive", **kw).collect()
+    by_doc: dict[int, float] = {}
+    for r in parts:
+        by_doc[r["docid"]] = by_doc.get(r["docid"], 0.0) + r["part"]
+    for dd, s in top.items():
+        assert by_doc[dd] == pytest.approx(s, abs=1e-9)
