@@ -32,7 +32,7 @@ from search_engine_spark.pipelines import curation, dedup, multimodal, similarit
 from search_engine_spark.query import SearchIndex
 
 # bump when build/codec layout changes so cached test indexes rebuild
-ENGINE_TAG = "v2"
+ENGINE_TAG = "v3"  # bump invalidates /tmp index caches (gen/horizon schema)
 
 SCORE_ROUND = 4  # BM25 score rounding for oracle float compare
 

@@ -1057,6 +1057,11 @@ def build_index(
                 pages.select(*keep), config.pk_col, config.ts_col,
                 out_cols, n_parts, staging_dir=stage1_staging,
             )
+        # `gen` marks which segment generation a docs/doc_stats row belongs
+        # to (0 at build; appends stamp their own) — tombstones carry a
+        # generation HORIZON (dead in gens < horizon), which is what lets
+        # externally-managed docids (docid_col) be replaced in place.
+        docs = docs.withColumn("gen", F.lit(0).cast("int"))
         obs = Observation()
         docs = docs.observe(obs, F.count(F.lit(1)).alias("rows"),
                             F.max("docid").alias("max_docid"))
@@ -1175,6 +1180,7 @@ def build_index(
             docs_df.select("docid", "pk", *config.attr_cols)
             .join(dl_df, "docid", "left")
             .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int"))
+            .withColumn("gen", F.lit(0).cast("int"))
         )
         obs = Observation()
         stats = stats.observe(obs, F.count(F.lit(1)).alias("rows"),

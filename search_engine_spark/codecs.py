@@ -318,11 +318,15 @@ class PostingReader:
         self.pos_off = np.asarray(pos_off, dtype=np.int64)
         self.block_size = block_size
         self.n_blocks = len(self.first_docid)
+        # segment generation this posting list belongs to (set by from_row;
+        # generation-horizon tombstones compare against it)
+        self.gen = 0
 
     @staticmethod
     def from_row(row: dict, block_size: int) -> "PostingReader":
         """Build from a postings-table row (dict with binary cols + block_meta)."""
         meta = row["block_meta"]
+        gen = int(row.get("gen", 0) or 0)
         nb = len(meta)
         fd = np.fromiter((m["first_docid"] for m in meta), np.int64, nb)
         md = np.fromiter((m["max_docid"] for m in meta), np.int64, nb)
@@ -332,7 +336,7 @@ class PostingReader:
             o = np.fromiter((m[key] for m in meta), np.int64, nb)
             return np.concatenate((o, [total]))
 
-        return PostingReader(
+        r = PostingReader(
             n_docs=int(row["n_docs"]),
             docs=bytes(row["docs"]),
             tfs=bytes(row["tfs"]),
@@ -349,6 +353,8 @@ class PostingReader:
             ),
             block_size=block_size,
         )
+        r.gen = gen
+        return r
 
     def _block_len(self, i: int) -> int:
         if i < self.n_blocks - 1:

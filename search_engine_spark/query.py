@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import heapq
 import math
+import os
 from collections.abc import Iterable
 from dataclasses import dataclass, field as dc_field
 
@@ -183,7 +184,7 @@ class SearchIndex:
             )
         )
         self._doc_stats = spark.read.parquet(self.paths.doc_stats)
-        self._deleted = self._load_deleted()
+        self._deleted, self._partial_tombs = self._load_tombstones()
         # Ship tombstones to executors as a Spark broadcast (torrent, once
         # per executor) instead of riding every task's closure: the scorer
         # closures capture only the handle. Sorted int64 array = 8 B per
@@ -196,6 +197,31 @@ class SearchIndex:
             if len(self._deleted)
             else None
         )
+        # generation-horizon tombstones (docid replaced in place: dead only
+        # in generations < horizon). Rare relative to plain deletes; when
+        # present, scoring routes to the exhaustive scorer whose per-reader
+        # decode applies them (WAND/MaxScore resume after compact()).
+        self._partial_bc = (
+            spark.sparkContext.broadcast(self._partial_tombs)
+            if self._partial_tombs is not None
+            else None
+        )
+        # doc_stats: keep only live rows (gen >= horizon). Replaced docids
+        # would otherwise join twice (old + new version) and attribute
+        # filters could match a dead version's attrs.
+        if os.path.isdir(self.paths.deletes):
+            d = spark.read.parquet(self.paths.deletes)
+            if "horizon" not in d.columns:
+                d = d.withColumn("horizon", F.lit((1 << 31) - 1))
+            tomb_df = d.groupBy("docid").agg(F.max("horizon").alias("horizon"))
+            gen_col = (
+                F.col("gen") if "gen" in self._doc_stats.columns else F.lit(0)
+            )
+            self._doc_stats = (
+                self._doc_stats.join(F.broadcast(tomb_df), "docid", "left")
+                .filter(F.col("horizon").isNull() | (gen_col >= F.col("horizon")))
+                .drop("horizon")
+            )
         # The dictionary is tiny relative to the corpus (the reference keeps
         # its whole words-FST in memory, src/index.rs:56). Below this many
         # terms we pin (term -> df) on the driver so query planning does no
@@ -266,25 +292,65 @@ class SearchIndex:
             self._pinned_stats.unpersist()
             self._pinned_stats = None
 
-    def _load_deleted(self) -> "np.ndarray":
-        """Tombstoned docids as a sorted array, read locally. Executors see
-        it through ``self._deleted_bc`` (Spark torrent broadcast, fetched
-        once per executor); this driver copy serves the point-read path and
-        query planning. A roaring bitmap would compress the same structure
-        ~10x but isn't in the sandbox's wheels — the contract (sorted
-        membership lookup) is identical, so it's a drop-in swap."""
+    def _load_tombstones(self) -> tuple["np.ndarray", "tuple | None"]:
+        """-> (full-dead sorted docid array, generation-horizon pairs).
+
+        Tombstones carry a horizon: the docid is dead in generations
+        < horizon. Docids whose max horizon exceeds the newest generation
+        are dead EVERYWHERE — they take the flat-array fast path every
+        scorer already uses. The remainder (in-place docid_col
+        replacements) return as sorted ``(docids, horizons)``; scorers
+        apply them per reader generation. A roaring bitmap would compress
+        the flat array ~10x but isn't in the sandbox's wheels — the
+        contract (sorted membership lookup) is identical."""
         import os
 
+        empty = np.zeros(0, dtype=np.int64)
         if not os.path.isdir(self.paths.deletes):
-            return np.zeros(0, dtype=np.int64)
-        import pyarrow.parquet as pq
+            return empty, None
         import pyarrow.dataset as ds
 
         try:
-            t = ds.dataset(self.paths.deletes, format="parquet").to_table(columns=["docid"])
+            t = ds.dataset(self.paths.deletes, format="parquet").to_table()
         except Exception:
-            return np.zeros(0, dtype=np.int64)
-        return np.unique(t.column("docid").to_numpy())
+            return empty, None
+        ids = t.column("docid").to_numpy()
+        if not len(ids):
+            return empty, None
+        if "horizon" in t.column_names:
+            hor = t.column("horizon").to_numpy().astype(np.int64)
+        else:
+            hor = np.full(len(ids), (1 << 31) - 1, dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, hor = ids[order], hor[order]
+        # fold duplicate docids to max(horizon)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        uids = ids[starts]
+        uhor = np.maximum.reduceat(hor, starts)
+        max_gen = max(int(g) for g in self.gen_avgdl) if self.gen_avgdl else 0
+        full = uhor > max_gen
+        partial = None
+        if (~full).any():
+            partial = (uids[~full], uhor[~full])
+        return uids[full], partial
+
+    def _docs_snapshot(self) -> DataFrame:
+        """Canonical document store, LIVE rows only (generation-horizon
+        tombstones applied; replaced docids keep exactly their newest
+        version), ``gen`` dropped."""
+        docs = self.spark.read.parquet(self.paths.docs)
+        if os.path.isdir(self.paths.deletes):
+            d = self.spark.read.parquet(self.paths.deletes)
+            if "horizon" not in d.columns:
+                d = d.withColumn("horizon", F.lit((1 << 31) - 1))
+            tomb_df = d.groupBy("docid").agg(F.max("horizon").alias("horizon"))
+            gen_col = F.col("gen") if "gen" in docs.columns else F.lit(0)
+            docs = (
+                docs.join(F.broadcast(tomb_df), "docid", "left")
+                .filter(F.col("horizon").isNull() | (gen_col >= F.col("horizon")))
+                .drop("horizon")
+            )
+        return docs.drop("gen")
 
     # -- dictionary lookups (reference Q1/Q4/P11-12) ----------------------
     def _local_dict(self) -> dict[str, int] | None:
@@ -578,12 +644,18 @@ class SearchIndex:
         (reference R1 resolve_docids). Decoded per shard, tombstones out."""
         pq_df = self._postings_for(sorted(set(terms)))
         block_size = self.config.block_size
+        dead_bc, part_bc = self._deleted_bc, self._partial_bc
 
         def decode(batches):
+            dead = dead_bc.value if dead_bc is not None else None
+            pt = part_bc.value if part_bc is not None else None
             for pdf in batches:
                 chunks = []
                 for row in pdf.to_dict("records"):
-                    d, _, _ = PostingReader.from_row(row, block_size).decode_all()
+                    r = PostingReader.from_row(row, block_size)
+                    d, _, _ = _live_decode(r, pt)
+                    if dead is not None and len(d):
+                        d = d[~np.isin(d, dead)]
                     chunks.append(d)
                 out = (
                     np.unique(np.concatenate(chunks))
@@ -592,14 +664,7 @@ class SearchIndex:
                 )
                 yield pd.DataFrame({"docid": pd.Series(out, dtype="int64")})
 
-        docids = pq_df.mapInPandas(decode, schema="docid long").distinct()
-        if len(self._deleted):
-            # anti-join against the tombstone parquet directly (no driver
-            # round-trip through the numpy copy); broadcast: deletes are
-            # small relative to the corpus
-            ddf = self.spark.read.parquet(self.paths.deletes).select("docid").distinct()
-            docids = docids.join(F.broadcast(ddf), "docid", "left_anti")
-        return docids
+        return pq_df.mapInPandas(decode, schema="docid long").distinct()
 
     def search_sorted(
         self,
@@ -681,6 +746,11 @@ class SearchIndex:
                 return self._execute_driver(plan, mode, offset, all_terms)
 
         algo = _pick_algo(mode, plan, filter_ast is not None)
+        if self._partial_tombs is not None:
+            # generation-horizon tombstones need per-reader filtering,
+            # which only the exhaustive scorer applies; compact() restores
+            # the pruned paths
+            algo = "exhaustive"
         score_fn = make_shard_scorer(
             term_weights=plan.term_weights,
             phrases=plan.phrases,
@@ -702,6 +772,7 @@ class SearchIndex:
             exact_words=plan.exact_words,
             exact_dl_check=not self.config.field_cols,
             word_groups=plan.word_groups,
+            partial_tombs=self._partial_bc,
         )
 
         pq_df = self._postings_for(all_terms)
@@ -769,7 +840,8 @@ class SearchIndex:
         algo = _pick_algo(mode, plan, False)
         plain = (not plan.phrases and not plan.negated and not plan.match_all
                  and not plan.prox_pairs and not plan.word_groups
-                 and not plan.exact_boost)
+                 and not plan.exact_boost
+                 and self._partial_tombs is None)
         k = plan.k + offset
         if algo == "wand" and plain:
             pairs = _wand_topk(
@@ -791,6 +863,7 @@ class SearchIndex:
                 exact_words=plan.exact_words,
                 exact_dl_check=not self.config.field_cols,
                 word_groups=plan.word_groups,
+                partial_tombs=self._partial_tombs,
             )
         pairs = pairs[offset:]
         if not pairs:
@@ -835,7 +908,7 @@ class SearchIndex:
             set(plan.term_weights) | {w for ph in plan.phrases for w in ph}
         )
         text_col = self.config.searchable_fields()[0][0]
-        docs = self.spark.read.parquet(self.paths.docs)
+        docs = self._docs_snapshot()
         joined = results.join(docs.select("docid", text_col), "docid", "left")
         return highlight_best(
             joined, terms, text_col=text_col, tag=tag,
@@ -869,9 +942,10 @@ class SearchIndex:
         readers = self._readers_for(all_terms)
         k1, b = self.config.k1, self.config.b
         rows: list[tuple[int, str, float]] = []
+        pt = self._partial_tombs
         for term, weight in sorted(plan.term_weights.items()):
             for r, _scale in readers.get(term, ()):
-                d, tf, dl = r.decode_all()
+                d, tf, dl = _live_decode(r, pt)
                 sel = np.isin(d, docids)
                 if not sel.any():
                     continue
@@ -890,7 +964,7 @@ class SearchIndex:
                 # fold is not per-pair additive)
                 bonus = _cost_prox_bonus(
                     readers, plan.prox_pairs, plan.prox_gaps,
-                    plan.prox_weight, docids, occ_cache,
+                    plan.prox_weight, docids, occ_cache, pt,
                 )
                 rows.extend(
                     (int(dd), "~prox", float(pp))
@@ -900,7 +974,7 @@ class SearchIndex:
             else:
                 for a, bb in plan.prox_pairs:
                     pd_docs, bonus = _pair_prox_bonus(
-                        readers, a, bb, plan.prox_weight, occ_cache
+                        readers, a, bb, plan.prox_weight, occ_cache, pt
                     )
                     sel = np.isin(pd_docs, docids)
                     rows.extend(
@@ -911,7 +985,7 @@ class SearchIndex:
             # indexed exact words are scoring terms, so `readers` has them;
             # an unindexed word yields the empty exact set either way
             ed = _exact_attr_docids(
-                readers, plan.exact_words, not self.config.field_cols,
+                readers, plan.exact_words, not self.config.field_cols, pt,
             )
             sel = np.isin(ed, docids)
             rows.extend(
@@ -929,7 +1003,8 @@ class SearchIndex:
             )
             term_docs: dict[str, np.ndarray] = {}
             for t in {x for grp in plan.word_groups for x in grp}:
-                chunks = [r.decode_all()[0] for r, _s in readers.get(t, ())]
+                chunks = [_live_decode(r, pt)[0]
+                          for r, _s in readers.get(t, ())]
                 if chunks:
                     term_docs[t] = np.concatenate(chunks)
             alive = np.ones(len(docids), dtype=bool)
@@ -955,7 +1030,7 @@ class SearchIndex:
         """Join ranked results back to the canonical document snapshot
         (reference O2 ``obkv_to_json``, ``src/lib.rs:209-234``): returns
         rank/score plus every stored document column, rank order."""
-        docs = self.spark.read.parquet(self.paths.docs)
+        docs = self._docs_snapshot()
         return (
             results.select("rank", "docid", "score")
             .join(docs, "docid", "left")
@@ -1091,6 +1166,7 @@ def make_shard_scorer(
     exact_words: list[str] | None = None,
     exact_dl_check: bool = True,
     word_groups: list[list[str]] | None = None,
+    partial_tombs=None,
 ):
     """Build the per-shard scoring function (cogroup signature).
 
@@ -1128,6 +1204,8 @@ def make_shard_scorer(
         tomb = deleted.value if hasattr(deleted, "value") else deleted
         if tomb is not None and not len(tomb):
             tomb = None
+        pt = (partial_tombs.value if hasattr(partial_tombs, "value")
+              else partial_tombs)
         readers: dict[str, list[tuple[PostingReader, float]]] = {}
         for row in left.to_dict("records"):
             r = PostingReader.from_row(row, block_size)
@@ -1145,7 +1223,7 @@ def make_shard_scorer(
 
         plain = (not phrases and not neg_set and allowed is None
                  and not match_all and not prox_pairs and not word_groups
-                 and not exact_boost)
+                 and not exact_boost and pt is None)
         if algo == "wand" and plain:
             pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b, tomb)
         elif algo == "maxscore" and plain:
@@ -1157,7 +1235,7 @@ def make_shard_scorer(
                 prox_pairs=prox_pairs, prox_weight=prox_weight,
                 prox_gaps=prox_gaps, exact_boost=exact_boost,
                 exact_words=exact_words, exact_dl_check=exact_dl_check,
-                word_groups=word_groups,
+                word_groups=word_groups, partial_tombs=pt,
             )
         if not pairs:
             return _empty()
@@ -1188,6 +1266,7 @@ def _exhaustive_topk(
     exact_words: list[str] | None = None,
     exact_dl_check: bool = True,
     word_groups: list[list[str]] | None = None,
+    partial_tombs: tuple | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized full-decode scoring: concatenate (docid, idf*impact) across
     terms (and segment generations), aggregate per docid with np.add.at,
@@ -1202,7 +1281,7 @@ def _exhaustive_topk(
     for term, idf in term_weights.items():
         t_docs = []
         for r, _scale in readers.get(term, ()):  # scores use current avgdl
-            docids, tfs, dls = r.decode_all()
+            docids, tfs, dls = _live_decode(r, partial_tombs)
             tfs_f = tfs.astype(np.float64)
             norm = k1 * (1.0 - b + b * dls.astype(np.float64) / max(avgdl, 1e-12))
             doc_chunks.append(docids)
@@ -1226,12 +1305,13 @@ def _exhaustive_topk(
         occ_cache: dict[str, np.ndarray] = {}
         if prox_gaps is not None:  # multi-pair budgeted cost model
             agg += _cost_prox_bonus(
-                readers, prox_pairs, prox_gaps, prox_weight, uniq, occ_cache
+                readers, prox_pairs, prox_gaps, prox_weight, uniq, occ_cache,
+                partial_tombs,
             )
         else:
             for ta, tb in prox_pairs:  # don't shadow the BM25 `b` parameter
                 pd_docs, pd_bonus = _pair_prox_bonus(
-                    readers, ta, tb, prox_weight, occ_cache
+                    readers, ta, tb, prox_weight, occ_cache, partial_tombs
                 )
                 if len(pd_docs):
                     pos = np.searchsorted(uniq, pd_docs)
@@ -1239,7 +1319,8 @@ def _exhaustive_topk(
                     np.add.at(agg, pos[ok], pd_bonus[ok])
 
     if exact_boost and exact_words:
-        ed = _exact_attr_docids(readers, exact_words, exact_dl_check)
+        ed = _exact_attr_docids(readers, exact_words, exact_dl_check,
+                                partial_tombs)
         if len(ed):
             epos = np.searchsorted(uniq, ed)
             eok = (epos < len(uniq)) & (uniq[np.minimum(epos, len(uniq) - 1)] == ed)
@@ -1250,10 +1331,10 @@ def _exhaustive_topk(
         for t_docs in per_term_docs:
             mask &= np.isin(uniq, t_docs)
     for ph in phrases:
-        mask &= np.isin(uniq, _phrase_docids(readers, ph))
+        mask &= np.isin(uniq, _phrase_docids(readers, ph, partial_tombs))
     for t in neg_set:
         for r, _scale in readers.get(t, ()):
-            nd, _, _ = r.decode_all()
+            nd, _, _ = _live_decode(r, partial_tombs)
             mask &= ~np.isin(uniq, nd)
     if allowed is not None:
         mask &= np.isin(uniq, allowed)
@@ -1296,10 +1377,54 @@ _POS_STRIDE = np.int64(1) << 32  # positions are token indexes, far below 2^32
 _POS_MASK = _POS_STRIDE - 1
 
 
+def _live_post_mask(
+    docids: np.ndarray, gen: int, pt: tuple
+) -> np.ndarray:
+    """True where the posting is LIVE under generation-horizon tombstones
+    ``pt = (sorted docids, horizons)``: dead iff horizon > gen."""
+    td, th = pt
+    if not len(td) or not len(docids):
+        return np.ones(len(docids), dtype=bool)
+    i = np.searchsorted(td, docids)
+    ic = np.minimum(i, len(td) - 1)
+    hit = (i < len(td)) & (td[ic] == docids)
+    live = np.ones(len(docids), dtype=bool)
+    live[hit] = th[ic[hit]] <= gen
+    return live
+
+
+def _live_decode(
+    r: PostingReader, pt: tuple | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """decode_all + generation-horizon filter (no-op when pt is None)."""
+    docids, tfs, dls = r.decode_all()
+    if pt is not None:
+        m = _live_post_mask(docids, r.gen, pt)
+        if not m.all():
+            return docids[m], tfs[m], dls[m]
+    return docids, tfs, dls
+
+
+def _live_decode_flat(
+    r: PostingReader, pt: tuple | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (docids, flat positions, lens) with generation-horizon filtering
+    applied to postings AND their position tokens."""
+    docids, _, _ = r.decode_all()
+    flat, lens = r.decode_flat_positions()
+    if pt is not None:
+        m = _live_post_mask(docids, r.gen, pt)
+        if not m.all():
+            flat = flat[np.repeat(m, lens)]
+            docids, lens = docids[m], lens[m]
+    return docids, flat, lens
+
+
 def _occurrence_keys(
     readers: dict[str, list[tuple[PostingReader, float]]],
     term: str,
     cache: dict[str, np.ndarray] | None = None,
+    pt: tuple | None = None,
 ) -> np.ndarray:
     """Every (docid, position) occurrence of ``term`` packed as
     ``docid << 32 | pos``, globally sorted. One flat decode per generation
@@ -1309,8 +1434,7 @@ def _occurrence_keys(
         return cache[term]
     chunks = []
     for r, _scale in readers.get(term, ()):
-        docids, _, _ = r.decode_all()
-        flat, lens = r.decode_flat_positions()
+        docids, flat, lens = _live_decode_flat(r, pt)
         if len(flat):
             chunks.append((np.repeat(docids, lens) << 32) | flat)
     if not chunks:
@@ -1329,6 +1453,7 @@ def _pair_minprox(
     a: str,
     b: str,
     occ_cache: dict[str, np.ndarray] | None = None,
+    pt: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc minimum proximity for one query word pair: for docs
     containing both terms, minprox = min over occurrence pairs of
@@ -1343,8 +1468,8 @@ def _pair_minprox(
     nearest neighbor since the distance is monotone in the gap), then
     ``np.minimum.reduceat`` at docid boundaries folds occurrences to the
     per-doc minimum."""
-    ka = _occurrence_keys(readers, a, occ_cache)
-    kb = _occurrence_keys(readers, b, occ_cache)
+    ka = _occurrence_keys(readers, a, occ_cache, pt)
+    kb = _occurrence_keys(readers, b, occ_cache, pt)
     empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
     if not len(ka) or not len(kb):
         return empty
@@ -1375,11 +1500,12 @@ def _pair_prox_bonus(
     b: str,
     prox_weight: float,
     occ_cache: dict[str, np.ndarray] | None = None,
+    pt: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Legacy per-pair proximity bonus (reference K4, frozen spec in
     QueryPlan): bonus ``prox_weight / minprox`` when minprox <= 7, else no
     bonus. -> (sorted docids, bonus), only rows with a bonus."""
-    docs, dmin = _pair_minprox(readers, a, b, occ_cache)
+    docs, dmin = _pair_minprox(readers, a, b, occ_cache, pt)
     sel = dmin <= 7
     return docs[sel], prox_weight / dmin[sel]
 
@@ -1391,6 +1517,7 @@ def _cost_prox_bonus(
     prox_weight: float,
     uniq: np.ndarray,
     occ_cache: dict[str, np.ndarray] | None = None,
+    pt: tuple | None = None,
 ) -> np.ndarray:
     """Multi-pair budgeted cost bonus (QueryPlan.prox_gaps spec) aligned to
     the candidate array ``uniq`` (sorted docids) — returns per-candidate
@@ -1401,7 +1528,7 @@ def _cost_prox_bonus(
         return np.zeros(len(uniq), dtype=np.float64)
     saving = np.zeros(len(uniq), dtype=np.float64)
     for (ta, tb), g in zip(prox_pairs, prox_gaps):
-        pd_docs, dmin = _pair_minprox(readers, ta, tb, occ_cache)
+        pd_docs, dmin = _pair_minprox(readers, ta, tb, occ_cache, pt)
         if not len(pd_docs):
             continue
         c = np.minimum(dmin, 8.0)
@@ -1417,6 +1544,7 @@ def _exact_attr_docids(
     readers: dict[str, list[tuple[PostingReader, float]]],
     words: list[str],
     dl_check: bool,
+    pt: tuple | None = None,
 ) -> np.ndarray:
     """Docs where a searchable field's whole content equals ``words``
     (QueryPlan.exact_boost spec). Anchored variant of ``_phrase_docids``:
@@ -1435,8 +1563,7 @@ def _exact_attr_docids(
             return np.zeros(0, dtype=np.int64)
         chunks = []
         for r, _scale in rs:
-            docids, _, _ = r.decode_all()
-            pos, lens = r.decode_flat_positions()
+            docids, pos, lens = _live_decode_flat(r, pt)
             if not len(pos):
                 continue
             rep = np.repeat(docids, lens)
@@ -1456,7 +1583,7 @@ def _exact_attr_docids(
         # exact docs necessarily contain words[0]; its postings carry dl
         d_chunks, l_chunks = [], []
         for r, _scale in readers.get(words[0], ()):
-            d, _, dl = r.decode_all()
+            d, _, dl = _live_decode(r, pt)
             d_chunks.append(d)
             l_chunks.append(dl)
         dd = np.concatenate(d_chunks)
@@ -1468,7 +1595,9 @@ def _exact_attr_docids(
 
 
 def _phrase_docids(
-    readers: dict[str, list[tuple[PostingReader, float]]], phrase: list[str]
+    readers: dict[str, list[tuple[PostingReader, float]]],
+    phrase: list[str],
+    pt: tuple | None = None,
 ) -> np.ndarray:
     """Docids (sorted) where the phrase occurs at consecutive positions
     (reference R2 ``phrase_resolve`` rebuilt over exact stored positions).
@@ -1490,8 +1619,7 @@ def _phrase_docids(
             return np.zeros(0, dtype=np.int64)
         chunks = []
         for r, _scale in rs:
-            docids, _, _ = r.decode_all()
-            pos, lens = r.decode_flat_positions()
+            docids, pos, lens = _live_decode_flat(r, pt)
             if not len(pos):
                 continue
             rep = np.repeat(docids, lens)

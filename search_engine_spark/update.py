@@ -91,6 +91,8 @@ def add_documents(
     has_ts = bool(config.ts_col) and config.ts_col in new_pages.columns
     if has_ts and config.ts_col not in keep:
         keep.append(config.ts_col)
+    if config.docid_col and config.docid_col not in keep:
+        keep.append(config.docid_col)
     batch = _dedupe_last_write_wins(
         new_pages.select(*keep), config.pk_col,
         config.ts_col if has_ts else None,
@@ -101,19 +103,11 @@ def add_documents(
     tomb = existing.join(
         batch.select(F.col(config.pk_col).alias("pk")), "pk"
     ).select("docid")
-    if config.docid_col:
-        # externally-managed docids: a replacement would reuse the SAME docid
-        # in a newer generation, and docid-level tombstones cannot tell the
-        # generations apart. Until tombstones carry a generation horizon,
-        # replacements require rank-assigned docids (docid_col=None).
-        n_replaced = tomb.count()
-        if n_replaced:
-            raise ValueError(
-                f"add_documents: {n_replaced} pks already exist and "
-                "docid_col is set — replacements need docid_col=None "
-                "(rank-assigned docids) or delete_documents + compact first"
-            )
-    _append_tombstones(spark, paths, tomb)
+    # horizon = this new generation: the replaced docids' OLDER versions die
+    # (gens < gen) while the versions this batch writes into gen stay live —
+    # which is exactly what lets externally-managed docids (docid_col) be
+    # replaced in place, reusing the same docid across generations.
+    _append_tombstones(spark, paths, tomb, horizon=gen)
 
     # docids: externally managed when docid_col is set (same contract as
     # build_index); otherwise continue after the current max (stable across
@@ -138,24 +132,28 @@ def add_documents(
         F.col(config.pk_col).alias("pk"),
         *search_sel,
         *[F.col(c) for c in config.attr_cols if c not in search_names],
-    )
+    ).withColumn("gen", F.lit(gen).cast("int"))
     docs.write.mode("append").parquet(paths.docs)
     new_pks = docs.select("pk")
     docs_df = spark.read.parquet(paths.docs).join(new_pks, "pk").select(
-        "docid", "pk", *search_names,
+        "docid", "pk", "gen", *search_names,
         *[c for c in config.attr_cols if c not in search_names]
     )
-    # appended rows are the only ones with these (pk, docid) pairs — the old
-    # versions of replaced pks share the pk; keep only the max docid per pk
-    # (externally-managed docids replace in place, so dedupe is a no-op there)
+    # appended rows are the only ones with these pks — old versions of
+    # replaced pks share the pk (and, under docid_col, the docid too); the
+    # newest generation wins
     from pyspark.sql import Window as _W
 
     docs_df = (
         docs_df.withColumn(
-            "_rn", F.row_number().over(_W.partitionBy("pk").orderBy(F.col("docid").desc()))
+            "_rn", F.row_number().over(
+                _W.partitionBy("pk").orderBy(
+                    F.col("gen").desc(), F.col("docid").desc()
+                )
+            )
         )
         .filter("_rn = 1")
-        .drop("_rn")
+        .drop("_rn", "gen")
     )
     n_new = docs_df.count()
 
@@ -181,6 +179,7 @@ def add_documents(
         docs_df.select("docid", "pk", *config.attr_cols)
         .join(dl_df, "docid", "left")
         .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("int"))
+        .withColumn("gen", F.lit(gen).cast("int"))
     )
     stats.write.mode("append").parquet(paths.doc_stats)
 
@@ -265,20 +264,22 @@ def update_documents(
     if config.pk_col not in partial.columns:
         raise ValueError(f"update_documents: missing pk column {config.pk_col!r}")
 
-    old = spark.read.parquet(paths.docs)
-    deleted = _deleted_df(spark, paths)
-    if deleted is not None:
-        old = old.join(deleted, "docid", "left_anti")
-    # live version per pk (replaced pks keep multiple rows across gens)
+    old = _filter_dead(
+        spark.read.parquet(paths.docs), _tombstones_df(spark, paths)
+    )
+    # live version per pk (replaced pks keep multiple rows across gens;
+    # docid_col replacements reuse the docid, so order by gen first)
     old = (
         old.withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy("pk").orderBy(F.col("docid").desc())
+                Window.partitionBy("pk").orderBy(
+                    F.col("gen").desc(), F.col("docid").desc()
+                )
             ),
         )
         .filter("_rn = 1")
-        .drop("_rn", "docid")
+        .drop("_rn", "docid", "gen")
     )
 
     new = partial.withColumnRenamed(config.pk_col, "pk")
@@ -314,7 +315,9 @@ def delete_documents(spark: SparkSession, index_dir: str, pks: list) -> dict:
     existing = spark.read.parquet(paths.doc_stats).select("docid", "pk")
     pk_df = spark.createDataFrame([(p,) for p in pks], f"pk {existing.schema['pk'].dataType.simpleString()}")
     tomb = existing.join(pk_df, "pk").select("docid")
-    _append_tombstones(spark, paths, tomb)
+    # horizon = max_gen + 1: dead in every generation that exists today; a
+    # later re-add into a NEWER generation stays live (horizons fold by max)
+    _append_tombstones(spark, paths, tomb, horizon=_next_gen(meta))
     n_live, avgdl, total_dl = _live_stats(spark, paths)
     meta.update(
         n_docs=int(n_live), avgdl=float(avgdl), total_dl=int(total_dl),
@@ -342,7 +345,7 @@ def delete_by_filter(
     paths, meta, config = _load(spark, index_dir)
     stats = spark.read.parquet(paths.doc_stats)
     tomb = stats.filter(to_column(filter_ast)).select("docid")
-    _append_tombstones(spark, paths, tomb)
+    _append_tombstones(spark, paths, tomb, horizon=_next_gen(meta))
     n_live, avgdl, total_dl = _live_stats(spark, paths)
     meta.update(
         n_docs=int(n_live), avgdl=float(avgdl), total_dl=int(total_dl),
@@ -362,20 +365,26 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     import shutil
 
     paths, meta, config = _load(spark, index_dir)
-    deleted = _deleted_df(spark, paths)
+    tomb = _tombstones_df(spark, paths)
 
-    td_live = spark.read.parquet(paths.term_doc).drop("gen")
+    td_live = spark.read.parquet(paths.term_doc)  # keep gen for the filter
     stats_all = spark.read.parquet(paths.doc_stats)
     docs_all = spark.read.parquet(paths.docs)
-    if deleted is not None:
+    if tomb is not None:
         # term_doc rows are (term, shard) docid-array runs — tombstones are
-        # removed by slicing the parallel arrays (np.isin, Arrow-batched),
-        # not a join. Tombstone sets are explicit user deletes, bounded and
+        # removed by slicing the parallel arrays (one segmented decode +
+        # mask + re-encode per Arrow batch), not a join. A row's generation
+        # decides which tombstones apply (dead iff horizon > gen).
+        # Tombstone sets are explicit user deletes, bounded and
         # driver-collectable; docs at true scale live in the arrays.
-        del_ids = [r["docid"] for r in deleted.collect()]
-        td_live = _filter_deleted_from_arrays(td_live, del_ids, config)
-        stats_all = stats_all.join(deleted, "docid", "left_anti")
-        docs_all = docs_all.join(deleted, "docid", "left_anti")
+        pairs = tomb.collect()
+        td_live = _filter_deleted_from_arrays(td_live, pairs, config)
+        stats_all = _filter_dead(stats_all, tomb)
+        docs_all = _filter_dead(docs_all, tomb)
+    td_live = td_live.drop("gen")
+    # compacted rows all live in the fresh gen 0
+    stats_all = stats_all.withColumn("gen", F.lit(0).cast("int"))
+    docs_all = docs_all.withColumn("gen", F.lit(0).cast("int"))
 
     # rewrite docs + doc_stats (live rows only); latest row per docid wins
     # (append-mode docs/doc_stats never duplicate docids, but be defensive)
@@ -465,124 +474,207 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
 
 
 def _filter_deleted_from_arrays(
-    td: DataFrame, del_ids: list, config: IndexConfig
+    td: DataFrame, tomb_rows: list, config: IndexConfig
 ) -> DataFrame:
-    """Remove tombstoned docids from term_doc array rows (vectorized).
+    """Remove tombstoned docids from term_doc array rows — fully vectorized
+    (the same segmented-run codec toolkit the extract kernel uses: ONE
+    varint decode / segmented prefix sum / mask / re-encode pass per Arrow
+    batch and stream; no per-row or per-posting Python loops).
 
-    The tombstone set ships as a Spark broadcast — one torrent transfer per
-    executor — rather than inside every task's pickled closure (same
-    contract as the query-time scorer's broadcast in SearchIndex)."""
+    ``tomb_rows`` are (docid, horizon) pairs; a posting from a row of
+    generation g is dead iff its docid's horizon > g (generation-horizon
+    semantics — an in-place docid_col replacement kills only the older
+    generations). The pairs ship as a Spark broadcast — one torrent
+    transfer per executor — rather than inside every task's pickled
+    closure (same contract as the query-time scorer's broadcast)."""
     import numpy as np
     import pandas as pd
 
-    bc = td.sparkSession.sparkContext.broadcast(
-        np.asarray(sorted(int(d) for d in del_ids), dtype=np.int64)
-    )
+    t_ids = np.asarray([int(r["docid"]) for r in tomb_rows], dtype=np.int64)
+    t_hor = np.asarray([int(r["horizon"]) for r in tomb_rows], dtype=np.int64)
+    order = np.argsort(t_ids, kind="stable")
+    bc = td.sparkSession.sparkContext.broadcast((t_ids[order], t_hor[order]))
     store_positions = config.store_positions
     schema = td.schema
 
     from search_engine_spark.codecs import (
-        delta_encode,
+        delta_decode_runs,
+        delta_encode_runs,
         varint_decode,
-        varint_encode,
+        varint_encode_runs,
     )
 
+    def _slices(buf: bytes, boffs: np.ndarray) -> list:
+        mv = memoryview(buf)
+        return [bytes(mv[boffs[i]:boffs[i + 1]]) for i in range(len(boffs) - 1)]
+
+    def _filter_group(pdf: "pd.DataFrame", is_dl: bool, dead_of) -> "pd.DataFrame":
+        """Filter one homogeneous row group (term rows or DL rows)."""
+        n = pdf["n"].to_numpy().astype(np.int64)
+        nz = n > 0
+        starts = np.zeros(len(n), dtype=np.int64)
+        np.cumsum(n[:-1], out=starts[1:])
+        total = int(n.sum())
+        if total == 0:
+            return pdf.iloc[0:0]
+        docs_buf = b"".join(pdf["docs"])
+        docids = delta_decode_runs(
+            varint_decode(docs_buf, total).astype(np.int64), starts[nz]
+        )
+        gen_per_val = np.repeat(pdf["gen"].to_numpy().astype(np.int64), n)
+        keep = ~dead_of(docids, gen_per_val)
+        new_n = np.zeros(len(n), dtype=np.int64)
+        new_n[nz] = np.add.reduceat(keep, starts[nz]) if keep.size else 0
+        # guard reduceat duplication for empty rows (n==0 never occurs in
+        # practice; nz-indexing keeps it correct anyway)
+        row_keep = new_n > 0
+        new_starts = np.zeros(int(row_keep.sum()), dtype=np.int64)
+        np.cumsum(new_n[row_keep][:-1], out=new_starts[1:])
+        offs = np.concatenate((new_starts, [int(new_n.sum())]))
+
+        d_kept = docids[keep]
+        docs_b, docs_off = varint_encode_runs(
+            delta_encode_runs(d_kept, new_starts).astype(np.uint64), offs
+        )
+        t_all = varint_decode(b"".join(pdf["tfs"]), total).astype(np.int64)
+        tfs_b, tfs_off = varint_encode_runs(
+            t_all[keep].astype(np.uint64), offs
+        )
+        out = pdf.loc[row_keep.tolist()].reset_index(drop=True)
+        out["n"] = pd.Series(new_n[row_keep], dtype="int32")
+        out["docs"] = pd.Series(_slices(docs_b, docs_off), dtype="object")
+        out["tfs"] = pd.Series(_slices(tfs_b, tfs_off), dtype="object")
+        if is_dl:
+            out["cf"] = pd.Series(np.zeros(len(out)), dtype="int64")
+            out["max_tf"] = pd.Series(np.zeros(len(out)), dtype="int32")
+            out["dls"] = pd.Series([b""] * len(out), dtype="object")
+            if "poss" in out.columns:
+                out["poss"] = pd.Series([b""] * len(out), dtype="object")
+            return out
+        dl_all = varint_decode(b"".join(pdf["dls"]), total).astype(np.int64)
+        dls_b, dls_off = varint_encode_runs(
+            dl_all[keep].astype(np.uint64), offs
+        )
+        out["dls"] = pd.Series(_slices(dls_b, dls_off), dtype="object")
+        t_surv = np.where(keep, t_all, 0)
+        cf = np.zeros(len(n), dtype=np.int64)
+        mx = np.zeros(len(n), dtype=np.int64)
+        cf[nz] = np.add.reduceat(t_surv, starts[nz])
+        mx[nz] = np.maximum.reduceat(t_surv, starts[nz])
+        out["cf"] = pd.Series(cf[row_keep], dtype="int64")
+        out["max_tf"] = pd.Series(mx[row_keep], dtype="int32")
+        if store_positions and "poss" in pdf.columns:
+            # per-posting delta runs decode independently (first position
+            # absolute), so surviving postings' raw deltas re-concatenate
+            # without re-encoding: mask per TOKEN, one varint pass
+            tok_total = int(t_all.sum())
+            p_all = varint_decode(b"".join(pdf["poss"]), tok_total).astype(np.uint64)
+            tok_keep = np.repeat(keep, t_all)
+            tok_counts = np.zeros(len(n), dtype=np.int64)
+            tok_counts[nz] = np.add.reduceat(t_surv, starts[nz])
+            tk = tok_counts[row_keep]
+            p_offs = np.zeros(len(tk) + 1, dtype=np.int64)
+            np.cumsum(tk, out=p_offs[1:])
+            poss_b, poss_off = varint_encode_runs(p_all[tok_keep], p_offs)
+            out["poss"] = pd.Series(_slices(poss_b, poss_off), dtype="object")
+        return out
+
     def fn(batches):
-        del_arr = bc.value
+        t_ids_s, t_hor_s = bc.value
+
+        def dead_of(docids: np.ndarray, gens: np.ndarray) -> np.ndarray:
+            if not len(t_ids_s) or not len(docids):
+                return np.zeros(len(docids), dtype=bool)
+            i = np.searchsorted(t_ids_s, docids)
+            ic = np.minimum(i, len(t_ids_s) - 1)
+            hit = (i < len(t_ids_s)) & (t_ids_s[ic] == docids)
+            dead = np.zeros(len(docids), dtype=bool)
+            dead[hit] = t_hor_s[ic[hit]] > gens[hit]
+            return dead
+
         for pdf in batches:
-            if len(pdf) == 0 or len(del_arr) == 0:
+            if len(pdf) == 0 or len(t_ids_s) == 0:
                 yield pdf
                 continue
-            keep = []
-            docs_new, tfs_new, dls_new, poss_new = [], [], [], []
-            cf_new, maxtf_new, n_new = [], [], []
-            has_poss = store_positions and "poss" in pdf
-            for i in range(len(pdf)):
-                n = int(pdf["n"].iloc[i])
-                if n == 0:
-                    keep.append(False)
-                    continue
-                d = np.cumsum(
-                    varint_decode(pdf["docs"].iloc[i], n).astype(np.int64)
-                )
-                mask = ~np.isin(d, del_arr)
-                if not mask.any():
-                    keep.append(False)
-                    continue
-                keep.append(True)
-                t = varint_decode(pdf["tfs"].iloc[i], n).astype(np.int64)
-                dm, tm = d[mask], t[mask]
-                n_new.append(len(dm))
-                docs_new.append(varint_encode(delta_encode(dm).astype(np.uint64)))
-                tfs_new.append(varint_encode(tm.astype(np.uint64)))
-                dl_bytes = pdf["dls"].iloc[i]
-                is_dl_row = len(dl_bytes) == 0  # DL spill rows carry no dls
-                if is_dl_row:
-                    dls_new.append(b"")
-                    cf_new.append(0)
-                    maxtf_new.append(0)
-                else:
-                    dl = varint_decode(dl_bytes, n).astype(np.int64)
-                    dls_new.append(varint_encode(dl[mask].astype(np.uint64)))
-                    cf_new.append(int(tm.sum()))
-                    maxtf_new.append(int(tm.max()))
-                if has_poss:
-                    p_bytes = pdf["poss"].iloc[i]
-                    if is_dl_row or len(p_bytes) == 0:
-                        poss_new.append(b"")
-                    else:
-                        tok_off = np.zeros(n + 1, dtype=np.int64)
-                        np.cumsum(t, out=tok_off[1:])
-                        p_deltas = varint_decode(
-                            p_bytes, int(tok_off[-1])
-                        ).astype(np.uint64)
-                        # per-posting runs decode independently (first
-                        # position absolute), so surviving postings' delta
-                        # runs can be re-concatenated without re-encoding
-                        kept = np.flatnonzero(mask)
-                        poss_new.append(varint_encode(np.concatenate(
-                            [p_deltas[tok_off[j]:tok_off[j + 1]] for j in kept]
-                        ) if len(kept) else np.zeros(0, np.uint64)))
-            out = pdf.loc[keep].reset_index(drop=True)
-            out["n"] = pd.Series(n_new, dtype="int32")
-            out["cf"] = pd.Series(cf_new, dtype="int64")
-            out["max_tf"] = pd.Series(maxtf_new, dtype="int32")
-            out["docs"] = pd.Series(docs_new, dtype="object")
-            out["tfs"] = pd.Series(tfs_new, dtype="object")
-            out["dls"] = pd.Series(dls_new, dtype="object")
-            if has_poss:
-                out["poss"] = pd.Series(poss_new, dtype="object")
-            yield out
+            is_dl = pdf["bucket"].to_numpy() == DL_BUCKET
+            parts = []
+            if (~is_dl).any():
+                parts.append(_filter_group(pdf.loc[(~is_dl).tolist()].reset_index(drop=True), False, dead_of))
+            if is_dl.any():
+                parts.append(_filter_group(pdf.loc[is_dl.tolist()].reset_index(drop=True), True, dead_of))
+            out = pd.concat(parts, ignore_index=True) if parts else pdf.iloc[0:0]
+            yield out[list(pdf.columns)]
 
     return td.mapInPandas(fn, schema)
 
 
-def _append_tombstones(spark: SparkSession, paths: IndexPaths, tomb: DataFrame):
-    tomb.write.mode("append").parquet(paths.deletes)
+def _append_tombstones(
+    spark: SparkSession, paths: IndexPaths, tomb: DataFrame, horizon: int
+):
+    """Tombstones carry a generation HORIZON: the docid is dead in every
+    generation < horizon. Pure deletes stamp horizon = max_gen + 1 (dead
+    everywhere); an in-place replacement of an externally-managed docid
+    (docid_col) stamps horizon = the replacing generation, so the NEW
+    version stays live — the reference's DelAdd semantics expressed over
+    immutable segment generations."""
+    tomb.select("docid").withColumn(
+        "horizon", F.lit(int(horizon)).cast("int")
+    ).write.mode("append").parquet(paths.deletes)
 
 
-def _deleted_df(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
+def _tombstones_df(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
+    """(docid, horizon) with horizon folded to the max per docid (a doc is
+    dead in gen g iff ANY tombstone has horizon > g iff max(horizon) > g).
+    Rows written before horizons existed read as dead-everywhere."""
     import os
 
     if not os.path.isdir(paths.deletes):
         return None
-    return spark.read.parquet(paths.deletes).select("docid").distinct()
+    d = spark.read.parquet(paths.deletes)
+    if "horizon" not in d.columns:
+        d = d.withColumn("horizon", F.lit((1 << 31) - 1))
+    return d.groupBy("docid").agg(F.max("horizon").alias("horizon"))
+
+
+def _deleted_df(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
+    """Back-compat view: docids only (dead in at least one generation)."""
+    t = _tombstones_df(spark, paths)
+    return t.select("docid") if t is not None else None
+
+
+def _filter_dead(df: DataFrame, tomb: DataFrame | None) -> DataFrame:
+    """Keep rows whose generation survived: no tombstone, or gen >= horizon.
+    ``df`` must carry a ``gen`` column (docs / doc_stats)."""
+    if tomb is None:
+        return df
+    return (
+        df.join(F.broadcast(tomb), "docid", "left")
+        .filter(F.col("horizon").isNull() | (F.col("gen") >= F.col("horizon")))
+        .drop("horizon")
+    )
 
 
 def _n_deleted(spark: SparkSession, paths: IndexPaths) -> int:
-    """Distinct tombstoned docids. The deletes dir is append-only and a
-    replace-then-delete flow (or overlapping delete_by_filter calls) appends
-    the same docid twice; a raw row count would inflate n_deleted and drift
-    idf away from the frozen 'live + tombstoned' denominator (query.py:134)."""
-    deleted = _deleted_df(spark, paths)
-    return int(deleted.count()) if deleted is not None else 0
+    """DEAD doc_stats rows (gen-aware). Each dead row is one superseded or
+    deleted document version whose postings still count toward df, so
+    n_docs_indexed = live + n_deleted keeps idf's denominator aligned with
+    the stale per-term df (query.py frozen semantics). Duplicate tombstone
+    appends (replace-then-delete, overlapping delete_by_filter) fold to one
+    horizon per docid, so they never inflate the count."""
+    spark_ = spark
+    tomb = _tombstones_df(spark_, paths)
+    if tomb is None:
+        return 0
+    stats = spark_.read.parquet(paths.doc_stats)
+    dead = stats.join(F.broadcast(tomb), "docid").filter(
+        F.col("gen") < F.col("horizon")
+    )
+    return int(dead.count())
 
 
 def _live_stats(spark: SparkSession, paths: IndexPaths) -> tuple[int, float, int]:
     stats = spark.read.parquet(paths.doc_stats)
-    deleted = _deleted_df(spark, paths)
-    if deleted is not None:
-        stats = stats.join(deleted, "docid", "left_anti")
+    stats = _filter_dead(stats, _tombstones_df(spark, paths))
     row = stats.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
     n, t = int(row["n"] or 0), int(row["t"] or 0)
     return n, (t / n if n else 0.0), t
@@ -665,10 +757,9 @@ def reindex(
     paths, meta, _old = _load(spark, index_dir)
     if settings is None:
         settings = IndexSettings.from_dict(meta.get("settings", {}))
-    docs = spark.read.parquet(paths.docs)
-    deleted = _deleted_df(spark, paths)
-    if deleted is not None:
-        docs = docs.join(deleted, "docid", "left_anti")
+    docs = _filter_dead(
+        spark.read.parquet(paths.docs), _tombstones_df(spark, paths)
+    ).drop("gen")
 
     # the docs snapshot stores single-field text under the canonical name
     # 'text'; multi-field (field_cols) snapshots keep the source names, so

@@ -336,3 +336,120 @@ def test_delete_majority_of_term_docs_keeps_idf_sane(spark, tmp_path):
     # the two surviving beta docs must outrank the alpha-only survivors
     assert {p for p, _ in wand[:2]} == {"u4", "u5"}, wand
     shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def docid_index(spark, tmp_path):
+    """Index with externally-managed docids (docid_col) for replacement
+    semantics under generation-horizon tombstones."""
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+
+    rows = [
+        (0, "k0", "spark index engine query", "en"),
+        (1, "k1", "spark table join", "en"),
+        (2, "k2", "window aggregate stream", "de"),
+        (3, "k3", "query planner optimizer", "en"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "url", "text", "lang"])
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                      docid_col="doc_id", attr_cols=("lang",),
+                      num_shards=2, num_buckets=2)
+    d = str(tmp_path / "didx")
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_docid_col_replacement_in_place(spark, docid_index):
+    """Generation-horizon tombstones: replacing a doc that reuses its
+    external docid kills only the OLD generations — the new version stays
+    live under the same docid, in every mode and in the doc snapshot."""
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import add_documents
+
+    new = spark.createDataFrame(
+        pd.DataFrame([(1, "k1", "fresh banana recipe content", "fr")],
+                     columns=["doc_id", "url", "text", "lang"])
+    )
+    meta = add_documents(spark, docid_index, new)
+    assert meta["n_docs"] == 4            # replaced, not added
+    assert meta["n_deleted"] == 1         # the superseded version
+    ix = SearchIndex(spark, docid_index)
+    # old content gone, new content searchable under the SAME docid
+    assert _pk_results(ix, "table join") == []  # 'table'/'join' only in old k1
+    hits = ix.search("banana recipe", k=5).collect()
+    assert [(r["pk"], r["docid"]) for r in hits] == [("k1", 1)]
+    # wand/maxscore fall back safely under horizon tombstones
+    for mode in ("wand", "maxscore", "exhaustive"):
+        assert _pk_results(ix, "spark query", mode=mode) == _pk_results(
+            ix, "spark query", mode="exhaustive"), mode
+    # attribute filter sees the NEW version's attrs, not the dead one's
+    assert [r["pk"] for r in
+            ix.search("banana", k=5, filter_ast={"lang": "fr"}).collect()] == ["k1"]
+    assert ix.search("banana", k=5, filter_ast={"lang": "en"}).collect() == []
+    # doc snapshot fetch returns exactly the new version
+    res = ix.search("banana", k=1)
+    fetched = ix.fetch_documents(res).collect()
+    assert len(fetched) == 1 and fetched[0]["text"].startswith("fresh banana")
+
+
+def test_docid_col_replace_twice_then_compact(spark, docid_index, tmp_path):
+    """Two in-place replacements stack horizons correctly; compact folds to
+    a clean single-generation index equal to a fresh rebuild."""
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import add_documents, compact
+
+    for text in ("first replacement text", "second replacement text final"):
+        add_documents(spark, docid_index, spark.createDataFrame(
+            pd.DataFrame([(2, "k2", text, "en")],
+                         columns=["doc_id", "url", "text", "lang"])
+        ))
+    ix = SearchIndex(spark, docid_index)
+    assert _pk_results(ix, "window aggregate") == []
+    assert _pk_results(ix, "first") == []  # word unique to replacement #1
+    assert [p for p, _ in _pk_results(ix, "second final")] == ["k2"]
+    assert ix.n_docs == 4
+
+    meta = compact(spark, docid_index)
+    assert meta["n_deleted"] == 0 and meta["n_docs"] == 4
+    ix2 = SearchIndex(spark, docid_index)
+    assert [p for p, _ in _pk_results(ix2, "second final")] == ["k2"]
+    # equal to a clean rebuild over the final corpus
+    rows = [
+        (0, "k0", "spark index engine query", "en"),
+        (1, "k1", "spark table join", "en"),
+        (2, "k2", "second replacement text final", "en"),
+        (3, "k3", "query planner optimizer", "en"),
+    ]
+    clean = str(tmp_path / "clean")
+    build_index(spark, spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "url", "text", "lang"])),
+        clean,
+        IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                    docid_col="doc_id", attr_cols=("lang",),
+                    num_shards=2, num_buckets=2))
+    cx = SearchIndex(spark, clean)
+    for q in ("spark query", "second final", "planner"):
+        assert _pk_results(ix2, q) == _pk_results(cx, q), q
+    shutil.rmtree(clean, ignore_errors=True)
+
+
+def test_docid_col_delete_then_readd(spark, docid_index):
+    """Delete kills every existing generation; a later re-add of the same
+    external docid lands in a NEWER generation and is live again."""
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import add_documents, delete_documents
+
+    delete_documents(spark, docid_index, ["k3"])
+    ix = SearchIndex(spark, docid_index)
+    assert _pk_results(ix, "planner optimizer") == []
+    add_documents(spark, docid_index, spark.createDataFrame(
+        pd.DataFrame([(3, "k3", "resurrected planner doc", "en")],
+                     columns=["doc_id", "url", "text", "lang"])
+    ))
+    ix2 = SearchIndex(spark, docid_index)
+    assert [p for p, _ in _pk_results(ix2, "resurrected planner")] == ["k3"]
+    assert ix2.n_docs == 4
