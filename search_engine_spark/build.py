@@ -175,7 +175,7 @@ def terms_agg(term_doc: DataFrame) -> DataFrame:
 
 def assign_docids(
     df: DataFrame, pk_col: str, n_parts: int = 32, return_count: bool = False,
-    out_col: str = "docid",
+    out_col: str = "docid", return_handle: bool = False,
 ):
     """``out_col`` = global 0-based rank of pk. Scalable two-pass: range-sort,
     count rows per physical partition, broadcast offsets, rank within
@@ -208,7 +208,10 @@ def assign_docids(
         .withColumn(out_col, F.row_number().over(w) + F.col("_offset") - F.lit(1))
         .drop("_pid", "_offset")
     )
-    # persist released by caller via unpersist/clearCache after materializing
+    # persist released by caller via unpersist/clearCache after
+    # materializing (or via the returned handle with return_handle=True)
+    if return_handle:
+        return (out, acc, d) if return_count else (out, d)
     return (out, acc) if return_count else out
 
 

@@ -109,6 +109,16 @@ class IndexConfig:
     stage1_staging: str = "auto"  # 'auto' | 'cache' | 'parquet'
     stage1_cache_max_bytes: int = 2 << 30
 
+    # append docid assignment (add_documents, rank-assigned path). A batch
+    # gets docids by rank-of-pk; the single-task window is the right
+    # cost point for normal appends, but a huge backfill batch would
+    # silently serialize on one task — past append_window_max_docs the
+    # append switches to the same scalable two-pass range rank used for
+    # build docids (assign_docids). 'auto' counts the deduped batch (one
+    # cheap scan of the append's SMALL side) and picks.
+    append_rank_mode: str = "auto"  # 'auto' | 'window' | 'rank'
+    append_window_max_docs: int = 5_000_000
+
     # term_id assignment (build stage 4). The dictionary is orders of
     # magnitude smaller than the corpus, so a single-task global window
     # rank is the right cost/complexity point for most indexes; past

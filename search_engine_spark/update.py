@@ -113,14 +113,33 @@ def add_documents(
     # build_index); otherwise continue after the current max (stable across
     # cluster sizes: rank of pk within the batch, offset by max_docid)
     offset = int(meta["max_docid"]) + 1
+    rank_handle = None
     if config.docid_col:
         with_id = batch.withColumn("docid", F.col(config.docid_col).cast("long"))
     else:
-        w = Window.orderBy(config.pk_col)  # batch-sized window; batches are
-        # the small side of an append — for huge backfills use assign_docids
-        with_id = batch.withColumn(
-            "docid", (F.row_number().over(w) - 1 + F.lit(offset)).cast("long")
-        )
+        mode_ = config.append_rank_mode
+        if mode_ == "auto":
+            mode_ = (
+                "rank"
+                if batch.count() > config.append_window_max_docs
+                else "window"
+            )
+        if mode_ == "rank":
+            # scalable two-pass range rank (same machinery as build docids;
+            # deterministic for unique pks at any parallelism)
+            from search_engine_spark.build import assign_docids
+
+            ranked, rank_handle = assign_docids(
+                batch, config.pk_col, out_col="docid", return_handle=True
+            )
+            with_id = ranked.withColumn(
+                "docid", (F.col("docid") + F.lit(offset)).cast("long")
+            )
+        else:
+            w = Window.orderBy(config.pk_col)  # single task; size-gated above
+            with_id = batch.withColumn(
+                "docid", (F.row_number().over(w) - 1 + F.lit(offset)).cast("long")
+            )
     if config.field_cols:
         search_sel = [F.col(c).alias(c) for c, _w in config.field_cols]
         search_names = [c for c, _w in config.field_cols]
@@ -134,6 +153,8 @@ def add_documents(
         *[F.col(c) for c in config.attr_cols if c not in search_names],
     ).withColumn("gen", F.lit(gen).cast("int"))
     docs.write.mode("append").parquet(paths.docs)
+    if rank_handle is not None:
+        rank_handle.unpersist()
     new_pks = docs.select("pk")
     docs_df = spark.read.parquet(paths.docs).join(new_pks, "pk").select(
         "docid", "pk", "gen", *search_names,

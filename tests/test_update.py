@@ -453,3 +453,45 @@ def test_docid_col_delete_then_readd(spark, docid_index):
     ix2 = SearchIndex(spark, docid_index)
     assert [p for p, _ in _pk_results(ix2, "resurrected planner")] == ["k3"]
     assert ix2.n_docs == 4
+
+
+def test_append_rank_mode_equals_window(spark, tmp_path):
+    """A backfill append past append_window_max_docs auto-switches to the
+    scalable two-pass range rank; docids must be identical to the
+    single-task window (and invariant to the batch's partitioning)."""
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+
+    base = pd.DataFrame(
+        [("a0", "base document text", "en")], columns=["url", "text", "lang"]
+    )
+    batch = pd.DataFrame(
+        [(f"b{i:03d}", f"appended doc number {i}", "en") for i in range(97)],
+        columns=["url", "text", "lang"],
+    )
+
+    def build_and_append(name, **cfg_kw):
+        from search_engine_spark.update import add_documents
+
+        cfg = IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                          attr_cols=("lang",), num_shards=2, num_buckets=2,
+                          **cfg_kw)
+        d = str(tmp_path / name)
+        build_index(spark, spark.createDataFrame(base), d, cfg)
+        add_documents(
+            spark, d, spark.createDataFrame(batch).repartition(7)
+        )
+        ix = SearchIndex(spark, d)
+        stats = spark.read.parquet(ix.paths.doc_stats)
+        return {r["pk"]: r["docid"] for r in stats.select("pk", "docid").collect()}
+
+    via_window = build_and_append("w", append_rank_mode="window")
+    via_rank = build_and_append("r", append_rank_mode="rank")
+    # auto with a tiny threshold must take the rank path and still agree
+    via_auto = build_and_append("a", append_rank_mode="auto",
+                                append_window_max_docs=10)
+    assert via_rank == via_window == via_auto
+    assert len(via_rank) == 98
+    for name in ("w", "r", "a"):
+        shutil.rmtree(str(tmp_path / name), ignore_errors=True)
