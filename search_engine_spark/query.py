@@ -241,6 +241,13 @@ class SearchIndex:
         # by wand_driver_cost_ratio when the resolved algo is 'wand'.
         self.driver_exec_max_postings = 2_000_000
         self.wand_driver_cost_ratio = 16
+        # driver point-read dataset handles, created lazily and cached for
+        # the handle's lifetime (a SearchIndex is a point-in-time snapshot —
+        # meta was read once at init): pyarrow dataset discovery over
+        # buckets x shards x generations costs ~0.5s and dominated warm
+        # tail-term latency when paid per query.
+        self._pq_dataset = None
+        self._stats_dataset = None
         # pin(): executor-cached postings slice (reference analogue: LMDB's
         # OS page cache keeps hot posting pages resident, src/index.rs txns)
         self._pinned: DataFrame | None = None
@@ -639,6 +646,48 @@ class SearchIndex:
             offset=offset, execution=execution,
         )
 
+    def search_rows(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "auto",
+        filter_ast: dict | None = None,
+        offset: int = 0,
+        **plan_kw,
+    ) -> list[dict]:
+        """Serving-path search: identical semantics and ranking to
+        ``search()`` but returns plain dicts. On the driver point-read path
+        no Spark DataFrame is materialized at all (collecting even a 10-row
+        local DataFrame costs ~0.35s of py4j round-trips — measured at 4M
+        docs, where the query itself runs in ~0.25s); cluster-path queries
+        collect their k-bounded result."""
+        plan = self.plan(query, k, **plan_kw)
+        if not plan.term_weights:
+            return []
+        if filter_ast is None:
+            all_terms = sorted(
+                set(plan.term_weights)
+                | set(plan.negated)
+                | {w for ph in plan.phrases for w in ph}
+            )
+            dfs = self._lookup_exact(all_terms)
+            budget = self.driver_exec_max_postings
+            if _pick_algo(mode, plan, False) == "wand":
+                budget //= self.wand_driver_cost_ratio
+            if sum(dfs.values()) <= budget:
+                rows = self._execute_driver(plan, mode, offset, all_terms)
+                return [
+                    {"rank": r, "docid": d, "pk": p, "score": s}
+                    for r, d, p, s in rows
+                ]
+        return [
+            r.asDict()
+            for r in self.execute(
+                plan, mode=mode, filter_ast=filter_ast, offset=offset,
+                execution="cluster",
+            ).collect()
+        ]
+
     def matching_docids(self, terms: list[str]) -> DataFrame:
         """Disjunctive candidate set: docids containing >=1 of ``terms``
         (reference R1 resolve_docids). Decoded per shard, tombstones out."""
@@ -743,7 +792,9 @@ class SearchIndex:
                 budget //= self.wand_driver_cost_ratio
             small = sum(dfs.values()) <= budget
             if execution == "driver" or (execution == "auto" and small):
-                return self._execute_driver(plan, mode, offset, all_terms)
+                return self._rows_to_df(
+                    self._execute_driver(plan, mode, offset, all_terms)
+                )
 
         algo = _pick_algo(mode, plan, filter_ast is not None)
         if self._partial_tombs is not None:
@@ -791,6 +842,29 @@ class SearchIndex:
                 lambda pdf: score_fn(pdf, None), schema=RESULT_SCHEMA
             )
 
+        # Tail assembly: shard_topk is <= num_shards * (k + offset) rows —
+        # for serving-sized k the global merge, pagination and pk lookup
+        # run on the driver (one job instead of three extra stages: global
+        # sort + broadcast join + window). Measured at 4M docs / local[32]:
+        # 0.6-1.2s per warm query saved. Large k (deep exports) keeps the
+        # distributed tail.
+        if (plan.k + offset) * self.config.num_shards <= 100_000:
+            merged = sorted(
+                ((r["docid"], r["score"]) for r in shard_topk.collect()),
+                key=lambda x: (-x[1], x[0]),
+            )[offset : offset + plan.k]
+            if not merged:
+                return self.spark.createDataFrame([], OUT_SCHEMA)
+            pk_map = self._pk_lookup([d for d, _ in merged])
+            pk_t = self._doc_stats.schema["pk"].dataType.simpleString()
+            return self.spark.createDataFrame(
+                [
+                    (offset + i + 1, int(d), pk_map.get(int(d)), float(s))
+                    for i, (d, s) in enumerate(merged)
+                ],
+                f"rank int, docid long, pk {pk_t}, score double",
+            )
+
         topk = shard_topk.orderBy(F.col("score").desc(), F.col("docid").asc()).limit(
             plan.k + offset
         )
@@ -803,6 +877,19 @@ class SearchIndex:
             .orderBy("rank")
         )
 
+    def _pk_lookup(self, docids: list[int]) -> dict:
+        """pk per docid via a pyarrow point read of doc_stats (row-group
+        stats pruning on docid) — no Spark job for a k-sized lookup."""
+        import pyarrow.dataset as ds
+
+        if self._stats_dataset is None:
+            self._stats_dataset = ds.dataset(self.paths.doc_stats,
+                                             format="parquet")
+        tbl = self._stats_dataset.to_table(
+            columns=["docid", "pk"], filter=ds.field("docid").isin(docids))
+        return dict(zip(tbl.column("docid").to_pylist(),
+                        tbl.column("pk").to_pylist()))
+
     def _readers_for(
         self, all_terms: list[str]
     ) -> dict[str, list[tuple[PostingReader, float]]]:
@@ -813,8 +900,11 @@ class SearchIndex:
         import pyarrow.dataset as ds
 
         buckets = [int(term_bucket(t, self.config.num_buckets)) for t in all_terms]
-        dataset = ds.dataset(self.paths.postings, format="parquet",
-                             partitioning="hive")
+        if self._pq_dataset is None:
+            self._pq_dataset = ds.dataset(self.paths.postings,
+                                          format="parquet",
+                                          partitioning="hive")
+        dataset = self._pq_dataset
         flt = ds.field("bucket").isin(sorted(set(buckets))) & ds.field(
             "term"
         ).isin(all_terms)
@@ -829,10 +919,12 @@ class SearchIndex:
 
     def _execute_driver(
         self, plan: QueryPlan, mode: str, offset: int, all_terms: list[str]
-    ) -> DataFrame:
+    ) -> list[tuple]:
         """Point-read execution: prune to the query's buckets/terms with
         pyarrow, score in-process with the same _wand_topk/_exhaustive_topk
-        used by the shard UDFs. Latency is ~ms instead of a Spark job."""
+        used by the shard UDFs. -> (rank, docid, pk, score) tuples; latency
+        is ~ms instead of a Spark job (``search_rows`` exposes them without
+        the ~0.35s py4j cost of materializing even a 10-row DataFrame)."""
         import pyarrow.dataset as ds
 
         readers = self._readers_for(all_terms)
@@ -867,18 +959,16 @@ class SearchIndex:
             )
         pairs = pairs[offset:]
         if not pairs:
-            return self.spark.createDataFrame([], OUT_SCHEMA)
-
-        docids = [d for d, _ in pairs]
-        stats = ds.dataset(self.paths.doc_stats, format="parquet")
-        pk_tbl = stats.to_table(columns=["docid", "pk"],
-                                filter=ds.field("docid").isin(docids))
-        pk_map = dict(zip(pk_tbl.column("docid").to_pylist(),
-                          pk_tbl.column("pk").to_pylist()))
-        rows = [
+            return []
+        pk_map = self._pk_lookup([d for d, _ in pairs])
+        return [
             (offset + i + 1, int(d), pk_map.get(int(d)), float(s))
             for i, (d, s) in enumerate(pairs)
         ]
+
+    def _rows_to_df(self, rows: list[tuple]) -> DataFrame:
+        if not rows:
+            return self.spark.createDataFrame([], OUT_SCHEMA)
         pk_t = self._doc_stats.schema["pk"].dataType.simpleString()
         return self.spark.createDataFrame(
             rows, f"rank int, docid long, pk {pk_t}, score double"

@@ -405,3 +405,19 @@ def test_matching_strategy_last_buckets_by_word_prefix(feature_index):
     # strategy='all' maps to conjunctive match_all
     allr = ix.search("new york", k=5, matching_strategy="all").collect()
     assert {r["docid"] for r in allr} == {1, 2}
+
+
+def test_search_rows_identical_to_search(search_index):
+    """Serving API: search_rows returns exactly search().collect() as plain
+    dicts, on both the driver point-read path and the cluster path."""
+    for q, kw in [("search engine", {}), ("web data", {"mode": "exhaustive"}),
+                  ("search engine", {"filter_ast": {"lang": "de"}})]:
+        via_df = [r.asDict() for r in search_index.search(q, k=10, **kw).collect()]
+        via_rows = search_index.search_rows(q, k=10, **kw)
+        assert via_rows == via_df, (q, kw)
+    # forced cluster equals driver rows
+    a = search_index.search_rows("search engine", k=10)
+    b = [r.asDict() for r in search_index.search(
+        "search engine", k=10, execution="cluster").collect()]
+    assert a == b
+    assert search_index.search_rows("zzzzqqq") == []
