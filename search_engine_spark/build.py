@@ -57,6 +57,7 @@ from search_engine_spark.codecs import (
     delta_decode_runs,
     delta_encode_runs,
     encode_postings,
+    encode_postings_batch,
     varint_decode,
     varint_encode_runs,
 )
@@ -699,15 +700,25 @@ def make_encode_fn(config: IndexConfig, avgdl: float, lineage_dir: str | None = 
     def encode(tbl: "pa.Table") -> "pa.Table":
         if tbl.num_rows == 0:
             return out_schema.empty_table()
-        terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
-        order = np.argsort(terms, kind="stable")
+        # dictionary-encode the term column in Arrow (C speed) instead of
+        # sorting 10^6 Python strings: row rank = index into the unique
+        # dictionary, remapped through the sorted dictionary order
+        tcol = tbl.column("term")
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        dct = tcol.dictionary_encode()
+        dict_terms = np.asarray(dct.dictionary.to_pylist(), dtype=object)
+        dict_order = np.argsort(dict_terms, kind="stable")
+        rank_of_dict = np.empty(len(dict_terms), dtype=np.int64)
+        rank_of_dict[dict_order] = np.arange(len(dict_terms), dtype=np.int64)
+        rank_row = rank_of_dict[dct.indices.to_numpy(zero_copy_only=False)]
+        uniq_terms = dict_terms[dict_order]
         # per-row value offsets: n postings per run
         n_row = (
             tbl.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
         )
         d_off = np.zeros(len(n_row) + 1, dtype=np.int64)
         np.cumsum(n_row, out=d_off[1:])
-        t_off = l_off = d_off  # parallel streams, same run lengths
         # ONE vectorized varint decode per stream over the whole group,
         # then a segmented delta decode for docids (runs = rows)
         d_val = delta_decode_runs(
@@ -723,7 +734,6 @@ def make_encode_fn(config: IndexConfig, avgdl: float, lineage_dir: str | None = 
             _blob_flat(tbl, "dls"), int(d_off[-1])
         ).astype(np.int64)
         if store_positions:
-            o_off = d_off
             i_lens = t_val  # positions per posting == tf (codec invariant)
             i_off = np.zeros(len(i_lens) + 1, dtype=np.int64)
             np.cumsum(i_lens, out=i_off[1:])
@@ -735,68 +745,73 @@ def make_encode_fn(config: IndexConfig, avgdl: float, lineage_dir: str | None = 
             )
         shard = int(tbl.column("shard")[0].as_py())
 
-        terms_sorted = terms[order]
-        bounds = np.flatnonzero(terms_sorted[1:] != terms_sorted[:-1]) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(terms_sorted)]))
-
-        o_bucket, o_term, o_ndocs = [], [], []
-        o_docs, o_tfs, o_dls, o_poss, o_bm = [], [], [], [], []
-        for s, e in zip(starts, ends):
-            term = terms_sorted[s]
-            rows = order[s:e]
-            docids = np.concatenate([d_val[d_off[r] : d_off[r + 1]] for r in rows])
-            tfs = np.concatenate([t_val[t_off[r] : t_off[r + 1]] for r in rows])
-            dls = np.concatenate([l_val[l_off[r] : l_off[r + 1]] for r in rows])
-            if store_positions:
-                # flat (values, per-posting lens) — a row's postings are
-                # contiguous in both the posting and the value stream, so
-                # per-ROW slices suffice; no per-posting Python objects
-                plens = np.concatenate(
-                    [i_lens[o_off[r] : o_off[r + 1]] for r in rows]
-                )
-                pflat = np.concatenate(
-                    [i_val[i_off[o_off[r]] : i_off[o_off[r + 1]]] for r in rows]
-                )
-            else:
-                plens = pflat = None
-            if e - s > 1:
-                ordr = np.argsort(docids, kind="stable")
-                docids, tfs, dls = docids[ordr], tfs[ordr], dls[ordr]
-                if store_positions and len(plens):
-                    pstarts = np.zeros(len(plens), dtype=np.int64)
-                    np.cumsum(plens[:-1], out=pstarts[1:])
-                    plens = plens[ordr]
-                    excl = np.zeros(len(plens) + 1, dtype=np.int64)
-                    np.cumsum(plens, out=excl[1:])
-                    gidx = np.arange(int(excl[-1]), dtype=np.int64) + np.repeat(
-                        pstarts[ordr] - excl[:-1], plens
-                    )
-                    pflat = pflat[gidx]
-            positions = (pflat, plens) if store_positions else None
-            enc = encode_postings(
-                docids, tfs, dls, positions,
-                block_size=block_size, avgdl=avgdl, k1=k1, b=b,
+        # ONE global (term rank, docid) sort over all values replaces the
+        # per-term concatenate + argsort loop: term segments become
+        # contiguous ascending-docid slices, and the whole group encodes in
+        # one batched pass (encode_postings_batch) — no per-term Python.
+        rank_val = np.repeat(rank_row, n_row)
+        if len(uniq_terms) < (1 << 22) and (
+            not len(d_val) or int(d_val.max()) < (1 << 40)
+        ):
+            # single-key argsort on rank<<40|docid (covers 4M-term vocab
+            # per group x 10^12 docids); falls back to lexsort beyond
+            perm = np.argsort((rank_val << 40) | d_val, kind="stable")
+        else:
+            perm = np.lexsort((d_val, rank_val))
+        docids = d_val[perm]
+        tfs = t_val[perm]
+        dls = l_val[perm]
+        rank_sorted = rank_val[perm]
+        term_starts = np.flatnonzero(
+            np.r_[True, rank_sorted[1:] != rank_sorted[:-1]]
+        )
+        if store_positions:
+            # permute posting-level lens, gather token values via the
+            # standard offsets expansion (one pass, no per-posting objects)
+            pstarts = i_off[:-1]
+            plens = i_lens[perm]
+            excl = np.zeros(len(plens) + 1, dtype=np.int64)
+            np.cumsum(plens, out=excl[1:])
+            gidx = np.arange(int(excl[-1]), dtype=np.int64) + np.repeat(
+                pstarts[perm] - excl[:-1], plens
             )
-            o_bucket.append(zlib.crc32(term.encode()) % num_buckets)
-            o_term.append(term)
-            o_ndocs.append(enc.n_docs)
-            o_docs.append(enc.docs)
-            o_tfs.append(enc.tfs)
-            o_dls.append(enc.dls)
-            o_poss.append(enc.poss)
-            o_bm.append(enc.block_meta_rows())
+            positions = (i_val[gidx], plens)
+        else:
+            positions = None
+        enc = encode_postings_batch(
+            docids, tfs, dls, positions, term_starts,
+            block_size=block_size, avgdl=avgdl, k1=k1, b=b,
+        )
+        buckets = [zlib.crc32(t.encode()) % num_buckets for t in uniq_terms]
+        bm_type = out_schema.field("block_meta").type
+        struct_t = bm_type.value_type
+        bm_values = pa.StructArray.from_arrays(
+            [
+                pa.array(enc["first_docid"], type=pa.int64()),
+                pa.array(enc["max_docid"], type=pa.int64()),
+                pa.array(enc["max_impact"], type=pa.float64()),
+                pa.array(enc["doc_off"], type=pa.int64()),
+                pa.array(enc["tf_off"], type=pa.int64()),
+                pa.array(enc["dl_off"], type=pa.int64()),
+                pa.array(enc["pos_off"], type=pa.int64()),
+            ],
+            fields=list(struct_t),
+        )
+        bm = pa.ListArray.from_arrays(
+            pa.array(enc["block_offsets"], type=pa.int32()), bm_values
+        ).cast(bm_type)
+        n_terms = len(uniq_terms)
         return pa.Table.from_arrays(
             [
-                pa.array(o_bucket, type=pa.int32()),
-                pa.array(o_term, type=pa.string()),
-                pa.array([shard] * len(o_term), type=pa.int32()),
-                pa.array(o_ndocs, type=pa.int32()),
-                pa.array(o_docs, type=pa.binary()),
-                pa.array(o_tfs, type=pa.binary()),
-                pa.array(o_dls, type=pa.binary()),
-                pa.array(o_poss, type=pa.binary()),
-                pa.array(o_bm, type=out_schema.field("block_meta").type),
+                pa.array(buckets, type=pa.int32()),
+                pa.array(uniq_terms, type=pa.string()),
+                pa.array([shard] * n_terms, type=pa.int32()),
+                pa.array(enc["n_docs"], type=pa.int32()),
+                pa.array(enc["docs"], type=pa.binary()),
+                pa.array(enc["tfs"], type=pa.binary()),
+                pa.array(enc["dls"], type=pa.binary()),
+                pa.array(enc["poss"], type=pa.binary()),
+                bm,
             ],
             schema=out_schema,
         )

@@ -38,44 +38,66 @@ import numpy as np
 _BOUNDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints (vectorized)."""
+def varint_encode(values: np.ndarray, nb: np.ndarray | None = None) -> bytes:
+    """LEB128-encode an array of non-negative ints (vectorized).
+
+    ``nb``: optional precomputed per-value byte counts (``varint_nbytes``)
+    so callers that also need the counts (``varint_encode_runs``) pay the
+    searchsorted once. All-single-byte inputs (small gaps/tfs — the common
+    posting payload) short-circuit to one astype."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nb = (np.searchsorted(_BOUNDS, v, side="right") + 1).astype(np.int64)
+    if nb is None:
+        nb = (np.searchsorted(_BOUNDS, v, side="right") + 1).astype(np.int64)
+    max_nb = int(nb.max())
+    if max_nb == 1:
+        return v.astype(np.uint8).tobytes()
     offsets = np.zeros(v.size, dtype=np.int64)
     np.cumsum(nb[:-1], out=offsets[1:])
     total = int(offsets[-1] + nb[-1])
     out = np.zeros(total, dtype=np.uint8)
-    for j in range(int(nb.max())):
+    for j in range(max_nb):
         mask = nb > j
+        idx = offsets[mask] + j
         byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
-        cont = (nb[mask] > j + 1).astype(np.uint8) << 7
-        out[offsets[mask] + j] = byte | cont
+        if j + 1 < max_nb:
+            byte |= (nb[mask] > j + 1).astype(np.uint8) << 7
+        out[idx] = byte
     return out.tobytes()
 
 
 def varint_decode(buf: bytes | memoryview, n: int | None = None) -> np.ndarray:
-    """Decode LEB128 bytes back to uint64 (vectorized)."""
+    """Decode LEB128 bytes back to uint64 (vectorized).
+
+    Per-BYTE-POSITION passes (at most 10), each a plain gather + shifted OR
+    into a value-indexed array — no scatter (``np.add.at`` here measured
+    ~10x slower than these gathers on posting-sized buffers). The all-
+    single-byte case (small gaps/tfs — the common posting payload) is one
+    astype."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
     terminal = b < 0x80
-    n_vals = int(terminal.sum())
+    term_pos = np.flatnonzero(terminal)
+    n_vals = len(term_pos)
     if n is not None and n != n_vals:
         raise ValueError(f"expected {n} varints, found {n_vals}")
-    val_idx = np.zeros(b.size, dtype=np.int64)
-    val_idx[1:] = np.cumsum(terminal[:-1])
-    term_pos = np.flatnonzero(terminal)
-    starts = np.concatenate(([0], term_pos[:-1] + 1))
-    byte_pos = np.arange(b.size, dtype=np.int64) - np.repeat(
-        starts, np.diff(np.concatenate(([-1], term_pos)))
-    )
-    vals = np.zeros(n_vals, dtype=np.uint64)
-    np.add.at(
-        vals, val_idx, (b & np.uint8(0x7F)).astype(np.uint64) << (7 * byte_pos).astype(np.uint64)
-    )
+    if n_vals == b.size:  # every byte terminal: all values < 128
+        return b.astype(np.uint64)
+    starts = np.empty(n_vals, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = term_pos[:-1] + 1
+    lens = term_pos - starts + 1
+    vals = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+    max_len = int(lens.max())
+    sel = np.flatnonzero(lens > 1)
+    for j in range(1, max_len):
+        vals[sel] |= (b[starts[sel] + j] & np.uint8(0x7F)).astype(
+            np.uint64
+        ) << np.uint64(7 * j)
+        if j + 1 < max_len:
+            sel = sel[lens[sel] > j + 1]
     return vals
 
 
@@ -113,8 +135,8 @@ def varint_encode_runs(
     the building block for emitting thousands of per-(term, shard) runs from
     one vectorized pass (no per-run Python encode calls).
     """
-    buf = varint_encode(values)
     nb = varint_nbytes(values)
+    buf = varint_encode(values, nb=nb)
     cum = np.zeros(len(nb) + 1, dtype=np.int64)
     np.cumsum(nb, out=cum[1:])
     return buf, cum[np.ascontiguousarray(run_value_offsets, dtype=np.int64)]
@@ -278,6 +300,117 @@ def encode_postings(
         dl_off=dl_off,
         pos_off=pos_off,
     )
+
+
+def encode_postings_batch(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions: "tuple[np.ndarray, np.ndarray] | None",
+    term_starts: np.ndarray,
+    *,
+    block_size: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+):
+    """Encode MANY (term, shard) posting lists in one vectorized pass.
+
+    ``docids``/``tfs``/``dls`` are the whole group's postings sorted by
+    (term segment, docid); ``term_starts`` (len = n_terms) marks each
+    term's first posting. ``positions`` is the group-flat
+    (values, per-posting lens) pair.
+
+    Byte-identical to calling :func:`encode_postings` per term (property-
+    tested): the per-stream work collapses from O(n_terms) Python encode
+    calls to ONE delta pass + ONE varint pass per stream, with the block
+    cut points fed to ``varint_encode_runs``. Per-term outputs are byte
+    slices of the single buffers; block metadata comes from ``reduceat``
+    over the global block-start array.
+
+    -> dict with per-term lists: ``n_docs, docs, tfs, dls, poss`` (bytes)
+    and flat per-block arrays + ``block_offsets`` (len n_terms + 1) to cut
+    them, each block row carrying
+    (first_docid, max_docid, max_impact, doc_off, tf_off, dl_off, pos_off)
+    with byte offsets RELATIVE to the owning term's slice.
+    """
+    n = int(len(docids))
+    n_terms = len(term_starts)
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    term_starts = np.ascontiguousarray(term_starts, dtype=np.int64)
+    term_ends = np.append(term_starts[1:], n)
+    term_lens = term_ends - term_starts
+
+    # global block structure: per term, ceil(len/bs) blocks of bs
+    nb_t = (term_lens + block_size - 1) // block_size
+    fb = np.zeros(n_terms + 1, dtype=np.int64)  # first block index per term
+    np.cumsum(nb_t, out=fb[1:])
+    total_blocks = int(fb[-1])
+    within = np.arange(total_blocks, dtype=np.int64) - np.repeat(fb[:-1], nb_t)
+    block_term = np.repeat(np.arange(n_terms, dtype=np.int64), nb_t)
+    block_start = term_starts[block_term] + block_size * within
+    block_end = np.minimum(block_start + block_size, term_ends[block_term])
+
+    impacts = bm25_impact(tfs, dls, avgdl, k1, b)
+    first_docid = docids[block_start]
+    max_docid = docids[block_end - 1]
+    max_impact = np.maximum.reduceat(impacts, block_start) if n else np.zeros(0)
+
+    cuts = np.append(block_start, n)
+    deltas = delta_encode(docids)
+    deltas[block_start] = 0  # block-local: base = first_docid from metadata
+    docs_buf, docs_off = varint_encode_runs(deltas.astype(np.uint64), cuts)
+    tfs_buf, tfs_off = varint_encode_runs(tfs.astype(np.uint64), cuts)
+    dls_buf, dls_off = varint_encode_runs(dls.astype(np.uint64), cuts)
+
+    if positions is not None:
+        flat, lens = positions
+        flat = np.ascontiguousarray(flat, dtype=np.int64)
+        lens = np.ascontiguousarray(lens, dtype=np.int64)
+        tok_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=tok_cum[1:])
+        pdeltas = delta_encode(flat)
+        nz = tok_cum[:-1][lens > 0]  # reset at each posting's first position
+        pdeltas[nz] = flat[nz]
+        pos_cuts = np.append(tok_cum[block_start], int(tok_cum[-1]))
+        poss_buf, poss_off = varint_encode_runs(pdeltas.astype(np.uint64), pos_cuts)
+    else:
+        poss_buf = b""
+        poss_off = np.zeros(total_blocks + 1, dtype=np.int64)
+
+    # per-term byte slices (memoryview: no copies until bytes())
+    def _slices(buf: bytes, boffs: np.ndarray) -> list:
+        mv = memoryview(buf)
+        lo = boffs[fb[:-1]]
+        hi = boffs[fb[1:]]
+        return [bytes(mv[lo[t]:hi[t]]) for t in range(n_terms)]
+
+    # block byte offsets relative to the owning term's slice
+    rel = lambda boffs: boffs[:-1] - boffs[fb[block_term]]  # noqa: E731
+
+    return {
+        "n_docs": term_lens,
+        "docs": _slices(docs_buf, docs_off),
+        "tfs": _slices(tfs_buf, tfs_off),
+        "dls": _slices(dls_buf, dls_off),
+        "poss": (
+            _slices(poss_buf, poss_off) if positions is not None
+            else [b""] * n_terms
+        ),
+        "first_docid": first_docid,
+        "max_docid": max_docid,
+        "max_impact": max_impact,
+        "doc_off": rel(docs_off),
+        "tf_off": rel(tfs_off),
+        "dl_off": rel(dls_off),
+        "pos_off": (
+            rel(poss_off) if positions is not None
+            else np.zeros(total_blocks, dtype=np.int64)
+        ),
+        "block_offsets": fb,
+    }
 
 
 class PostingReader:

@@ -294,3 +294,58 @@ def test_pair_prox_bonus_matches_bruteforce():
     readers = _readers_from_docs({1: ["x", "y"]})
     d0, b0 = _pair_prox_bonus(readers, "x", "zzz", 1.0)
     assert d0.size == 0 and b0.size == 0
+
+
+def test_encode_postings_batch_byte_identical():
+    """encode_postings_batch over many concatenated term segments must
+    produce BYTE-identical per-term outputs (buffers, offsets, block
+    metadata) to per-term encode_postings — the group encoder's contract."""
+    from search_engine_spark.codecs import encode_postings_batch
+
+    rng = np.random.default_rng(3)
+    for trial in range(12):
+        n_terms = int(rng.integers(1, 30))
+        bs = int(rng.choice([4, 64, 128]))
+        segs = []
+        for _ in range(n_terms):
+            n = int(rng.integers(1, 300))
+            segs.append(_random_posting(n, 10**6))
+        term_starts = np.concatenate(
+            ([0], np.cumsum([len(s[0]) for s in segs])[:-1])
+        ).astype(np.int64)
+        docids = np.concatenate([s[0] for s in segs])
+        tfs = np.concatenate([s[1] for s in segs])
+        dls = np.concatenate([s[2] for s in segs])
+        flat = np.concatenate([np.concatenate(s[3]) for s in segs])
+        lens = tfs
+        enc = encode_postings_batch(
+            docids, tfs, dls, (flat, lens), term_starts,
+            block_size=bs, avgdl=77.0, k1=1.2, b=0.75,
+        )
+        fb = enc["block_offsets"]
+        for t, (d, tf, dl, pos) in enumerate(segs):
+            ref = encode_postings(d, tf, dl, pos, block_size=bs,
+                                  avgdl=77.0, k1=1.2, b=0.75)
+            assert enc["n_docs"][t] == ref.n_docs
+            assert enc["docs"][t] == ref.docs, (trial, t)
+            assert enc["tfs"][t] == ref.tfs
+            assert enc["dls"][t] == ref.dls
+            assert enc["poss"][t] == ref.poss
+            sl = slice(fb[t], fb[t + 1])
+            assert np.array_equal(enc["first_docid"][sl], ref.first_docid)
+            assert np.array_equal(enc["max_docid"][sl], ref.max_docid)
+            assert np.allclose(enc["max_impact"][sl], ref.max_impact)
+            assert np.array_equal(enc["doc_off"][sl], ref.doc_off[:-1])
+            assert np.array_equal(enc["tf_off"][sl], ref.tf_off[:-1])
+            assert np.array_equal(enc["dl_off"][sl], ref.dl_off[:-1])
+            assert np.array_equal(enc["pos_off"][sl], ref.pos_off[:-1])
+        # no-positions variant
+        encn = encode_postings_batch(
+            docids, tfs, dls, None, term_starts,
+            block_size=bs, avgdl=77.0, k1=1.2, b=0.75,
+        )
+        for t, (d, tf, dl, _p) in enumerate(segs):
+            refn = encode_postings(d, tf, dl, None, block_size=bs,
+                                   avgdl=77.0, k1=1.2, b=0.75)
+            assert encn["docs"][t] == refn.docs
+            assert encn["poss"][t] == b""
