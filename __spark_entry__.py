@@ -558,6 +558,13 @@ def _q_repetition_stats(spark, sf_dir):
     return curation.repetition_stats(_docs(spark, sf_dir), ngram=2)
 
 
+def _q_unigram_logloss(spark, sf_dir):
+    """CCNet-style perplexity-proxy quality score (Wenzek et al. 2019)
+    under the corpus's own unigram LM: one vocab aggregation broadcast
+    against per-(doc, term) tfs; the corpus never shuffles on term."""
+    return curation.unigram_logloss(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(
         _docs(spark, sf_dir), {"en": 0.5, "de": 0.25, "zh": 0.75}, seed=7
@@ -663,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
+        "unigram_logloss": _q_unigram_logloss,
         "stratified_sample": _q_stratified_sample,
         # multimodal plumbing
         "multimodal_features": _q_multimodal,
@@ -1474,6 +1482,27 @@ pg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0)
 SELECT d.doc_id, count(*) AS n_hits
 FROM dg d JOIN pg USING (g)
 GROUP BY 1
+"""
+
+
+    # corpus-self-trained unigram LM cross-entropy / perplexity per doc
+    sql["unigram_logloss"] = f"""
+WITH {_TOKS},
+vocab AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tdoc GROUP BY 1),
+tot AS (SELECT sum(cf) AS n FROM vocab),
+scored AS (
+  SELECT td.doc_id,
+         sum(td.tf) AS n_tokens,
+         -sum(td.tf * log2(v.cf / t.n)) / sum(td.tf) AS ce
+  FROM tdoc td JOIN vocab v USING (term) CROSS JOIN tot t
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(s.ce, 6) AS cross_entropy,
+       round(pow(2.0, s.ce), 6) AS perplexity
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY 1
 """
 
     sql["repetition_stats"] = """

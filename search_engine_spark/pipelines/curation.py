@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from search_engine_spark.pipelines.dedup import doc_term_array, shingle_expr
+from search_engine_spark.pipelines.dedup import doc_term_array, shingle_expr, tokens_col
 
 ROUND = 6  # fraction rounding (oracle float-compare stability)
 
@@ -182,3 +182,53 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
     return df.filter(u < rate)
+
+
+def unigram_logloss(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity-proxy quality score from a SELF-TRAINED
+    unigram LM (Wenzek et al. 2019 score documents with a KenLM 5-gram;
+    with no pretrained LM in the sandbox the corpus's own unigram
+    distribution is the deterministic stand-in — the plumbing is the real
+    thing a KenLM scorer would need, the model is one broadcast dict).
+
+    cross_entropy(d) = -(1/|d|) * sum_t log2( cf(t) / total_tokens ),
+    perplexity(d) = 2 ** cross_entropy(d); token-less docs score NULL.
+
+    Scale shape: ONE map-side-combined aggregation builds the vocabulary
+    (vocab-sized rows, Zipf-bounded), which BROADCASTS to a join against
+    the per-(doc, term) tf rows — the corpus itself never shuffles on
+    term. A doc's unseen-token probability can't occur (the model is
+    self-trained), so no smoothing constant enters the frozen formula.
+
+    -> (doc_id, n_tokens, cross_entropy, perplexity), all corpus-level
+    deterministic (md5-free: pure counting).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = vocab.agg(F.sum("cf").alias("n")).collect()[0]["n"] or 0
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (
+                -F.sum(F.col("tf") * F.log2(F.col("cf") / F.lit(float(total))))
+                / F.sum("tf")
+            ).alias("ce"),
+        )
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(scored, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.round("ce", ROUND).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), "ce"), ROUND).alias("perplexity"),
+    )

@@ -382,3 +382,30 @@ def test_embed_documents_deterministic_and_normalized(spark, docs_df):
 
     cst = embed_documents(one, dim=3, embedder=Const()).collect()[0]["embedding"]
     assert list(cst) == [0.0, 1.0, 2.0]
+
+
+def test_unigram_logloss_matches_hand_computed(spark):
+    """Self-trained unigram LM cross-entropy: tiny corpus with known
+    counts; token-less docs score NULL with n_tokens 0."""
+    import math
+
+    import pandas as pd
+
+    from search_engine_spark.pipelines.curation import unigram_logloss
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["a a b", "b c", ""]}
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_logloss(spark.createDataFrame(pdf)).collect()}
+    # corpus counts: a=2, b=2, c=1, total=5
+    p = {"a": 2 / 5, "b": 2 / 5, "c": 1 / 5}
+    ce0 = -(2 * math.log2(p["a"]) + 1 * math.log2(p["b"])) / 3
+    ce1 = -(math.log2(p["b"]) + math.log2(p["c"])) / 2
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["cross_entropy"] == pytest.approx(ce0, abs=1e-6)
+    assert out[0]["perplexity"] == pytest.approx(2 ** ce0, abs=1e-5)
+    assert out[1]["cross_entropy"] == pytest.approx(ce1, abs=1e-6)
+    assert out[2]["n_tokens"] == 0 and out[2]["cross_entropy"] is None
+    # higher-probability docs have lower cross-entropy
+    assert out[0]["cross_entropy"] < out[1]["cross_entropy"]
