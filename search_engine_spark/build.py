@@ -754,17 +754,24 @@ def make_encode_fn(config: IndexConfig, avgdl: float, lineage_dir: str | None = 
             not len(d_val) or int(d_val.max()) < (1 << 40)
         ):
             # single-key argsort on rank<<40|docid (covers 4M-term vocab
-            # per group x 10^12 docids); falls back to lexsort beyond
-            perm = np.argsort((rank_val << 40) | d_val, kind="stable")
+            # per group x 10^12 docids); falls back to lexsort beyond.
+            # Build the key in place of rank_val and free it immediately —
+            # this kernel handles whole-group flat arrays, so transient
+            # copies directly set the task's peak RSS.
+            key = (rank_val << 40) | d_val
+            perm = np.argsort(key, kind="stable")
+            del key
         else:
             perm = np.lexsort((d_val, rank_val))
         docids = d_val[perm]
         tfs = t_val[perm]
         dls = l_val[perm]
         rank_sorted = rank_val[perm]
+        del d_val, t_val, l_val, rank_val
         term_starts = np.flatnonzero(
             np.r_[True, rank_sorted[1:] != rank_sorted[:-1]]
         )
+        del rank_sorted
         if store_positions:
             # permute posting-level lens, gather token values via the
             # standard offsets expansion (one pass, no per-posting objects)
@@ -775,42 +782,84 @@ def make_encode_fn(config: IndexConfig, avgdl: float, lineage_dir: str | None = 
             gidx = np.arange(int(excl[-1]), dtype=np.int64) + np.repeat(
                 pstarts[perm] - excl[:-1], plens
             )
-            positions = (i_val[gidx], plens)
+            pos_flat_all = i_val[gidx]
+            pos_excl = excl
+            del gidx, i_val
         else:
-            positions = None
-        enc = encode_postings_batch(
-            docids, tfs, dls, positions, term_starts,
-            block_size=block_size, avgdl=avgdl, k1=k1, b=b,
-        )
+            pos_flat_all = pos_excl = plens = None
+        del perm
+
+        # Encode in TERM-RANGE CHUNKS (~CHUNK_POSTINGS postings each): the
+        # batch encoder's transient arrays are proportional to its input,
+        # and num_shards whole-group tasks at once (each up to several GB
+        # at 10^8-posting groups) put the WORKER FLEET's peak RSS into
+        # page-cache-thrash territory at high thread counts — measured at
+        # 4M docs / local[32]. Chunking bounds the transient to ~200 MB
+        # per task with negligible extra Python (a few calls per chunk).
+        CHUNK_POSTINGS = 8_000_000
+        n_terms = len(uniq_terms)
+        chunk_bounds = [0]
+        for ti in range(1, n_terms + 1):
+            start_post = term_starts[ti] if ti < n_terms else len(docids)
+            if start_post - term_starts[chunk_bounds[-1]] >= CHUNK_POSTINGS                     or ti == n_terms:
+                chunk_bounds.append(ti)
+        encs = []
+        for ci in range(len(chunk_bounds) - 1):
+            t0, t1 = chunk_bounds[ci], chunk_bounds[ci + 1]
+            p0 = int(term_starts[t0])
+            p1 = int(term_starts[t1]) if t1 < n_terms else len(docids)
+            if store_positions:
+                positions = (
+                    pos_flat_all[pos_excl[p0]:pos_excl[p1]],
+                    plens[p0:p1],
+                )
+            else:
+                positions = None
+            encs.append(encode_postings_batch(
+                docids[p0:p1], tfs[p0:p1], dls[p0:p1], positions,
+                term_starts[t0:t1] - p0,
+                block_size=block_size, avgdl=avgdl, k1=k1, b=b,
+            ))
+
+        def cat(key, dtype=None):
+            arrs = [e[key] for e in encs]
+            if isinstance(arrs[0], np.ndarray):
+                return np.concatenate(arrs)
+            return [x for a in arrs for x in a]
+
+        block_offsets = encs[0]["block_offsets"]
+        for e in encs[1:]:
+            block_offsets = np.concatenate(
+                (block_offsets, e["block_offsets"][1:] + block_offsets[-1])
+            )
         buckets = [zlib.crc32(t.encode()) % num_buckets for t in uniq_terms]
         bm_type = out_schema.field("block_meta").type
         struct_t = bm_type.value_type
         bm_values = pa.StructArray.from_arrays(
             [
-                pa.array(enc["first_docid"], type=pa.int64()),
-                pa.array(enc["max_docid"], type=pa.int64()),
-                pa.array(enc["max_impact"], type=pa.float64()),
-                pa.array(enc["doc_off"], type=pa.int64()),
-                pa.array(enc["tf_off"], type=pa.int64()),
-                pa.array(enc["dl_off"], type=pa.int64()),
-                pa.array(enc["pos_off"], type=pa.int64()),
+                pa.array(cat("first_docid"), type=pa.int64()),
+                pa.array(cat("max_docid"), type=pa.int64()),
+                pa.array(cat("max_impact"), type=pa.float64()),
+                pa.array(cat("doc_off"), type=pa.int64()),
+                pa.array(cat("tf_off"), type=pa.int64()),
+                pa.array(cat("dl_off"), type=pa.int64()),
+                pa.array(cat("pos_off"), type=pa.int64()),
             ],
             fields=list(struct_t),
         )
         bm = pa.ListArray.from_arrays(
-            pa.array(enc["block_offsets"], type=pa.int32()), bm_values
+            pa.array(block_offsets, type=pa.int32()), bm_values
         ).cast(bm_type)
-        n_terms = len(uniq_terms)
         return pa.Table.from_arrays(
             [
                 pa.array(buckets, type=pa.int32()),
                 pa.array(uniq_terms, type=pa.string()),
                 pa.array([shard] * n_terms, type=pa.int32()),
-                pa.array(enc["n_docs"], type=pa.int32()),
-                pa.array(enc["docs"], type=pa.binary()),
-                pa.array(enc["tfs"], type=pa.binary()),
-                pa.array(enc["dls"], type=pa.binary()),
-                pa.array(enc["poss"], type=pa.binary()),
+                pa.array(cat("n_docs"), type=pa.int32()),
+                pa.array(cat("docs"), type=pa.binary()),
+                pa.array(cat("tfs"), type=pa.binary()),
+                pa.array(cat("dls"), type=pa.binary()),
+                pa.array(cat("poss"), type=pa.binary()),
                 bm,
             ],
             schema=out_schema,
