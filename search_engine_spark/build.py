@@ -21,13 +21,17 @@ Pipeline (each stage checkpointed, see ``index.py``):
 4. ``terms``     — global dictionary (term, term_id, df, cf, max_tf)
    (reference words FST, ``src/index.rs:56``). df is computed globally
    BEFORE sharding, so BM25 idf is exact regardless of salting.
-5. ``postings``  — per term-bucket: ``groupBy(shard).applyInArrow``
+5. ``postings``  — per term-bucket: ``groupBy(shard[, tsalt]).applyInArrow``
    merges each term's sorted runs and encodes sorted-docid delta+varint
    blocks with block-max metadata (reference P2 ``extract_word_docids.rs``
    + codec ``cbo_roaring_bitmap_codec.rs`` replaced per the north rule).
    ``shard = docid % num_shards`` is the skew salt: a head term's postings
    split into num_shards bounded groups, and query-time scoring is
-   document-partitioned (per-shard top-k + global merge).
+   document-partitioned (per-shard top-k + global merge). At large corpora
+   an additional term-hash salt ``tsalt`` (config.encode_salt, auto-sized)
+   subdivides each shard group so the encode task grain stays
+   ~encode_group_postings postings — segments are byte-identical either
+   way since a (term, shard) posting list never crosses groups.
 6. ``finalize``  — meta.json commit (the "snapshot publish").
 
 Full-data exchanges in the whole build: the stage-1 range shuffle and the
@@ -1319,6 +1323,18 @@ def build_index(
         lineage_dir=os.path.join(paths.metrics, f"tasks-{build_id}"),
     )
     os.makedirs(paths.gen_dir(paths.postings, 0), exist_ok=True)
+    # Term-salt factor for the encode groups (see IndexConfig.encode_salt):
+    # sized so one group ~ encode_group_postings postings. A term's whole
+    # (term, shard) posting list stays inside one group (salt is a pure
+    # term hash), so segments are byte-identical to the unsalted build.
+    n_postings_total = int(
+        log.read("extract")["metrics"].get("n_postings") or 0
+    )
+    enc_salt = config.encode_salt or max(1, min(64, -(
+        -n_postings_total
+        // (config.num_buckets * config.num_shards
+            * config.encode_group_postings)
+    )))
 
     def run_bucket(b: int) -> None:
         stage = f"postings:bucket={b}"
@@ -1326,7 +1342,21 @@ def build_index(
             return
         t0 = time.time()
         td_b = term_doc.filter(F.col("bucket") == b)
-        seg = td_b.groupBy("shard").applyInArrow(encode_fn, schema=POSTINGS_SCHEMA)
+        if enc_salt > 1:
+            # explicit repartition on the grouping keys: Catalyst reuses
+            # the HashPartitioning for the groupBy (ONE shuffle), and 2x
+            # partitions-per-key keeps hash-collision stacking ~1 group
+            td_b = td_b.withColumn(
+                "tsalt",
+                F.pmod(F.xxhash64("term"), F.lit(enc_salt)).cast("int"),
+            ).repartition(config.num_shards * enc_salt * 2, "shard", "tsalt")
+            seg = td_b.groupBy("shard", "tsalt").applyInArrow(
+                encode_fn, schema=POSTINGS_SCHEMA
+            )
+        else:
+            seg = td_b.groupBy("shard").applyInArrow(
+                encode_fn, schema=POSTINGS_SCHEMA
+            )
         obs = Observation()
         seg = seg.observe(
             obs,

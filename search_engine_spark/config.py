@@ -94,6 +94,18 @@ class IndexConfig:
     # stage must not inherit the input's file-layout partitioning)
     extract_partitions: int | None = None
 
+    # Encode-group term salt: split every (bucket, shard) postings encode
+    # group into G term-hash subgroups, bounding the unit of postings-stage
+    # work to ~encode_group_postings postings regardless of corpus size.
+    # Without it the stage's parallel grain is num_buckets x num_shards
+    # whole groups hashed into shuffle partitions — at 16 shards a third of
+    # the tasks carry 2-3 whole groups (hash collisions) and the stage wall
+    # is a multi-group straggler, which caps measured 2->8 core scaling.
+    # None -> auto from the extract stage's measured postings count (1 at
+    # small corpora: identical plans, zero extra files); int forces G.
+    encode_salt: int | None = None
+    encode_group_postings: int = 1_500_000
+
     k1: float = BM25_K1
     b: float = BM25_B
 

@@ -119,6 +119,26 @@ def test_staging_parquet_equals_cache(spark, tmp_path_factory):
     )
 
 
+def test_encode_salt_byte_identical(spark, tmp_path_factory):
+    """encode_salt=G (scale path: term-hash subgroups bound the encode
+    task grain) must produce byte-identical segments and identical search
+    results vs the unsalted encode — a (term, shard) posting list never
+    crosses groups, so only the grouping layout changes."""
+    from search_engine_spark.query import SearchIndex
+
+    tmp = tmp_path_factory.mktemp("encsalt")
+    pdf = _corpus(300)
+    a = _build(spark, tmp, "nosalt", pdf, 4,
+               num_shards=2, num_buckets=2, encode_salt=1)
+    b = _build(spark, tmp, "salt4", pdf, 6,
+               num_shards=2, num_buckets=2, encode_salt=4)
+    assert _docids(spark, a) == _docids(spark, b)
+    assert _postings_hash(spark, a) == _postings_hash(spark, b)
+    ixa, ixb = SearchIndex(spark, a), SearchIndex(spark, b)
+    for q in ["w1 w2 w3", "w40", '"w1 w2"']:
+        assert ixa.search_list(q, k=10) == ixb.search_list(q, k=10), q
+
+
 def test_term_rank_mode_rank_equals_window(spark, tmp_path_factory):
     """term_rank_mode='rank' (scale path past 10M terms: two-pass range
     rank, no single-task window) must produce the identical dictionary —
