@@ -139,8 +139,12 @@ def main():
     th = threading.Thread(target=cpu_sampler, args=(stop, samples), daemon=True)
     th.start()
     t0 = time.time()
-    p = subprocess.run([sys.executable, "-c", WORKER, cpus, corpus,
-                        f"/tmp/diag_idx_{cpus}"],
+    cmd = [sys.executable, "-c", WORKER, cpus, corpus, f"/tmp/diag_idx_{cpus}"]
+    if os.environ.get("SPARK_GRAFT_PIN") == "1":
+        # confine JVM + python UDF workers to exactly N cores (see
+        # scaling_bench.run_worker) so busy-cores reads the leak directly
+        cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
+    p = subprocess.run(cmd,
                        capture_output=True, text=True, env=env, cwd=REPO,
                        timeout=5400)
     stop.set()

@@ -117,11 +117,21 @@ def wait_quiet(max_wait: int = 900, thresh: float = 2.5) -> float:
     return float(open("/proc/loadavg").read().split()[0])
 
 
-def run_worker(script: str, *args: str) -> dict | None:
+def run_worker(script: str, *args: str, pin_cores: int | None = None) -> dict | None:
     env = dict(os.environ, PYTHONPATH=REPO, SEARCH_ENGINE_REPO=REPO)
     apply_runtime_env(env)
+    cmd = [sys.executable, "-c", script, *args]
+    if pin_cores:
+        # SPARK_GRAFT_PIN=1: confine the WHOLE worker tree (JVM + Arrow
+        # UDF python workers) to exactly N cores via taskset. Unpinned
+        # local[N] leaks compute: python UDF workers are separate
+        # processes outside the N task slots (measured: a local[2] 4M
+        # build keeps ~2.6 host cores busy, p90 3.2). A real N-core
+        # executor shares its cgroup with its python workers, so the
+        # pinned number is the cluster-faithful one.
+        cmd = ["taskset", "-c", f"0-{pin_cores - 1}"] + cmd
     p = subprocess.run(
-        [sys.executable, "-c", script, *args],
+        cmd,
         capture_output=True, text=True, env=env, cwd=REPO, timeout=5400,
     )
     for line in p.stdout.splitlines():
@@ -142,9 +152,12 @@ def bench_levels(corpus: str, levels: list[str], runs_per_level: int = 2) -> dic
     for i in range(runs_per_level):
         order += levels if i % 2 == 0 else list(reversed(levels))
     results: dict[str, dict] = {}
+    pin = os.environ.get("SPARK_GRAFT_PIN") == "1"
     for cpus in order:
         load = wait_quiet()
-        r = run_worker(WORKER, cpus, corpus, f"/tmp/scaling_idx_{cpus}")
+        r = run_worker(WORKER, cpus, corpus, f"/tmp/scaling_idx_{cpus}",
+                       pin_cores=int(cpus) if pin else None)
+        r["pinned"] = pin
         r["loadavg_before"] = load
         print(f"local[{cpus}] attempt: {r}")
         if cpus not in results or r["build_s"] < results[cpus]["build_s"]:

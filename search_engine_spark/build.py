@@ -133,12 +133,12 @@ def doc_lengths(term_doc: DataFrame) -> DataFrame:
                 if not n:
                     continue
                 d = delta_decode_runs(
-                    varint_decode(d_col[i].as_py(), n).astype(np.int64),
+                    varint_decode(d_col[i].as_py(), n, dtype=np.int64),
                     np.zeros(1, dtype=np.int64),
                 )
                 docids_chunks.append(d)
                 dls_chunks.append(
-                    varint_decode(t_col[i].as_py(), n).astype(np.int32)
+                    varint_decode(t_col[i].as_py(), n, dtype=np.int32)
                 )
             docids = (
                 np.concatenate(docids_chunks) if docids_chunks
@@ -544,14 +544,21 @@ def make_extract_fn(config: IndexConfig):
                 uniq_keys, tf = np.unique(key, return_counts=True)
                 pos_sorted = None
 
-            row_code = (uniq_keys // kdt(n_docs_b)).astype(np.int64)
-            row_doc_idx = (uniq_keys % kdt(n_docs_b)).astype(np.int64)
+            row_code = uniq_keys // kdt(n_docs_b)  # stays kdt-width
+            row_doc_idx = uniq_keys % kdt(n_docs_b)
             row_docid = doc_ids[row_doc_idx]
             row_dl = lengths[row_doc_idx].astype(np.int32)
-            row_shard = (row_docid % num_shards).astype(np.int64)
+            row_shard = (row_docid % num_shards).astype(np.int32)
 
-            # group posting rows by (term, shard); stable keeps docid order
-            gkey = row_code * num_shards + row_shard
+            # group posting rows by (term, shard); stable keeps docid order.
+            # Same 4-byte-key diet as the token sort above: this is the
+            # posting-level sort pass, and (n_uniq * num_shards) almost
+            # always fits int32.
+            gdt = np.int32 if int(n_uniq) * num_shards < 2**31 else np.int64
+            gkey = (
+                row_code.astype(gdt, copy=False) * gdt(num_shards)
+                + row_shard.astype(gdt, copy=False)
+            )
             order2 = np.argsort(gkey, kind="stable")
             g_sorted = gkey[order2]
             bounds = np.flatnonzero(g_sorted[1:] != g_sorted[:-1]) + 1
@@ -577,9 +584,12 @@ def make_extract_fn(config: IndexConfig):
             d_buf, d_boffs = varint_encode_runs(
                 delta_encode_runs(docid_s, starts), run_offs
             )
-            t_buf, t_boffs = varint_encode_runs(tf_s.astype(np.int64), run_offs)
-            l_buf, l_boffs = varint_encode_runs(dl_s.astype(np.int64), run_offs)
-            run_cf = np.add.reduceat(tf_s.astype(np.int64), starts)
+            # dtype-native varint (uint32 view of the int32 arrays): no
+            # widening copies — the 8->32 pair is DRAM-bandwidth-bound, so
+            # every 8-byte temporary here is measured wall time
+            t_buf, t_boffs = varint_encode_runs(tf_s, run_offs)
+            l_buf, l_boffs = varint_encode_runs(dl_s, run_offs)
+            run_cf = np.add.reduceat(tf_s, starts, dtype=np.int64)
             run_max_tf = np.maximum.reduceat(tf_s, starts).astype(np.int32)
             cols = [
                 pa.array(bucket_u[g_code], type=pa.int32()),
@@ -610,7 +620,7 @@ def make_extract_fn(config: IndexConfig):
                 gidx = np.arange(tot, dtype=np.int32) + np.repeat(
                     starts_o - excl, tf_s
                 )
-                pos_group_flat = pos_sorted[gidx].astype(np.int64)
+                pos_group_flat = pos_sorted[gidx]  # int32, native width
                 # per-POSTING delta (first position absolute), varint cut at
                 # RUN boundaries in token space (runs are contiguous)
                 p_deltas = delta_encode_runs(pos_group_flat, excl64[:-1])
@@ -726,27 +736,31 @@ def make_encode_fn(config: IndexConfig, avgdl: float, lineage_dir: str | None = 
         # ONE vectorized varint decode per stream over the whole group,
         # then a segmented delta decode for docids (runs = rows)
         d_val = delta_decode_runs(
-            varint_decode(_blob_flat(tbl, "docs"), int(d_off[-1])).astype(
-                np.int64
+            varint_decode(
+                _blob_flat(tbl, "docs"), int(d_off[-1]), dtype=np.int64
             ),
             d_off[:-1],
         )
+        # tf/dl/positions fit uint32 (tf<=dl<=2^31 tokens, positions are
+        # fid<<16|pos int32 packs): decode at half width and stay there —
+        # the sort gathers and the batch encode below then move 4-byte
+        # lanes end-to-end (the 8->32 DRAM-bandwidth diet)
         t_val = varint_decode(
-            _blob_flat(tbl, "tfs"), int(d_off[-1])
-        ).astype(np.int64)
+            _blob_flat(tbl, "tfs"), int(d_off[-1]), dtype=np.uint32
+        )
         l_val = varint_decode(
-            _blob_flat(tbl, "dls"), int(d_off[-1])
-        ).astype(np.int64)
+            _blob_flat(tbl, "dls"), int(d_off[-1]), dtype=np.uint32
+        )
         if store_positions:
             i_lens = t_val  # positions per posting == tf (codec invariant)
             i_off = np.zeros(len(i_lens) + 1, dtype=np.int64)
             np.cumsum(i_lens, out=i_off[1:])
             i_val = delta_decode_runs(
                 varint_decode(
-                    _blob_flat(tbl, "poss"), int(i_off[-1])
-                ).astype(np.int64),
+                    _blob_flat(tbl, "poss"), int(i_off[-1]), dtype=np.int64
+                ),
                 i_off[:-1],
-            )
+            ).astype(np.uint32)
         shard = int(tbl.column("shard")[0].as_py())
 
         # ONE global (term rank, docid) sort over all values replaces the

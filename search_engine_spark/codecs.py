@@ -36,20 +36,45 @@ from dataclasses import dataclass
 import numpy as np
 
 _BOUNDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
+# dtype-matched bound tables so narrow inputs (uint16 tf, uint32 dl/gap/
+# position temporaries — the 8->32 byte diet) never pay a uint64 upcast
+# copy in searchsorted: LEB128 bytes depend only on the VALUE, so the
+# narrow-dtype encode is byte-identical to the uint64 one (tested).
+_BOUNDS_BY_SIZE = {
+    1: np.array([1 << 7], dtype=np.uint8),
+    2: np.array([1 << 7, 1 << 14], dtype=np.uint16),
+    4: np.array([1 << (7 * i) for i in range(1, 5)], dtype=np.uint32),
+    8: _BOUNDS,
+}
+
+
+def _as_unsigned(values: np.ndarray) -> np.ndarray:
+    """Contiguous same-width unsigned view of an integer array (no copy for
+    signed inputs — callers guarantee non-negative values)."""
+    v = np.ascontiguousarray(values)
+    if v.dtype.kind == "i":
+        v = v.view(f"u{v.dtype.itemsize}")
+    elif v.dtype.kind != "u":
+        v = np.ascontiguousarray(values, dtype=np.uint64)
+    return v
 
 
 def varint_encode(values: np.ndarray, nb: np.ndarray | None = None) -> bytes:
     """LEB128-encode an array of non-negative ints (vectorized).
 
-    ``nb``: optional precomputed per-value byte counts (``varint_nbytes``)
-    so callers that also need the counts (``varint_encode_runs``) pay the
-    searchsorted once. All-single-byte inputs (small gaps/tfs — the common
-    posting payload) short-circuit to one astype."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    Dtype-native: a uint16/uint32 input is encoded without any widening
+    copy (bytes depend only on values, so output is identical across
+    dtypes). ``nb``: optional precomputed per-value byte counts
+    (``varint_nbytes``) so callers that also need the counts
+    (``varint_encode_runs``) pay the searchsorted once. All-single-byte
+    inputs (small gaps/tfs — the common posting payload) short-circuit to
+    one astype."""
+    v = _as_unsigned(values)
     if v.size == 0:
         return b""
     if nb is None:
-        nb = (np.searchsorted(_BOUNDS, v, side="right") + 1).astype(np.int64)
+        bounds = _BOUNDS_BY_SIZE[v.dtype.itemsize]
+        nb = (np.searchsorted(bounds, v, side="right") + 1).astype(np.int64)
     max_nb = int(nb.max())
     if max_nb == 1:
         return v.astype(np.uint8).tobytes()
@@ -57,45 +82,59 @@ def varint_encode(values: np.ndarray, nb: np.ndarray | None = None) -> bytes:
     np.cumsum(nb[:-1], out=offsets[1:])
     total = int(offsets[-1] + nb[-1])
     out = np.zeros(total, dtype=np.uint8)
+    t = v.dtype.type
     for j in range(max_nb):
         mask = nb > j
         idx = offsets[mask] + j
-        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        byte = ((v[mask] >> t(7 * j)) & t(0x7F)).astype(np.uint8)
         if j + 1 < max_nb:
             byte |= (nb[mask] > j + 1).astype(np.uint8) << 7
         out[idx] = byte
     return out.tobytes()
 
 
-def varint_decode(buf: bytes | memoryview, n: int | None = None) -> np.ndarray:
-    """Decode LEB128 bytes back to uint64 (vectorized).
+def varint_decode(
+    buf: bytes | memoryview, n: int | None = None, dtype=np.uint64
+) -> np.ndarray:
+    """Decode LEB128 bytes back to unsigned ints (vectorized).
+
+    ``dtype``: output dtype (default uint64). Passing uint32 for streams
+    whose values are known < 2**32 (tf/dl/position payloads) halves the
+    decode's memory traffic — the accumulator array IS the output. Raises
+    if the stream holds a value wider than ``dtype``.
 
     Per-BYTE-POSITION passes (at most 10), each a plain gather + shifted OR
     into a value-indexed array — no scatter (``np.add.at`` here measured
     ~10x slower than these gathers on posting-sized buffers). The all-
     single-byte case (small gaps/tfs — the common posting payload) is one
     astype."""
+    dt = np.dtype(dtype)
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
-        return np.zeros(0, dtype=np.uint64)
+        return np.zeros(0, dtype=dt)
     terminal = b < 0x80
     term_pos = np.flatnonzero(terminal)
     n_vals = len(term_pos)
     if n is not None and n != n_vals:
         raise ValueError(f"expected {n} varints, found {n_vals}")
     if n_vals == b.size:  # every byte terminal: all values < 128
-        return b.astype(np.uint64)
+        return b.astype(dt)
     starts = np.empty(n_vals, dtype=np.int64)
     starts[0] = 0
     starts[1:] = term_pos[:-1] + 1
     lens = term_pos - starts + 1
-    vals = (b[starts] & np.uint8(0x7F)).astype(np.uint64)
+    vals = (b[starts] & np.uint8(0x7F)).astype(dt)
     max_len = int(lens.max())
+    if 7 * (max_len - 1) >= 8 * dt.itemsize:
+        raise ValueError(
+            f"varint stream holds {max_len}-byte values; too wide for {dt}"
+        )
+    t = dt.type
     sel = np.flatnonzero(lens > 1)
     for j in range(1, max_len):
         vals[sel] |= (b[starts[sel] + j] & np.uint8(0x7F)).astype(
-            np.uint64
-        ) << np.uint64(7 * j)
+            dt
+        ) << t(7 * j)
         if j + 1 < max_len:
             sel = sel[lens[sel] > j + 1]
     return vals
@@ -119,9 +158,11 @@ def delta_decode(deltas: np.ndarray, base: int = 0) -> np.ndarray:
 
 
 def varint_nbytes(values: np.ndarray) -> np.ndarray:
-    """Per-value LEB128 byte counts (int64) for non-negative ints."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
-    return (np.searchsorted(_BOUNDS, v, side="right") + 1).astype(np.int64)
+    """Per-value LEB128 byte counts (int64) for non-negative ints
+    (dtype-native: no widening copy for narrow inputs)."""
+    v = _as_unsigned(values)
+    bounds = _BOUNDS_BY_SIZE[v.dtype.itemsize]
+    return (np.searchsorted(bounds, v, side="right") + 1).astype(np.int64)
 
 
 def varint_encode_runs(
@@ -145,8 +186,12 @@ def varint_encode_runs(
 def delta_encode_runs(values: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
     """Per-run delta encode a flat array of concatenated ascending runs:
     each run's first value stays ABSOLUTE, later values become gaps —
-    so runs decode independently (``delta_decode_runs``)."""
-    v = np.ascontiguousarray(values, dtype=np.int64)
+    so runs decode independently (``delta_decode_runs``).
+
+    Dtype-native (byte-diet): within a run values ascend so gaps are
+    non-negative in the input dtype; any cross-run wraparound of the raw
+    diff is immediately overwritten with the absolute run-start value."""
+    v = np.ascontiguousarray(values)
     out = np.empty_like(v)
     if v.size:
         out[0] = v[0]
@@ -337,8 +382,11 @@ def encode_postings_batch(
     n = int(len(docids))
     n_terms = len(term_starts)
     docids = np.ascontiguousarray(docids, dtype=np.int64)
-    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
-    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    # tf/dl keep their native width (uint32 from the decode path) — the
+    # whole encode then runs without a single 8-byte temporary for them
+    # (varint_* are dtype-native), halving this kernel's DRAM traffic
+    tfs = np.ascontiguousarray(tfs)
+    dls = np.ascontiguousarray(dls)
     term_starts = np.ascontiguousarray(term_starts, dtype=np.int64)
     term_ends = np.append(term_starts[1:], n)
     term_lens = term_ends - term_starts
@@ -361,21 +409,27 @@ def encode_postings_batch(
     cuts = np.append(block_start, n)
     deltas = delta_encode(docids)
     deltas[block_start] = 0  # block-local: base = first_docid from metadata
-    docs_buf, docs_off = varint_encode_runs(deltas.astype(np.uint64), cuts)
-    tfs_buf, tfs_off = varint_encode_runs(tfs.astype(np.uint64), cuts)
-    dls_buf, dls_off = varint_encode_runs(dls.astype(np.uint64), cuts)
+    docs_buf, docs_off = varint_encode_runs(deltas, cuts)
+    tfs_buf, tfs_off = varint_encode_runs(tfs, cuts)
+    dls_buf, dls_off = varint_encode_runs(dls, cuts)
 
     if positions is not None:
         flat, lens = positions
-        flat = np.ascontiguousarray(flat, dtype=np.int64)
+        flat = np.ascontiguousarray(flat)  # native width (uint32 hot path)
         lens = np.ascontiguousarray(lens, dtype=np.int64)
         tok_cum = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=tok_cum[1:])
-        pdeltas = delta_encode(flat)
+        # delta in the native dtype; unsigned wraparound can only occur
+        # across posting boundaries, and every boundary is a reset point
+        # overwritten with the absolute value just below
+        pdeltas = np.empty_like(flat)
+        if flat.size:
+            pdeltas[0] = flat[0]
+            np.subtract(flat[1:], flat[:-1], out=pdeltas[1:])
         nz = tok_cum[:-1][lens > 0]  # reset at each posting's first position
         pdeltas[nz] = flat[nz]
         pos_cuts = np.append(tok_cum[block_start], int(tok_cum[-1]))
-        poss_buf, poss_off = varint_encode_runs(pdeltas.astype(np.uint64), pos_cuts)
+        poss_buf, poss_off = varint_encode_runs(pdeltas, pos_cuts)
     else:
         poss_buf = b""
         poss_off = np.zeros(total_blocks + 1, dtype=np.int64)
@@ -497,23 +551,23 @@ class PostingReader:
     def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (docids, tfs, dls) for block i."""
         n = self._block_len(i)
-        d = varint_decode(self._docs[self.doc_off[i] : self.doc_off[i + 1]], n)
+        d = varint_decode(self._docs[self.doc_off[i] : self.doc_off[i + 1]], n, dtype=np.int64)
         docids = delta_decode(d.astype(np.int64), base=int(self.first_docid[i]))
-        tfs = varint_decode(self._tfs[self.tf_off[i] : self.tf_off[i + 1]], n).astype(np.int64)
-        dls = varint_decode(self._dls[self.dl_off[i] : self.dl_off[i + 1]], n).astype(np.int64)
+        tfs = varint_decode(self._tfs[self.tf_off[i] : self.tf_off[i + 1]], n, dtype=np.int64)
+        dls = varint_decode(self._dls[self.dl_off[i] : self.dl_off[i + 1]], n, dtype=np.int64)
         return docids, tfs, dls
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if self.n_docs == 0:
             z = np.zeros(0, dtype=np.int64)
             return z, z.copy(), z.copy()
-        deltas = varint_decode(self._docs, self.n_docs).astype(np.int64)
+        deltas = varint_decode(self._docs, self.n_docs, dtype=np.int64)
         # un-delta across blocks: add block base at each block start
         starts = np.arange(self.n_blocks) * self.block_size
         deltas[starts] = self.first_docid  # delta at block start is 0 by construction
         docids = _grouped_cumsum(deltas, starts)
-        tfs = varint_decode(self._tfs, self.n_docs).astype(np.int64)
-        dls = varint_decode(self._dls, self.n_docs).astype(np.int64)
+        tfs = varint_decode(self._tfs, self.n_docs, dtype=np.int64)
+        dls = varint_decode(self._dls, self.n_docs, dtype=np.int64)
         return docids, tfs, dls
 
     @staticmethod
@@ -525,7 +579,7 @@ class PostingReader:
         varint decode + one segmented prefix sum recovers every doc's sorted
         positions with zero per-posting Python work."""
         total = int(tfs.sum())
-        deltas = varint_decode(pos_bytes, total).astype(np.int64)
+        deltas = varint_decode(pos_bytes, total, dtype=np.int64)
         doc_starts = np.zeros(len(tfs), dtype=np.int64)
         np.cumsum(tfs[:-1], out=doc_starts[1:])
         return delta_decode_runs(deltas, doc_starts[tfs > 0])
@@ -537,7 +591,7 @@ class PostingReader:
         no per-posting array objects are created."""
         if len(self._poss) == 0:
             raise ValueError("positions not stored in this index")
-        tfs = varint_decode(self._tfs, self.n_docs).astype(np.int64)
+        tfs = varint_decode(self._tfs, self.n_docs, dtype=np.int64)
         return self._decode_pos_runs(self._poss, tfs), tfs
 
     def decode_block_flat_positions(self, i: int) -> tuple[np.ndarray, np.ndarray]:
@@ -545,7 +599,7 @@ class PostingReader:
         if len(self._poss) == 0:
             raise ValueError("positions not stored in this index")
         n = self._block_len(i)
-        tfs = varint_decode(self._tfs[self.tf_off[i] : self.tf_off[i + 1]], n).astype(np.int64)
+        tfs = varint_decode(self._tfs[self.tf_off[i] : self.tf_off[i + 1]], n, dtype=np.int64)
         flat = self._decode_pos_runs(
             self._poss[self.pos_off[i] : self.pos_off[i + 1]], tfs
         )

@@ -540,7 +540,7 @@ def _filter_deleted_from_arrays(
             return pdf.iloc[0:0]
         docs_buf = b"".join(pdf["docs"])
         docids = delta_decode_runs(
-            varint_decode(docs_buf, total).astype(np.int64), starts[nz]
+            varint_decode(docs_buf, total, dtype=np.int64), starts[nz]
         )
         gen_per_val = np.repeat(pdf["gen"].to_numpy().astype(np.int64), n)
         keep = ~dead_of(docids, gen_per_val)
@@ -557,7 +557,7 @@ def _filter_deleted_from_arrays(
         docs_b, docs_off = varint_encode_runs(
             delta_encode_runs(d_kept, new_starts).astype(np.uint64), offs
         )
-        t_all = varint_decode(b"".join(pdf["tfs"]), total).astype(np.int64)
+        t_all = varint_decode(b"".join(pdf["tfs"]), total, dtype=np.int64)
         tfs_b, tfs_off = varint_encode_runs(
             t_all[keep].astype(np.uint64), offs
         )
@@ -572,7 +572,7 @@ def _filter_deleted_from_arrays(
             if "poss" in out.columns:
                 out["poss"] = pd.Series([b""] * len(out), dtype="object")
             return out
-        dl_all = varint_decode(b"".join(pdf["dls"]), total).astype(np.int64)
+        dl_all = varint_decode(b"".join(pdf["dls"]), total, dtype=np.int64)
         dls_b, dls_off = varint_encode_runs(
             dl_all[keep].astype(np.uint64), offs
         )
@@ -589,7 +589,7 @@ def _filter_deleted_from_arrays(
             # absolute), so surviving postings' raw deltas re-concatenate
             # without re-encoding: mask per TOKEN, one varint pass
             tok_total = int(t_all.sum())
-            p_all = varint_decode(b"".join(pdf["poss"]), tok_total).astype(np.uint64)
+            p_all = varint_decode(b"".join(pdf["poss"]), tok_total)
             tok_keep = np.repeat(keep, t_all)
             tok_counts = np.zeros(len(n), dtype=np.int64)
             tok_counts[nz] = np.add.reduceat(t_surv, starts[nz])

@@ -45,6 +45,30 @@ def test_varint_sizes():
     assert len(varint_encode(np.array([2**21 - 1], dtype=np.uint64))) == 3
 
 
+@pytest.mark.parametrize("dtype", [np.uint16, np.uint32, np.int32, np.int64])
+def test_varint_narrow_dtypes_byte_identical(dtype):
+    """uint32/uint16-native encode (the 8->32 byte-diet path: no uint64
+    upcast copy) must produce the identical LEB128 bytes, and decode with
+    a narrow out dtype must round-trip."""
+    hi = min(np.iinfo(dtype).max, 2**40)
+    vals = RNG.integers(0, int(hi), size=10_000).astype(dtype)
+    enc_n = varint_encode(vals)
+    enc_w = varint_encode(vals.astype(np.uint64))
+    assert enc_n == enc_w
+    dec = varint_decode(enc_n, dtype=np.uint32 if hi <= 2**32 else np.uint64)
+    assert np.array_equal(dec.astype(np.int64), vals.astype(np.int64))
+
+
+def test_varint_decode_dtype_param():
+    vals = np.array([0, 1, 127, 128, 2**14, 2**21 - 1, 2**28 + 5,
+                     2**32 - 1], dtype=np.uint64)
+    enc = varint_encode(vals)
+    for dt in (np.uint32, np.uint64):
+        dec = varint_decode(enc, dtype=dt)
+        assert dec.dtype == np.dtype(dt)
+        assert np.array_equal(dec.astype(np.uint64), vals)
+
+
 def test_delta_roundtrip():
     v = np.sort(RNG.choice(10**9, size=5000, replace=False)).astype(np.int64)
     assert np.array_equal(delta_decode(delta_encode(v)), v)
