@@ -136,7 +136,7 @@ class IndexConfig:
     # rank is the right cost/complexity point for most indexes; past
     # term_window_max_terms the build switches to the same scalable
     # two-pass range rank used for docids (assign_docids: range shuffle,
-    # per-partition counts, broadcast offsets). 'auto' counts the
+    # per-partition counts, offset-literal rank). 'auto' counts the
     # dictionary (cheap: the aggregated frame is persisted for the write
     # anyway) and picks; 'window' / 'rank' force a path.
     term_rank_mode: str = "auto"  # 'auto' | 'window' | 'rank'
