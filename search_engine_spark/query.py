@@ -379,6 +379,41 @@ class SearchIndex:
         )
         return {r["term"]: r["df"] for r in rows}
 
+    def _rank_splits(
+        self, cands: list[tuple[int, int, str, str]]
+    ) -> list[tuple[str, str]]:
+        """Order candidate word-splits the way the reference does
+        (``query_graph.rs:398-453``): by pair-proximity-1 doc frequency —
+        how many documents contain ``left`` immediately followed by
+        ``right``. The reference reads this from its precomputed
+        ``word_pair_proximity_docids`` DB; we compute it on demand from
+        stored positions with the ``_phrase_docids`` packed-key kernel over
+        driver point-read postings (row-group-pruned pyarrow, no Spark
+        job). Only runs when the order can matter (>1 candidate); falls
+        back to min-df descending when positions aren't stored or the
+        candidates' postings exceed the driver point-read budget.
+
+        ``cands`` rows are ``(min_df, df_sum, left, right)``.
+        """
+        if len(cands) <= 1:
+            return [(c[2], c[3]) for c in cands]
+        if (self.config.store_positions
+                and sum(c[1] for c in cands) <= self.driver_exec_max_postings):
+            terms = sorted({h for c in cands for h in (c[2], c[3])})
+            readers = self._readers_for(terms)
+            deleted = self._deleted if len(self._deleted) else None
+            ranked = []
+            for min_df, _df_sum, left, right in cands:
+                docs = _phrase_docids(readers, [left, right],
+                                      self._partial_tombs)
+                if deleted is not None and len(docs):
+                    docs = docs[~np.isin(docs, deleted)]
+                ranked.append((len(docs), min_df, left, right))
+            ranked.sort(key=lambda c: (-c[0], -c[1], c[2]))
+            return [(c[2], c[3]) for c in ranked]
+        cands = sorted(cands, key=lambda c: (-c[0], c[2]))
+        return [(c[2], c[3]) for c in cands]
+
     def _expand_prefix(self, prefix: str) -> dict[str, int]:
         d = self._local_dict()
         if d is not None:
@@ -447,12 +482,16 @@ class SearchIndex:
         it (reference Q5, settings-driven synonym map).
         ``splits=True`` derives two-word splits of each query word whose
         halves both exist in the dictionary ("newyork" also matches
-        "new york"; reference Q6, ``query_graph.rs:398-453``). Deviation:
-        the reference ranks candidate splits by pair-proximity-1 frequency,
-        which needs the pair-proximity DB we deliberately don't build; we
-        rank by min(df(left), df(right)) descending and keep the top
-        ``split_take_n`` (reference ``split_take_n=4``,
-        ``src/update/split_config.rs``).
+        "new york"; reference Q6, ``query_graph.rs:398-453``). Candidate
+        splits are ranked by pair-proximity-1 doc frequency — the number
+        of documents where left is immediately followed by right — exactly
+        the reference's ``word_pair_proximity_docids`` rank, computed on
+        demand from stored positions via the driver point-read path
+        (``_rank_splits``) instead of a precomputed pair DB. When positions
+        aren't stored or the candidates' postings exceed the point-read
+        budget, falls back to min(df(left), df(right)) descending
+        (documented fallback). Top ``split_take_n`` kept (reference
+        ``split_take_n=4``, ``src/update/split_config.rs``).
 
         ``matching_strategy`` (reference TermsMatchingStrategy,
         ``src/search/mod.rs:226-238``): 'any' = disjunctive BM25 (engine
@@ -540,9 +579,9 @@ class SearchIndex:
                 for i in range(1, len(w)):
                     halves = self._lookup_exact([w[:i], w[i:]])
                     if len(halves) == 2:
-                        cands.append((min(halves.values()), w[:i], w[i:]))
-                cands.sort(key=lambda c: (-c[0], c[1]))
-                for _, left, right in cands[:split_take_n]:
+                        cands.append((min(halves.values()),
+                                      sum(halves.values()), w[:i], w[i:]))
+                for left, right in self._rank_splits(cands)[:split_take_n]:
                     add(self._lookup_exact([left, right]), SPLIT_PENALTY)
         for pref in pq.prefixes:
             exp = self._expand_prefix(pref)

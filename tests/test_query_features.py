@@ -421,3 +421,35 @@ def test_search_rows_identical_to_search(search_index):
         "search engine", k=10, execution="cluster").collect()]
     assert a == b
     assert search_index.search_rows("zzzzqqq") == []
+
+
+def test_split_candidates_ranked_by_pair1_frequency(spark, tmp_path):
+    """Reference Q6 split ranking (query_graph.rs:398-453): candidate
+    splits are ordered by pair-proximity-1 doc frequency (left immediately
+    followed by right), not by the halves' df. 'abcd' splits as
+    (a, bcd) — min-df 5, never adjacent — or (ab, cd) — min-df 3, adjacent
+    in 3 docs. With split_take_n=1 the pair-frequency winner (ab, cd) must
+    be chosen; with the point-read budget forced to 0 the documented min-df
+    fallback picks (a, bcd)."""
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+
+    rows = [(0, "abcd whole token")]
+    rows += [(1 + i, f"ab cd adjacent pair {i}") for i in range(3)]
+    rows += [(4 + i, f"a spacer bcd far apart {i}") for i in range(5)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    cfg = IndexConfig(text_col="text", pk_col="doc_id", ts_col=None,
+                      docid_col="doc_id", num_shards=2, num_buckets=2)
+    d = str(tmp_path / "split_idx")
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    ix = SearchIndex(spark, d)
+
+    p = ix.plan("abcd", splits=True, split_take_n=1)
+    assert "ab" in p.term_weights and "cd" in p.term_weights, p.term_weights
+    assert "bcd" not in p.term_weights
+
+    # budget exhausted -> documented min-df fallback (higher-df halves win)
+    ix.driver_exec_max_postings = 0
+    p2 = ix.plan("abcd", splits=True, split_take_n=1)
+    assert "bcd" in p2.term_weights and "ab" not in p2.term_weights
