@@ -128,6 +128,11 @@ def main() -> None:
     timed("q_phrase", lambda: ix.phrase_docids(["part", "filter"]).collect())
     timed("q_bm25_proximity", lambda: ix.search(
         "table join", k=10, mode="exhaustive", proximity=1.0).collect())
+    timed("q_bm25_proximity_cost", lambda: ix.search(
+        "table join merge", k=10, mode="exhaustive", proximity=1.0,
+        proximity_mode="cost").collect())
+    timed("q_bm25_exactness", lambda: ix.search(
+        "table join", k=10, mode="exhaustive", exactness=1.0).collect())
     timed("q_prefix", lambda: ix.search("sc* data", k=10).collect())
     timed("q_facet_distribution", lambda: facet_distribution(
         docs, "source", filter_ast={"lang": {"$ne": "zh"}}).collect())
@@ -145,6 +150,7 @@ def main() -> None:
     timed("q_decontaminate", lambda: _force(curation.decontaminate(
         docs, docs.filter(F.col("doc_id") % 97 == 0), n=5)))
     timed("q_repetition_stats", lambda: _force(curation.repetition_stats(docs)))
+    timed("q_unigram_logloss", lambda: _force(curation.unigram_logloss(docs)))
 
     total = round(sum(timings.values()), 3)
     out = {
