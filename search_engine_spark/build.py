@@ -371,9 +371,20 @@ def _extract_arrow_schema(store_positions: bool):
 
 
 def _binary_runs(buf: bytes, byte_offsets: np.ndarray) -> "object":
-    """Zero-copy Arrow binary array: value i = buf[off[i]:off[i+1]]."""
+    """Zero-copy Arrow binary array: value i = buf[off[i]:off[i+1]].
+
+    pa.binary() carries int32 offsets; Arrow caps batch ROW count but not
+    byte size, so a batch of very long documents could exceed 2^31 encoded
+    bytes — the cast would wrap negative and build a garbage array with no
+    error. Guard loudly (switch to pa.large_binary() if ever hit)."""
     import pyarrow as pa
 
+    if len(byte_offsets) and int(byte_offsets[-1]) >= (1 << 31):
+        raise ValueError(
+            f"encoded batch is {int(byte_offsets[-1])} bytes, past the "
+            "int32 offset range of pa.binary(); lower "
+            "spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
     offs = np.ascontiguousarray(byte_offsets, dtype=np.int32)
     return pa.Array.from_buffers(
         pa.binary(), len(offs) - 1,

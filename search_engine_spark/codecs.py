@@ -125,10 +125,20 @@ def varint_decode(
     lens = term_pos - starts + 1
     vals = (b[starts] & np.uint8(0x7F)).astype(dt)
     max_len = int(lens.max())
-    if 7 * (max_len - 1) >= 8 * dt.itemsize:
+    width = 8 * dt.itemsize
+    if 7 * (max_len - 1) >= width:
         raise ValueError(
             f"varint stream holds {max_len}-byte values; too wide for {dt}"
         )
+    if 7 * max_len > width:
+        # boundary length: the terminal byte may carry bits past the dtype
+        # (a 5-byte varint holds up to 35 bits; uint32 has 32) — byte count
+        # alone can't catch it, so check the top byte's value. Only
+        # max_len-long values can overflow (shorter ones fit by the guard
+        # above); one gather over that usually-tiny subset.
+        tb = b[term_pos[lens == max_len]]
+        if tb.size and int(tb.max()) >= (1 << (width - 7 * (max_len - 1))):
+            raise ValueError(f"varint stream holds values too wide for {dt}")
     t = dt.type
     sel = np.flatnonzero(lens > 1)
     for j in range(1, max_len):

@@ -144,20 +144,6 @@ def parquet_dir_column_max(path: str, col: str) -> int | None:
     return mx
 
 
-def parquet_dir_rows(path: str) -> int:
-    """Row count from parquet footers (local metadata read — no Spark job).
-    Only valid for directories on a filesystem the driver can see; on object
-    stores swap for a Spark count."""
-    import pyarrow.parquet as pq
-
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for name in files:
-            if name.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
-    return total
-
-
 def parquet_dir_column_sums(path: str, int_cols: tuple[str, ...] = (),
                             binary_size_cols: tuple[str, ...] = ()) -> dict:
     """Sum int columns / binary column byte lengths across a parquet dir via

@@ -68,6 +68,16 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _plan_terms(plan: "QueryPlan") -> list[str]:
+    """Every term whose postings a plan needs: scoring terms, negated
+    terms, phrase words (sorted for deterministic scan pruning)."""
+    return sorted(
+        set(plan.term_weights)
+        | set(plan.negated)
+        | {w for ph in plan.phrases for w in ph}
+    )
+
+
 def _pick_algo(mode: str, plan: "QueryPlan", has_filter: bool) -> str:
     """mode -> scoring algorithm. 'auto' prefers vectorized block-max
     MaxScore (rank-identical, batch-friendly); 'wand' keeps the classic
@@ -208,20 +218,18 @@ class SearchIndex:
         )
         # doc_stats: keep only live rows (gen >= horizon). Replaced docids
         # would otherwise join twice (old + new version) and attribute
-        # filters could match a dead version's attrs.
+        # filters could match a dead version's attrs. Horizon semantics
+        # live in ONE place (update._tombstones_df/_filter_dead).
         if os.path.isdir(self.paths.deletes):
-            d = spark.read.parquet(self.paths.deletes)
-            if "horizon" not in d.columns:
-                d = d.withColumn("horizon", F.lit((1 << 31) - 1))
-            tomb_df = d.groupBy("docid").agg(F.max("horizon").alias("horizon"))
-            gen_col = (
-                F.col("gen") if "gen" in self._doc_stats.columns else F.lit(0)
+            from search_engine_spark.update import _filter_dead, _tombstones_df
+
+            had_gen = "gen" in self._doc_stats.columns
+            stats = (
+                self._doc_stats if had_gen
+                else self._doc_stats.withColumn("gen", F.lit(0).cast("int"))
             )
-            self._doc_stats = (
-                self._doc_stats.join(F.broadcast(tomb_df), "docid", "left")
-                .filter(F.col("horizon").isNull() | (gen_col >= F.col("horizon")))
-                .drop("horizon")
-            )
+            stats = _filter_dead(stats, _tombstones_df(spark, self.paths))
+            self._doc_stats = stats if had_gen else stats.drop("gen")
         # The dictionary is tiny relative to the corpus (the reference keeps
         # its whole words-FST in memory, src/index.rs:56). Below this many
         # terms we pin (term -> df) on the driver so query planning does no
@@ -345,18 +353,14 @@ class SearchIndex:
         """Canonical document store, LIVE rows only (generation-horizon
         tombstones applied; replaced docids keep exactly their newest
         version), ``gen`` dropped."""
-        docs = self.spark.read.parquet(self.paths.docs)
-        if os.path.isdir(self.paths.deletes):
-            d = self.spark.read.parquet(self.paths.deletes)
-            if "horizon" not in d.columns:
-                d = d.withColumn("horizon", F.lit((1 << 31) - 1))
-            tomb_df = d.groupBy("docid").agg(F.max("horizon").alias("horizon"))
-            gen_col = F.col("gen") if "gen" in docs.columns else F.lit(0)
-            docs = (
-                docs.join(F.broadcast(tomb_df), "docid", "left")
-                .filter(F.col("horizon").isNull() | (gen_col >= F.col("horizon")))
-                .drop("horizon")
-            )
+        from search_engine_spark.update import (
+            _filter_dead,
+            _read_with_gen,
+            _tombstones_df,
+        )
+
+        docs = _read_with_gen(self.spark, self.paths.docs)
+        docs = _filter_dead(docs, _tombstones_df(self.spark, self.paths))
         return docs.drop("gen")
 
     # -- dictionary lookups (reference Q1/Q4/P11-12) ----------------------
@@ -704,17 +708,8 @@ class SearchIndex:
         if not plan.term_weights:
             return []
         if filter_ast is None:
-            all_terms = sorted(
-                set(plan.term_weights)
-                | set(plan.negated)
-                | {w for ph in plan.phrases for w in ph}
-            )
-            dfs = self._lookup_exact(all_terms)
-            budget = self.driver_exec_max_postings
-            if _pick_algo(mode, plan, False) == "wand":
-                budget //= self.wand_driver_cost_ratio
-            if sum(dfs.values()) <= budget:
-                rows = self._execute_driver(plan, mode, offset, all_terms)
+            rows = self._driver_gate(plan, mode, offset, "auto")
+            if rows is not None:
                 return [
                     {"rank": r, "docid": d, "pk": p, "score": s}
                     for r, d, p, s in rows
@@ -812,11 +807,6 @@ class SearchIndex:
         spark = self.spark
         if not plan.term_weights:
             return spark.createDataFrame([], OUT_SCHEMA)
-        all_terms = sorted(
-            set(plan.term_weights)
-            | set(plan.negated)
-            | {w for ph in plan.phrases for w in ph}
-        )
 
         if execution == "driver" and filter_ast is not None:
             raise ValueError(
@@ -825,15 +815,9 @@ class SearchIndex:
                 "execution='cluster' or 'auto' for filtered search"
             )
         if execution != "cluster" and filter_ast is None:
-            dfs = self._lookup_exact(all_terms)
-            budget = self.driver_exec_max_postings
-            if _pick_algo(mode, plan, False) == "wand":
-                budget //= self.wand_driver_cost_ratio
-            small = sum(dfs.values()) <= budget
-            if execution == "driver" or (execution == "auto" and small):
-                return self._rows_to_df(
-                    self._execute_driver(plan, mode, offset, all_terms)
-                )
+            rows = self._driver_gate(plan, mode, offset, execution)
+            if rows is not None:
+                return self._rows_to_df(rows)
 
         algo = _pick_algo(mode, plan, filter_ast is not None)
         if self._partial_tombs is not None:
@@ -865,7 +849,7 @@ class SearchIndex:
             partial_tombs=self._partial_bc,
         )
 
-        pq_df = self._postings_for(all_terms)
+        pq_df = self._postings_for(_plan_terms(plan))
         if filter_ast is not None:
             allowed = self._doc_stats.filter(to_column(filter_ast)).select(
                 "docid",
@@ -955,6 +939,27 @@ class SearchIndex:
             scale = max(1.0, self.avgdl / enc_avgdl) if enc_avgdl > 0 else 1.0
             readers.setdefault(row["term"], []).append((r, scale))
         return readers
+
+    def _driver_gate(
+        self, plan: QueryPlan, mode: str, offset: int, execution: str
+    ) -> list[tuple] | None:
+        """The point-read dispatch rule, shared by ``execute()`` and
+        ``search_rows()`` so the two APIs can never diverge on which path a
+        query takes: returns driver-scored (rank, docid, pk, score) tuples
+        when the query's total postings fit the algorithm-aware budget
+        (strict WAND is a Python pivot loop, ~wand_driver_cost_ratio x the
+        vectorized scorers' cost/posting) or when execution='driver' forces
+        it; None -> take the cluster path. Callers guarantee filter_ast is
+        None."""
+        all_terms = _plan_terms(plan)
+        dfs = self._lookup_exact(all_terms)
+        budget = self.driver_exec_max_postings
+        if _pick_algo(mode, plan, False) == "wand":
+            budget //= self.wand_driver_cost_ratio
+        small = sum(dfs.values()) <= budget
+        if execution == "driver" or (execution == "auto" and small):
+            return self._execute_driver(plan, mode, offset, all_terms)
+        return None
 
     def _execute_driver(
         self, plan: QueryPlan, mode: str, offset: int, all_terms: list[str]

@@ -62,6 +62,37 @@ from search_engine_spark.index import (
 )
 
 
+# Horizon meaning "dead in every generation, forever". Used whenever the
+# tombstoned docid can never recur in a future generation — which is ALWAYS
+# the case for rank-assigned docids (new rows continue after max_docid).
+# Keeping such tombstones at the dead-everywhere horizon matters for
+# serving: _load_tombstones classifies horizon > max_gen as a FULL
+# tombstone (flat fast path, WAND/MaxScore stay on); any horizon <= max_gen
+# is "partial" and forces the exhaustive scorer until compact().
+DEAD_HORIZON = (1 << 31) - 1
+
+
+def _read_with_gen(spark: SparkSession, path: str) -> DataFrame:
+    """Read docs / doc_stats / term_doc with the ``gen`` column guaranteed:
+    indexes written before generations existed read as gen 0 — the same
+    fallback the query path applies — so mutations work on pre-generation
+    indexes instead of raising on the missing column.
+
+    Mixed dirs (legacy gen-less files + appended gen-ful files) need two
+    cares: if schema inference picked a legacy file the plain read has no
+    ``gen`` at all (re-read with mergeSchema — a per-file-footer driver
+    cost, paid only on legacy dirs); and rows from legacy files read
+    ``gen`` as NULL (coalesced to 0: pre-generation rows ARE gen 0)."""
+    df = spark.read.parquet(path)
+    if "gen" not in df.columns:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+    if "gen" in df.columns:
+        return df.withColumn(
+            "gen", F.coalesce(F.col("gen"), F.lit(0)).cast("int")
+        )
+    return df.withColumn("gen", F.lit(0).cast("int"))
+
+
 def _load(spark: SparkSession, index_dir: str):
     paths = IndexPaths(index_dir)
     meta = read_meta(paths)
@@ -103,11 +134,16 @@ def add_documents(
     tomb = existing.join(
         batch.select(F.col(config.pk_col).alias("pk")), "pk"
     ).select("docid")
-    # horizon = this new generation: the replaced docids' OLDER versions die
-    # (gens < gen) while the versions this batch writes into gen stay live —
-    # which is exactly what lets externally-managed docids (docid_col) be
+    # docid_col: horizon = this new generation — the replaced docids' OLDER
+    # versions die (gens < gen) while the versions this batch writes into
+    # gen stay live, which is exactly what lets externally-managed docids be
     # replaced in place, reusing the same docid across generations.
-    _append_tombstones(spark, paths, tomb, horizon=gen)
+    # Rank-assigned docids can never recur, so stamp dead-everywhere and
+    # keep the pruned scorer paths (see DEAD_HORIZON).
+    _append_tombstones(
+        spark, paths, tomb,
+        horizon=gen if config.docid_col else DEAD_HORIZON,
+    )
 
     # docids: externally managed when docid_col is set (same contract as
     # build_index); otherwise continue after the current max (stable across
@@ -156,7 +192,7 @@ def add_documents(
     if rank_handle is not None:
         rank_handle.unpersist()
     new_pks = docs.select("pk")
-    docs_df = spark.read.parquet(paths.docs).join(new_pks, "pk").select(
+    docs_df = _read_with_gen(spark, paths.docs).join(new_pks, "pk").select(
         "docid", "pk", "gen", *search_names,
         *[c for c in config.attr_cols if c not in search_names]
     )
@@ -286,7 +322,7 @@ def update_documents(
         raise ValueError(f"update_documents: missing pk column {config.pk_col!r}")
 
     old = _filter_dead(
-        spark.read.parquet(paths.docs), _tombstones_df(spark, paths)
+        _read_with_gen(spark, paths.docs), _tombstones_df(spark, paths)
     )
     # live version per pk (replaced pks keep multiple rows across gens;
     # docid_col replacements reuse the docid, so order by gen first)
@@ -336,9 +372,14 @@ def delete_documents(spark: SparkSession, index_dir: str, pks: list) -> dict:
     existing = spark.read.parquet(paths.doc_stats).select("docid", "pk")
     pk_df = spark.createDataFrame([(p,) for p in pks], f"pk {existing.schema['pk'].dataType.simpleString()}")
     tomb = existing.join(pk_df, "pk").select("docid")
-    # horizon = max_gen + 1: dead in every generation that exists today; a
-    # later re-add into a NEWER generation stays live (horizons fold by max)
-    _append_tombstones(spark, paths, tomb, horizon=_next_gen(meta))
+    # docid_col: horizon = max_gen + 1 — dead in every generation that
+    # exists today; a later re-add of the SAME docid into a newer generation
+    # stays live (horizons fold by max). Rank-assigned docids never recur:
+    # dead-everywhere, pruned scorers stay on (DEAD_HORIZON).
+    _append_tombstones(
+        spark, paths, tomb,
+        horizon=_next_gen(meta) if config.docid_col else DEAD_HORIZON,
+    )
     n_live, avgdl, total_dl = _live_stats(spark, paths)
     meta.update(
         n_docs=int(n_live), avgdl=float(avgdl), total_dl=int(total_dl),
@@ -366,7 +407,10 @@ def delete_by_filter(
     paths, meta, config = _load(spark, index_dir)
     stats = spark.read.parquet(paths.doc_stats)
     tomb = stats.filter(to_column(filter_ast)).select("docid")
-    _append_tombstones(spark, paths, tomb, horizon=_next_gen(meta))
+    _append_tombstones(
+        spark, paths, tomb,
+        horizon=_next_gen(meta) if config.docid_col else DEAD_HORIZON,
+    )
     n_live, avgdl, total_dl = _live_stats(spark, paths)
     meta.update(
         n_docs=int(n_live), avgdl=float(avgdl), total_dl=int(total_dl),
@@ -388,9 +432,9 @@ def compact(spark: SparkSession, index_dir: str) -> dict:
     paths, meta, config = _load(spark, index_dir)
     tomb = _tombstones_df(spark, paths)
 
-    td_live = spark.read.parquet(paths.term_doc)  # keep gen for the filter
-    stats_all = spark.read.parquet(paths.doc_stats)
-    docs_all = spark.read.parquet(paths.docs)
+    td_live = _read_with_gen(spark, paths.term_doc)  # keep gen for the filter
+    stats_all = _read_with_gen(spark, paths.doc_stats)
+    docs_all = _read_with_gen(spark, paths.docs)
     if tomb is not None:
         # term_doc rows are (term, shard) docid-array runs — tombstones are
         # removed by slicing the parallel arrays (one segmented decode +
@@ -633,9 +677,9 @@ def _append_tombstones(
     spark: SparkSession, paths: IndexPaths, tomb: DataFrame, horizon: int
 ):
     """Tombstones carry a generation HORIZON: the docid is dead in every
-    generation < horizon. Pure deletes stamp horizon = max_gen + 1 (dead
-    everywhere); an in-place replacement of an externally-managed docid
-    (docid_col) stamps horizon = the replacing generation, so the NEW
+    generation < horizon. Rank-assigned docids always stamp DEAD_HORIZON
+    (they can never recur); an in-place replacement of an externally-managed
+    docid (docid_col) stamps horizon = the replacing generation, so the NEW
     version stays live — the reference's DelAdd semantics expressed over
     immutable segment generations."""
     tomb.select("docid").withColumn(
@@ -657,20 +701,15 @@ def _tombstones_df(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
     return d.groupBy("docid").agg(F.max("horizon").alias("horizon"))
 
 
-def _deleted_df(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
-    """Back-compat view: docids only (dead in at least one generation)."""
-    t = _tombstones_df(spark, paths)
-    return t.select("docid") if t is not None else None
-
-
 def _filter_dead(df: DataFrame, tomb: DataFrame | None) -> DataFrame:
     """Keep rows whose generation survived: no tombstone, or gen >= horizon.
     ``df`` must carry a ``gen`` column (docs / doc_stats)."""
     if tomb is None:
         return df
+    gen = F.coalesce(F.col("gen"), F.lit(0))  # legacy gen-less rows = gen 0
     return (
         df.join(F.broadcast(tomb), "docid", "left")
-        .filter(F.col("horizon").isNull() | (F.col("gen") >= F.col("horizon")))
+        .filter(F.col("horizon").isNull() | (gen >= F.col("horizon")))
         .drop("horizon")
     )
 
@@ -686,15 +725,15 @@ def _n_deleted(spark: SparkSession, paths: IndexPaths) -> int:
     tomb = _tombstones_df(spark_, paths)
     if tomb is None:
         return 0
-    stats = spark_.read.parquet(paths.doc_stats)
+    stats = _read_with_gen(spark_, paths.doc_stats)
     dead = stats.join(F.broadcast(tomb), "docid").filter(
-        F.col("gen") < F.col("horizon")
+        F.coalesce(F.col("gen"), F.lit(0)) < F.col("horizon")
     )
     return int(dead.count())
 
 
 def _live_stats(spark: SparkSession, paths: IndexPaths) -> tuple[int, float, int]:
-    stats = spark.read.parquet(paths.doc_stats)
+    stats = _read_with_gen(spark, paths.doc_stats)
     stats = _filter_dead(stats, _tombstones_df(spark, paths))
     row = stats.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
     n, t = int(row["n"] or 0), int(row["t"] or 0)
@@ -738,13 +777,19 @@ def update_settings(spark: SparkSession, index_dir: str, **changes) -> dict:
          **{k: v for k, v in changes.items() if k in sfields}}
     )
     meta["settings"] = new_settings.to_dict()
+    # diff AFTER from_dict normalization (nested lists -> tuples etc.), so a
+    # semantically-equal value (field_cols=[["text",1]] vs (("text",1),))
+    # never registers as a change and triggers a spurious full reindex
+    cand = IndexConfig.from_dict(
+        {**config.to_dict(),
+         **{k: v for k, v in changes.items() if k in cfields}}
+    )
     c_changes = {
-        k: v for k, v in changes.items()
-        if k in cfields and getattr(config, k) != (
-            tuple(v) if isinstance(getattr(config, k), tuple) else v)
+        k: getattr(cand, k) for k in changes
+        if k in cfields and getattr(cand, k) != getattr(config, k)
     }
     if c_changes:
-        new_config = IndexConfig.from_dict({**config.to_dict(), **c_changes})
+        new_config = cand
         if any(k in EXTRACTION_AFFECTING for k in c_changes):
             return reindex(spark, index_dir, new_config,
                            settings=new_settings)
@@ -779,7 +824,7 @@ def reindex(
     if settings is None:
         settings = IndexSettings.from_dict(meta.get("settings", {}))
     docs = _filter_dead(
-        spark.read.parquet(paths.docs), _tombstones_df(spark, paths)
+        _read_with_gen(spark, paths.docs), _tombstones_df(spark, paths)
     ).drop("gen")
 
     # the docs snapshot stores single-field text under the canonical name

@@ -373,3 +373,24 @@ def test_encode_postings_batch_byte_identical():
                                    avgdl=77.0, k1=1.2, b=0.75)
             assert encn["docs"][t] == refn.docs
             assert encn["poss"][t] == b""
+
+
+def test_varint_decode_rejects_boundary_overflow():
+    """The width guard must catch values that FIT the max byte count but
+    exceed the dtype: a 5-byte varint holds up to 35 bits, so uint32
+    streams with values >= 2**32 must raise, while legitimate 5-byte
+    uint32 values (>= 2**28) decode fine."""
+    import numpy as np
+    import pytest
+
+    from search_engine_spark.codecs import varint_decode, varint_encode
+
+    ok = np.array([2**28, 2**31, 2**32 - 1], dtype=np.uint64)
+    enc = varint_encode(ok)
+    assert varint_decode(enc, dtype=np.uint32).tolist() == ok.tolist()
+
+    bad = varint_encode(np.array([2**32 + 123], dtype=np.uint64))
+    with pytest.raises(ValueError):
+        varint_decode(bad, dtype=np.uint32)
+    # same stream is fine at uint64
+    assert varint_decode(bad, dtype=np.uint64).tolist() == [2**32 + 123]

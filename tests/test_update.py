@@ -495,3 +495,93 @@ def test_append_rank_mode_equals_window(spark, tmp_path):
     assert len(via_rank) == 98
     for name in ("w", "r", "a"):
         shutil.rmtree(str(tmp_path / name), ignore_errors=True)
+
+
+def test_rank_docid_tombstones_stay_full(spark, small_index):
+    """Replacements and deletes on a rank-assigned-docid index must stamp
+    dead-everywhere tombstones: a horizon <= max_gen classifies as
+    'partial' and silently forces every query onto the exhaustive scorer
+    (WAND/MaxScore off) until compact(). Only docid_col indexes can ever
+    re-add a docid into a newer generation, so only they need finite
+    horizons."""
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import add_documents, delete_documents
+
+    add_documents(spark, small_index, spark.createDataFrame(
+        pd.DataFrame([("b", "completely new content here", "en")],
+                     columns=["url", "text", "lang"])))
+    delete_documents(spark, small_index, ["c"])
+    # a later append raises max_gen past the earlier tombstones' gens —
+    # the regression had horizon=gen stamps turn partial exactly here
+    add_documents(spark, small_index, spark.createDataFrame(
+        pd.DataFrame([("f", "fresh appended text", "en")],
+                     columns=["url", "text", "lang"])))
+    ix = SearchIndex(spark, small_index)
+    assert ix._partial_tombs is None, "tombstones must classify as FULL"
+    assert len(ix._deleted) == 2
+    for q in ("spark", "completely new", "fresh"):
+        assert _pk_results(ix, q, mode="wand") == _pk_results(
+            ix, q, mode="exhaustive")
+    assert "c" not in [p for p, _ in _pk_results(ix, "window aggregate")]
+    assert "b" not in [p for p, _ in _pk_results(ix, "table join")]
+
+
+def test_update_settings_equal_value_no_reindex(spark, tmp_path, monkeypatch):
+    """Passing semantically-equal config values (nested lists vs the stored
+    tuples) to update_settings must be a no-op, not a spurious full
+    reindex: the diff compares AFTER from_dict normalization."""
+    from search_engine_spark import update
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+
+    pdf = pd.DataFrame([("a", "alpha text", "src one"),
+                        ("b", "beta text", "src two")],
+                       columns=["url", "text", "source"])
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col=None,
+                      field_cols=(("text", 1), ("source", 2)),
+                      num_shards=2, num_buckets=2)
+    d = str(tmp_path / "idx_fc")
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+
+    def boom(*a, **k):
+        raise AssertionError("spurious reindex on an equal-value diff")
+
+    monkeypatch.setattr(update, "reindex", boom)
+    meta = update.update_settings(
+        spark, d, field_cols=[["text", 1], ["source", 2]], attr_cols=[])
+    assert tuple(map(tuple, meta["config"]["field_cols"])) == (
+        ("text", 1), ("source", 2))
+
+
+def test_mutations_on_pre_generation_index(spark, small_index):
+    """Indexes written before the gen column existed must stay mutable:
+    update paths default a missing/NULL gen to 0 (the query path's
+    fallback), including the mixed-dir case where appended files carry gen
+    but legacy files don't."""
+    import os
+
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.index import IndexPaths
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import add_documents, delete_documents
+
+    paths = IndexPaths(small_index)
+    for p in (paths.docs, paths.doc_stats):
+        t = ds.dataset(p, format="parquet").to_table()
+        if "gen" in t.column_names:
+            t = t.drop_columns(["gen"])
+        shutil.rmtree(p)
+        os.makedirs(p)
+        pq.write_table(t, os.path.join(p, "part-00000.parquet"))
+
+    delete_documents(spark, small_index, ["c"])
+    add_documents(spark, small_index, spark.createDataFrame(
+        pd.DataFrame([("e", "banana smoothie recipe", "fr")],
+                     columns=["url", "text", "lang"])))
+    ix = SearchIndex(spark, small_index)
+    assert "c" not in [p for p, _ in _pk_results(ix, "window aggregate")]
+    assert [p for p, _ in _pk_results(ix, "banana")] == ["e"]
+    assert _pk_results(ix, "spark query", mode="wand") == _pk_results(
+        ix, "spark query", mode="exhaustive")
