@@ -558,6 +558,14 @@ def _q_repetition_stats(spark, sf_dir):
     return curation.repetition_stats(_docs(spark, sf_dir), ngram=2)
 
 
+def _q_pii_redact(spark, sf_dir):
+    """FineWeb/CCNet-style PII masking: emails / IPv4 / +international
+    phones -> typed placeholders, with per-doc match counts. Pure codegen
+    projection (regexp_replace / regexp_extract_all), zero exchanges; the
+    RE2-compatible patterns run verbatim in the DuckDB oracle."""
+    return curation.pii_redact(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_unigram_logloss(spark, sf_dir):
     """CCNet-style perplexity-proxy quality score (Wenzek et al. 2019)
     under the corpus's own unigram LM: one vocab aggregation broadcast
@@ -670,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
+        "pii_redact": _q_pii_redact,
         "unigram_logloss": _q_unigram_logloss,
         "stratified_sample": _q_stratified_sample,
         # multimodal plumbing
@@ -1525,6 +1534,23 @@ SELECT a.doc_id,
        round(coalesce((gs.ng - gs.ndist) / gs.ng::DOUBLE, 0.0), 6) AS dup_ngram_frac,
        round(coalesce(gs.topc / gs.ng::DOUBLE, 0.0), 6) AS top_ngram_frac
 FROM arr a LEFT JOIN gs USING (doc_id)
+"""
+
+    # same RE2-safe patterns, same order (emails first so an address's
+    # digits can't be half-eaten by the phone pattern); DuckDB needs the
+    # explicit 'g' flag where Spark's regexp_replace is global by default
+    sql["pii_redact"] = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text_redacted,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+       len(regexp_extract_all(text, '\+\d[\d\- ]{7,}\d')) AS n_phones
+FROM documents ORDER BY doc_id
 """
 
     # md5 coin u = int(md5('7:'||id)[:15 hex]) / 2^60, keep iff u < rate(lang)

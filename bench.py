@@ -151,6 +151,7 @@ def main() -> None:
         docs, docs.filter(F.col("doc_id") % 97 == 0), n=5)))
     timed("q_repetition_stats", lambda: _force(curation.repetition_stats(docs)))
     timed("q_unigram_logloss", lambda: _force(curation.unigram_logloss(docs)))
+    timed("q_pii_redact", lambda: _force(curation.pii_redact(docs)))
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -232,3 +232,49 @@ def unigram_logloss(
         F.round("ce", ROUND).alias("cross_entropy"),
         F.round(F.pow(F.lit(2.0), "ce"), ROUND).alias("perplexity"),
     )
+
+
+# PII patterns, chosen to parse identically in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, no dialect-specific classes. Order
+# matters — emails are masked before phones so an address's digits can't be
+# half-eaten by the phone pattern.
+PII_PATTERNS = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phones", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FineWeb/CCNet-style PII masking: replace emails, IPv4 addresses and
+    international-format phone numbers with typed placeholder tokens and
+    report per-doc match counts (the audit trail a redaction pass must
+    leave). The deliberately-narrow phone pattern (+country prefix
+    required) trades recall for a near-zero false-positive rate on
+    numeric prose — the same call FineWeb's pipeline makes.
+
+    Scale shape: pure per-row JVM projection (regexp_replace /
+    regexp_extract_all inside whole-stage codegen) — zero exchanges, zero
+    Python. Patterns are RE2-compatible so the DuckDB oracle runs the
+    exact same regexes.
+
+    -> (doc_id, text_redacted, n_emails, n_ipv4, n_phones)
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        .alias(f"n_{name}")
+        for name, pat, _tok in PII_PATTERNS
+    ]
+    red = text
+    for _name, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        red.alias("text_redacted"),
+        *counts,
+    )

@@ -409,3 +409,25 @@ def test_unigram_logloss_matches_hand_computed(spark):
     assert out[2]["n_tokens"] == 0 and out[2]["cross_entropy"] is None
     # higher-probability docs have lower cross-entropy
     assert out[0]["cross_entropy"] < out[1]["cross_entropy"]
+
+
+def test_pii_redact_masks_and_counts(spark):
+    """Email / IPv4 / phone masking with per-type counts; emails are
+    masked before phones so an address's digits can't be half-eaten."""
+    import pandas as pd
+
+    from search_engine_spark.pipelines.curation import pii_redact
+
+    rows = [
+        (0, "contact bob.smith+spam@ex-ample.co.uk or +1 555 123 4567 now"),
+        (1, "server at 10.0.255.3 and 192.168.1.1, mail root@host.org"),
+        (2, "no pii here, just 1234 numbers and a dot. end"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+    assert out[0]["text_redacted"] == "contact <EMAIL> or <PHONE> now"
+    assert (out[0]["n_emails"], out[0]["n_ipv4"], out[0]["n_phones"]) == (1, 0, 1)
+    assert out[1]["text_redacted"] == "server at <IP> and <IP>, mail <EMAIL>"
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (1, 2, 0)
+    assert out[2]["text_redacted"] == rows[2][1]
+    assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 0, 0)
