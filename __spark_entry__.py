@@ -420,6 +420,16 @@ def _q_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.4)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Connected components over the Jaccard pair graph (Hash-Min label
+    propagation, O(diameter) rounds): every doc -> the min doc_id in its
+    near-duplicate component. The step between "candidate pairs" and
+    "keep one per group" — pairs alone under-delete when dups chain."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.4)
+    return dedup.cluster_pairs(docs, pairs).orderBy("doc_id")
+
+
 def _q_dedup_minhash(spark, sf_dir):
     # 3-word shingles: discriminative features even on a tiny vocabulary
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2, shingle_size=3)
@@ -659,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup pipeline
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_minhash": _q_dedup_minhash,
         "simhash": _q_simhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1193,6 +1204,33 @@ inter AS (
 SELECT i.a, i.b, round(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
 FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
 WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.4
+"""
+
+    # same pair graph as dedup_jaccard, folded to components by a
+    # recursive min-label CTE (UNION-distinct terminates the recursion)
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {_TOKS},
+tset AS (SELECT DISTINCT doc_id, term FROM toks),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tset GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.4
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+ORDER BY doc_id
 """
 
     sql["dedup_minhash"] = (

@@ -502,3 +502,68 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def cluster_pairs(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every doc is
+    assigned ``cluster_id`` = the smallest doc id reachable through the
+    pairs (singletons map to themselves). This is the step real dedup
+    pipelines run between "emit candidate pairs" and "keep one per group" —
+    pairs alone under-delete whenever duplicates chain (a~b, b~c but a!~c).
+
+    Min-label propagation (the Hash-Min CC algorithm): each round every
+    node takes the min of its own label and its neighbors'; converges in
+    O(component diameter) rounds — near-dup components are clique-ish, so
+    2-4 rounds in practice. Each round is one hash join + one groupBy on
+    node id (two bounded shuffles), with ``localCheckpoint`` cutting the
+    iterative lineage; at cluster scale swap for ``checkpoint()`` to
+    reliable storage. Raises after ``max_iter`` rounds instead of
+    returning a half-propagated labeling.
+
+    ``pairs`` must carry columns (a, b); ``nodes`` supplies the id
+    universe. -> (id_col, cluster_id), deterministic at any parallelism.
+    """
+    labels = (
+        nodes.select(F.col(id_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    a, b = F.col("a").cast("long"), F.col("b").cast("long")
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .union(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"cluster_pairs did not converge within {max_iter} rounds; "
+            "the pair graph has a component with a longer diameter — "
+            "raise max_iter"
+        )
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+    )

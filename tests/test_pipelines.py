@@ -431,3 +431,23 @@ def test_pii_redact_masks_and_counts(spark):
     assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (1, 2, 0)
     assert out[2]["text_redacted"] == rows[2][1]
     assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 0, 0)
+
+
+def test_cluster_pairs_connected_components(spark):
+    """Transitive chains collapse into one cluster (a~b, b~c => {a,b,c}
+    even though a!~c); singletons keep their own id; a long path still
+    converges (propagation = one hop per round)."""
+    import pandas as pd
+
+    from search_engine_spark.pipelines.dedup import cluster_pairs
+
+    nodes = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2, 3, 10, 11, 12, 13, 14, 20]}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(0, 1), (1, 2), (2, 3),          # chain -> cluster 0
+                      (13, 14), (12, 13), (11, 12), (10, 11)],  # path -> 10
+                     columns=["a", "b"]))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in cluster_pairs(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0,
+                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20}
