@@ -4,7 +4,8 @@ Beyond the reference engine's own surface (SURVEY.md §2), these are the
 operations a large-scale corpus-preparation pipeline needs:
 
 * ``dedup``      — exact (hash groupBy), token-set Jaccard, MinHash+LSH,
-                   SimHash (+ banded Hamming near-dup join)
+                   SimHash (+ banded Hamming near-dup join), pair-graph
+                   connected components (cluster_pairs)
 * ``similarity`` — brute-force cosine top-k and hyperplane-LSH-bucketed ANN
                    over an ``array<float>`` embedding column
 * ``textstats``  — token counting, quality scoring, n-gram language ID,
@@ -13,7 +14,8 @@ operations a large-scale corpus-preparation pipeline needs:
                    signatures) with a stubbed decoder
 * ``embed``      — pluggable batch-embedder UDF slot (reference P8) with a
                    deterministic md5-projection default
-* ``curation``   — decontamination, repetition stats, stratified sampling
+* ``curation``   — decontamination, repetition stats, stratified sampling,
+                   unigram-LM quality scoring, PII redaction
 
 Design rule shared by every operator: the hot path is built-in
 ``pyspark.sql.functions`` (JVM, whole-stage codegen) wherever the semantics
