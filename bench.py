@@ -119,7 +119,12 @@ def main() -> None:
     timed("q_bm25_maxscore", lambda: ix.search("hash group sort", k=10, mode="maxscore").collect())
     timed("q_bm25_wand_cluster", lambda: ix.search(
         "hash group sort", k=10, mode="wand", execution="cluster").collect())
-    ix.pin()
+    # Hot-subset pin (protocol change, round 4): whole-index pin() is a
+    # measured anti-pattern (in-memory relation lacks row-group term
+    # pruning — BENCH/BASELINE.md r3 addendum) and pin() now refuses it
+    # above a size gate; the serving pattern is pinning the query mix's
+    # own buckets.
+    ix.pin_for(["hash", "group", "sort"])
     timed("q_bm25_wand_pinned", lambda: ix.search(
         "hash group sort", k=10, mode="wand", execution="cluster").collect())
     ix.unpin()
@@ -152,6 +157,13 @@ def main() -> None:
     timed("q_repetition_stats", lambda: _force(curation.repetition_stats(docs)))
     timed("q_unigram_logloss", lambda: _force(curation.unigram_logloss(docs)))
     timed("q_pii_redact", lambda: _force(curation.pii_redact(docs)))
+    # serving-path entries (protocol change, round 4): search_rows is the
+    # no-DataFrame serving API (driver point-read when the query fits the
+    # budget), highlight_results the O1 snippet path over a top-k result
+    timed("q_search_rows", lambda: ix.search_rows("table join merge", k=10))
+    timed("q_highlight", lambda: ix.highlight_results(
+        ix.search("table join", k=5, mode="exhaustive"),
+        "table join", crop_length=12).collect())
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -188,6 +188,7 @@ def unigram_logloss(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab_df: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity-proxy quality score from a SELF-TRAINED
     unigram LM (Wenzek et al. 2019 score documents with a KenLM 5-gram;
@@ -199,10 +200,17 @@ def unigram_logloss(
     perplexity(d) = 2 ** cross_entropy(d); token-less docs score NULL.
 
     Scale shape: ONE map-side-combined aggregation builds the vocabulary
-    (vocab-sized rows, Zipf-bounded), which BROADCASTS to a join against
-    the per-(doc, term) tf rows — the corpus itself never shuffles on
-    term. A doc's unseen-token probability can't occur (the model is
-    self-trained), so no smoothing constant enters the frozen formula.
+    (vocab-sized rows — but a 100 TB web corpus holds 10^8-10^9 distinct
+    terms, so the vocab is NOT force-broadcast: the tf<->vocab join is
+    left to AQE, which broadcasts when the built side is actually small
+    and sort-merge-joins otherwise). The 1-row corpus total rides a
+    broadcast cross join (always safe). A doc's unseen-token probability
+    can't occur (the model is self-trained), so no smoothing constant
+    enters the frozen formula.
+
+    Pass ``vocab_df`` (columns ``term``, ``cf``) to reuse an
+    already-built term dictionary — e.g. the index's ``term_dict`` cf
+    column — instead of recounting the corpus.
 
     -> (doc_id, n_tokens, cross_entropy, perplexity), all corpus-level
     deterministic (md5-free: pure counting).
@@ -212,15 +220,19 @@ def unigram_logloss(
         F.explode(tokens_col(text_col)).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
-    total = vocab.agg(F.sum("cf").alias("n")).collect()[0]["n"] or 0
+    if vocab_df is None:
+        vocab = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    else:
+        vocab = vocab_df.select("term", F.col("cf").cast("long").alias("cf"))
+    total = vocab.agg(F.sum("cf").cast("double").alias("n"))
     scored = (
-        tf.join(F.broadcast(vocab), "term")
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_tokens"),
             (
-                -F.sum(F.col("tf") * F.log2(F.col("cf") / F.lit(float(total))))
+                -F.sum(F.col("tf") * F.log2(F.col("cf") / F.col("n")))
                 / F.sum("tf")
             ).alias("ce"),
         )
@@ -261,6 +273,17 @@ def pii_redact(
     regexp_extract_all inside whole-stage codegen) — zero exchanges, zero
     Python. Patterns are RE2-compatible so the DuckDB oracle runs the
     exact same regexes.
+
+    Count semantics (deliberate): ``n_*`` are INDEPENDENT raw-text match
+    counts per pattern, while redaction is sequential (emails first, then
+    IPs, then phones on the progressively-redacted text). Overlapping
+    matches are therefore attributed to every pattern they match — e.g. a
+    phone-shaped email local part (``+12345678901@x.com``) counts toward
+    both ``n_emails`` and ``n_phones`` but is consumed once by
+    ``<EMAIL>``. The counts answer "how many pattern hits did the raw
+    text contain" (the audit question), not "how many placeholders were
+    inserted"; count ``<EMAIL>``/``<IP>``/``<PHONE>`` occurrences in
+    ``text_redacted`` for the latter. The DuckDB oracle mirrors this.
 
     -> (doc_id, text_redacted, n_emails, n_ipv4, n_phones)
     """

@@ -20,7 +20,56 @@ training-data-pipeline brief.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+logger = logging.getLogger(__name__)
+
+# Default per-(band, bucket) occupancy cap for the LSH candidate self-joins.
+# A web corpus contains exact-duplicate/boilerplate clusters of 10^5+ docs;
+# one such cluster lands in ONE bucket and fans out occupancy^2 candidate
+# pairs (10^10 at 10^5 docs) — the classic LSH skew bomb. 4096 keeps a
+# pathological bucket at <= ~8.4M pairs per band while never touching honest
+# buckets. The CONTRACT for near-dup pipelines remains: run exact_dedup
+# first, so byte-identical clusters collapse before LSH sees them.
+DEFAULT_BUCKET_CAP = 4096
+
+
+def cap_bucket_occupancy(
+    bk: DataFrame,
+    bucket_keys: tuple[str, ...],
+    cap: int | None,
+    id_col: str = "doc_id",
+    audit: bool = False,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per LSH bucket (deterministic: the ``cap``
+    smallest ids survive). Docs beyond the cap lose candidate pairs from
+    that bucket — acceptable for dedup because a bucket that large is a
+    near-identical cluster whose surviving members still chain through
+    ``cluster_pairs``; NOT silent: pass ``audit=True`` to count and log the
+    rows truncated per call (one extra pass over the bucketed rows — run it
+    on samples/periodically at 100 TB, not in the steady-state job).
+    ``cap=None`` disables.
+    """
+    if cap is None:
+        return bk
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_keys).orderBy(id_col)
+    ranked = bk.withColumn("_rn", F.row_number().over(w))
+    if audit:
+        dropped = ranked.filter(F.col("_rn") > cap).count()
+        if dropped:
+            logger.warning(
+                "LSH bucket cap %d truncated %d bucket-membership rows "
+                "(oversized near-duplicate clusters; run exact_dedup first "
+                "or raise the cap)", cap, dropped,
+            )
+        else:
+            logger.info("LSH bucket cap %d: no bucket exceeded the cap", cap)
+    return ranked.filter(F.col("_rn") <= cap).drop("_rn")
+
 
 # JVM-side tokenizer for pure-ASCII corpora: identical to the frozen Python
 # tokenizer (analysis.tokenize) on [a-z0-9 ]-only text, and identical to
@@ -292,6 +341,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_size: int = 1,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    audit_cap: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, Jaccard-verified.
 
@@ -299,6 +350,11 @@ def minhash_lsh_pairs(
     Jaccard >= threshold. The band join shuffles on (band, bucket) — bucket
     count grows with the corpus, so the join is balanced at any scale; the
     exact-Jaccard verification runs only on the candidate pairs.
+
+    ``bucket_cap`` bounds per-(band, bucket) occupancy before the self-join
+    (see ``cap_bucket_occupancy``) — the guard against the occupancy^2 pair
+    fan-out of giant boilerplate clusters. Contract: run ``exact_dedup``
+    first so byte-identical clusters never reach LSH.
     """
     rows_per_band = n_hashes // bands
     # band buckets straight off the per-doc wide row (pure projection —
@@ -329,6 +385,7 @@ def minhash_lsh_pairs(
             )
         ).alias("z"),
     ).select("doc_id", F.col("z.band").alias("band"), F.col("z.bucket").alias("bucket"))
+    bk = cap_bucket_occupancy(bk, ("band", "bucket"), bucket_cap, audit=audit_cap)
     a = bk.alias("a")
     b = bk.alias("b")
     cand = (
@@ -463,12 +520,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bands: int = 4,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    audit_cap: bool = False,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via banded Hamming join.
 
     Pigeonhole: hamming <= n_bands-1 guarantees >= 1 identical 15-bit band,
     so the candidate join is on (band_index, band_value) — linear shuffle —
     and exact ``bit_count(xor)`` verifies. -> (a, b, hamming), a < b.
+
+    ``bucket_cap`` bounds per-(band, seg) occupancy before the self-join
+    (see ``cap_bucket_occupancy``); run ``exact_dedup`` first.
     """
     band_bits = SIMHASH_BITS // n_bands
     sh = simhash(df, id_col, text_col)
@@ -480,6 +542,7 @@ def simhash_pairs(
         "seg",
         F.expr(f"shiftright(simhash, band * {band_bits}) & {(1 << band_bits) - 1}"),
     )
+    banded = cap_bucket_occupancy(banded, ("band", "seg"), bucket_cap, audit=audit_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -526,18 +589,24 @@ def cluster_pairs(
     returning a half-propagated labeling.
 
     ``pairs`` must carry columns (a, b); ``nodes`` supplies the id
-    universe. -> (id_col, cluster_id), deterministic at any parallelism.
+    universe — pair endpoints outside it are dropped (semi-join) so the
+    output contains exactly one row per node.
+    -> (id_col, cluster_id), deterministic at any parallelism.
     """
     labels = (
         nodes.select(F.col(id_col).cast("long").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
+    node_ids = labels.select("node")
     a, b = F.col("a").cast("long"), F.col("b").cast("long")
     edges = (
         pairs.select(a.alias("src"), b.alias("dst"))
         .union(pairs.select(b.alias("src"), a.alias("dst")))
         .distinct()
+        # enforce the documented contract: nodes IS the id universe
+        .join(node_ids.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(node_ids.withColumnRenamed("node", "dst"), "dst", "left_semi")
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -548,13 +617,17 @@ def cluster_pairs(
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint()  # eager: materialized before old blocks go
         )
         changed = (
             new.join(labels.withColumnRenamed("lbl", "old"), "node")
             .filter(F.col("lbl") != F.col("old"))
             .count()
         )
+        # free the previous round's localCheckpoint blocks (no-op on the
+        # round-0 input, which is not persisted) — without this, cached
+        # blocks accumulate across rounds
+        labels.unpersist()
         labels = new
         if changed == 0:
             break
@@ -564,6 +637,7 @@ def cluster_pairs(
             "the pair graph has a component with a longer diameter — "
             "raise max_iter"
         )
+    edges.unpersist()
     return labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
     )

@@ -101,6 +101,7 @@ def embed_documents(
     dim: int = 16,
     out_col: str = "embedding",
     embedder=None,
+    template=None,
 ) -> DataFrame:
     """Attach an ``array<double>`` embedding column to each document.
 
@@ -109,17 +110,39 @@ def embed_documents(
     batch on an executor (model-weight lifecycle). Defaults to
     :class:`HashedBowEmbedder`.
 
+    ``template``: a :class:`~search_engine_spark.pipelines.prompt.
+    PromptTemplate` (or template string) rendered per document INSTEAD of
+    the raw ``text_col`` — the reference's prompt layer
+    (``src/prompt/mod.rs``): the model embeds ``"{{title}}: {{body}}"``,
+    not a fixed column. Rendering is JVM-side (one codegen ``concat``);
+    referenced fields are schema-checked up front (template_checker
+    parity) and only those columns ship to Python.
+
     Scale shape: embarrassingly parallel map — no shuffle, input pruned to
-    (id, text); output partitioning inherited, so a downstream
+    (id, prompt text); output partitioning inherited, so a downstream
     ``.write.parquet`` streams without an exchange.
     """
     if embedder is None:
         embedder = HashedBowEmbedder(dim)
     id_type = df.schema[id_col].dataType.simpleString()
 
+    if template is not None:
+        from .prompt import PromptTemplate
+
+        if not isinstance(template, PromptTemplate):
+            template = PromptTemplate(template)
+        template.check(df)
+        src = df.select(
+            id_col, template.column().alias("_prompt")
+        )
+        text_key = "_prompt"
+    else:
+        src = df.select(id_col, text_col)
+        text_key = text_col
+
     def run(batches):
         for pdf in batches:
-            vecs = embedder(pdf[text_col].fillna("").tolist())
+            vecs = embedder(pdf[text_key].fillna("").tolist())
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -127,6 +150,95 @@ def embed_documents(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return src.mapInPandas(
         run, schema=f"{id_col} {id_type}, {out_col} array<double>"
     )
+
+
+class RetryableEmbedderError(RuntimeError):
+    """Transport signaled a retryable failure (HTTP 429/5xx analogue)."""
+
+
+class RestEmbedder:
+    """Batching/retrying REST embedder adapter (reference
+    ``src/vector/rest.rs`` semantics: fixed-size request batches, retries
+    with exponential backoff on retryable statuses, response-shape
+    validation; ``src/vector/mod.rs:24`` runs these on a 40-way thread
+    pool — Spark's task parallelism replaces the pool, one adapter
+    instance per executor).
+
+    No live HTTP happens in this sandbox, so the transport is INJECTED:
+    ``transport(payload: dict) -> dict`` does the actual POST and returns
+    the decoded JSON. Point it at ``requests.post(url, json=payload,
+    headers=...).json()`` in a networked deployment; tests pass a local
+    fake. A transport raising :class:`RetryableEmbedderError` is retried
+    up to ``max_retries`` times with exponential backoff
+    (``backoff_s * 2**attempt``); any other exception propagates
+    immediately (the reference treats non-retryable statuses the same
+    way).
+
+    Request/response shape (OpenAI-compatible, like the reference's rest
+    backend default): request ``{"input": [texts...]}`` (+ ``extra``
+    merged in, e.g. ``{"model": ...}``); response
+    ``{"data": [{"embedding": [...]}, ...]}`` in input order.
+    """
+
+    def __init__(
+        self,
+        transport,
+        dim: int,
+        max_batch: int = 128,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        extra: dict | None = None,
+        sleep=None,
+    ):
+        if transport is None:
+            raise ValueError(
+                "RestEmbedder needs a transport callable "
+                "(payload dict -> decoded-JSON dict); this sandbox has no "
+                "network, so none is provided by default"
+            )
+        self.transport = transport
+        self.dim = dim
+        self.max_batch = max_batch
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.extra = dict(extra or {})
+        import time
+
+        self._sleep = sleep if sleep is not None else time.sleep
+
+    def _call_once(self, payload: dict) -> dict:
+        attempt = 0
+        while True:
+            try:
+                return self.transport(payload)
+            except RetryableEmbedderError:
+                if attempt >= self.max_retries:
+                    raise
+                self._sleep(self.backoff_s * (2 ** attempt))
+                attempt += 1
+
+    def __call__(self, texts: list) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for start in range(0, len(texts), self.max_batch):
+            chunk = texts[start : start + self.max_batch]
+            payload = {"input": list(chunk), **self.extra}
+            resp = self._call_once(payload)
+            data = resp.get("data")
+            if data is None or len(data) != len(chunk):
+                raise ValueError(
+                    f"embedder response shape mismatch: expected "
+                    f"{len(chunk)} rows, got "
+                    f"{None if data is None else len(data)}"
+                )
+            for i, row in enumerate(data):
+                vec = np.asarray(row["embedding"], dtype=np.float64)
+                if vec.shape != (self.dim,):
+                    raise ValueError(
+                        f"embedding dim mismatch: expected {self.dim}, "
+                        f"got {vec.shape}"
+                    )
+                out[start + i] = vec
+        return out

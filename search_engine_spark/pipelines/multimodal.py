@@ -41,23 +41,137 @@ def attach_binary_payload(
 
 
 def decode_payload(payload: bytes, media_type: str, fake: str | None = None) -> dict:
-    """Decode one payload to raw media. STUB: real decoding needs a codec
-    library absent from this container.
+    """Decode one payload to raw media.
 
+    Real paths: WAV audio decodes with the stdlib ``wave`` parser
+    (:func:`decode_wav` — always available); images decode with Pillow
+    when it is installed (:func:`decode_image` — import-gated, raises
+    ``NotImplementedError`` in codec-less containers like this one).
     ``fake='deterministic'`` returns md5-derived pseudo-dimensions —
-    reproducible everywhere (used by tests and the SQL oracle).
+    reproducible everywhere (used by tests and the SQL oracle for the
+    codec-independent plumbing entries).
     """
-    if fake != "deterministic":
-        raise NotImplementedError(
-            "media decode requires an image/audio codec library not present "
-            "in this environment; pass fake='deterministic' for the test fake"
-        )
-    h = hashlib.md5(payload).hexdigest()
-    return {
-        "content_md5": h,
-        "fake_w": int(h[:2], 16) % 64 + 1,
-        "fake_h": int(h[2:4], 16) % 64 + 1,
+    if fake == "deterministic":
+        h = hashlib.md5(payload).hexdigest()
+        return {
+            "content_md5": h,
+            "fake_w": int(h[:2], 16) % 64 + 1,
+            "fake_h": int(h[2:4], 16) % 64 + 1,
+        }
+    if fake is not None:
+        raise ValueError(f"unknown fake mode {fake!r}")
+    if media_type in ("audio/wav", "audio/x-wav"):
+        return decode_wav(payload)
+    if media_type.startswith("image/"):
+        return decode_image(payload)
+    raise NotImplementedError(
+        f"no decoder for {media_type!r} in this environment; WAV audio and "
+        "(with Pillow installed) images decode for real — pass "
+        "fake='deterministic' for the codec-independent test fake"
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode: parse a WAV container with the stdlib ``wave``
+    module — channels, sample rate, frame count, duration, and the RMS
+    amplitude of the 16-bit PCM stream. The integer sum of squares is
+    exact in float64 for bounded clips, so RMS is bit-reproducible (the
+    DuckDB oracle computes the same sum analytically for synthesized
+    clips)."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        channels = w.getnchannels()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        frames = w.readframes(n_frames)
+    out = {
+        "channels": channels,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": round(n_frames / float(rate), 6) if rate else 0.0,
     }
+    if width == 2 and frames:
+        s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+        out["rms"] = round(float(np.sqrt(float((s * s).sum()) / len(s))), 6)
+    else:
+        out["rms"] = None
+    return out
+
+
+def decode_image(payload: bytes) -> dict:
+    """Image decode via Pillow when installed (import-gated: this
+    container ships no codecs, a deployment with ``pillow`` gets the real
+    path with no code change)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - container has no Pillow
+        raise NotImplementedError(
+            "image decode requires pillow, which is not installed in this "
+            "environment"
+        ) from e
+    with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
+        return {"width": im.width, "height": im.height, "mode": im.mode}
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic 8 kHz mono 16-bit WAV clip for doc ``doc_id``:
+    ``n_frames = 800 + (doc_id % 5) * 160`` samples of
+    ``s_i = (doc_id * 7919 + i * 997) % 65536 - 32768`` — a pure integer
+    formula the DuckDB oracle evaluates with ``generate_series``, so the
+    real encode -> parse -> feature path is verifiable end to end without
+    external media files."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    n = 800 + (int(doc_id) % 5) * 160
+    i = np.arange(n, dtype=np.int64)
+    vals = ((int(doc_id) * 7919 + i * 997) % 65536 - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(vals.tobytes())
+    return buf.getvalue()
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, n_frames long, "
+    "duration_s double, rms double"
+)
+
+
+def audio_features(payloads: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over (doc_id, payload) WAV columns:
+    -> (doc_id, channels, sample_rate, n_frames, duration_s, rms).
+
+    Same Arrow-batched ``mapInPandas`` shape as :func:`extract_features`,
+    but the decode is the genuine stdlib WAV parse — no fake, no codec
+    stub. Batch cost is O(batch bytes); output rows are small and shuffle
+    freely."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                feats = decode_wav(bytes(payload))
+                rows.append({"doc_id": int(doc_id), **feats})
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "channels", "sample_rate", "n_frames",
+                         "duration_s", "rms"],
+            )
+
+    return payloads.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 def extract_features(payloads: DataFrame, fake: str = "deterministic") -> DataFrame:

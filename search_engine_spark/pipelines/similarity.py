@@ -194,6 +194,8 @@ def cosine_near_dup_pairs(
     n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = 4096,  # == dedup.DEFAULT_BUCKET_CAP; None disables
+    audit_cap: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: -> (a, b, sim).
 
@@ -208,8 +210,13 @@ def cosine_near_dup_pairs(
     count grows with the corpus, never all-pairs; candidates carry only id
     pairs, and the vectors join back co-partitioned on id. At 100 TB raise
     ``n_planes``/``n_bands`` (e.g. 128 planes x 16 8-bit bands) so per-bucket
-    occupancy stays bounded; the plan shape is unchanged.
+    occupancy stays bounded; the plan shape is unchanged. ``bucket_cap``
+    additionally bounds per-(band, seg) occupancy against giant
+    identical-embedding clusters — the occupancy^2 skew bomb; see
+    ``dedup.cap_bucket_occupancy`` (``None`` disables).
     """
+    from .dedup import cap_bucket_occupancy
+
     bits = n_planes // n_bands
     mask = (1 << bits) - 1
     sk = emb.select(
@@ -230,6 +237,9 @@ def cosine_near_dup_pairs(
             ])
         ).alias("bs"),
     ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.seg").alias("seg"))
+    bands = cap_bucket_occupancy(
+        bands, ("band", "seg"), bucket_cap, id_col="vec_id", audit=audit_cap
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -275,11 +285,73 @@ def cosine_near_dup_pairs(
     )
 
 
+def _ivf_assign(emb: DataFrame, cents: DataFrame, id_col: str,
+                vec_col: str) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (ties -> smaller
+    cid): ONE broadcast of the collapsed centroid array + one codegen'd
+    projection, zero exchanges over the corpus (see ivf_assignments)."""
+    carr = cents.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("cid", "cvec", _norm(F.col("cvec")).alias("cnorm"))
+            )
+        ).alias("carr")
+    )
+
+    def _step(acc, c):
+        sim = _dot(F.col("v"), c["cvec"]) / (F.col("nv") * c["cnorm"])
+        return F.when(
+            sim > acc["csim"],
+            F.struct(c["cid"].alias("cid"), sim.alias("csim")),
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(-1).alias("cid"), F.lit(float("-inf")).alias("csim")
+    )
+    v = _vecd(F.col(vec_col))
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            # Generate barrier: v and nv become concrete attributes, so the
+            # n_centroids aggregate steps below reuse them instead of
+            # re-deriving the cast + norm per step (CollapseProject).
+            F.explode(
+                F.array(F.struct(v.alias("v"), _norm(v).alias("nv")))
+            ).alias("s"),
+        )
+        .select("vec_id", F.col("s.v").alias("v"), F.col("s.nv").alias("nv"))
+        .crossJoin(F.broadcast(carr))
+        .withColumn("best", F.aggregate("carr", init, _step))
+        .select("vec_id", F.col("best.cid").alias("cid"), "v")
+    )
+
+
+def _lloyd_update(assigns: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd step: each centroid moves to the element-wise mean of its
+    assigned vectors (empty clusters keep their old centroid). Two narrow
+    aggregations — posexplode to (cid, dim) partial means (map-side
+    combined), then re-collect the array — both shuffles carry
+    centroid-count-sized data, never the corpus."""
+    sums = (
+        assigns.select("cid", F.posexplode("v").alias("d", "x"))
+        .groupBy("cid", "d")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+        .select("cid", F.expr("transform(dm, s -> s.m)").alias("new"))
+    )
+    return (
+        cents.join(sums, "cid", "left")
+        .select("cid", F.coalesce("new", "cvec").alias("cvec"))
+    )
+
+
 def ivf_assignments(
     emb: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: -> (centroids, assignments).
 
@@ -305,10 +377,22 @@ def ivf_assignments(
     (vector, centroid), and the barrier stops CollapseProject from
     re-deriving the norm inside every aggregate step.
     At 100 TB the assignments table is written ``partitionBy(cid)`` so a
-    probe prunes to ``n_probe`` partitions, and ``n_centroids`` scales to
-    sqrt(n) with a Lloyd-refinement job (iterative broadcast join) if
-    list balance matters; the query plan is unchanged.
+    probe prunes to ``n_probe`` partitions; the query plan is unchanged.
+
+    ``n_centroids='auto'`` sizes the codebook to ~sqrt(n) (one count()
+    job) — the standard IVF guidance, keeping list length ~sqrt(n) so
+    probe cost and list scan cost balance. ``lloyd_iters > 0`` runs that
+    many Lloyd refinement steps (assign -> per-cid element-wise mean,
+    empty clusters keep their centroid): each step is the same zero-
+    exchange assignment projection plus two centroid-count-sized
+    aggregations, deterministic given the md5-seeded init up to float
+    summation order (the default ``lloyd_iters=0`` path stays
+    bit-reproducible for the DuckDB oracle).
     """
+    if n_centroids == "auto":
+        import math
+
+        n_centroids = max(1, math.isqrt(emb.count()))
     cents = (
         emb.select(
             F.col(id_col).alias("src_id"),
@@ -322,51 +406,26 @@ def ivf_assignments(
             "cvec",
         )
     )
-    carr = cents.agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct("cid", "cvec", _norm(F.col("cvec")).alias("cnorm"))
-            )
-        ).alias("carr")
-    )
-
-    def _step(acc, c):
-        sim = _dot(F.col("v"), c["cvec"]) / (F.col("nv") * c["cnorm"])
-        return F.when(
-            sim > acc["csim"],
-            F.struct(c["cid"].alias("cid"), sim.alias("csim")),
-        ).otherwise(acc)
-
-    init = F.struct(
-        F.lit(-1).alias("cid"), F.lit(float("-inf")).alias("csim")
-    )
-    v = _vecd(F.col(vec_col))
-    assigns = (
-        emb.select(
-            F.col(id_col).alias("vec_id"),
-            # Generate barrier: v and nv become concrete attributes, so the
-            # n_centroids aggregate steps below reuse them instead of
-            # re-deriving the cast + norm per step (CollapseProject).
-            F.explode(
-                F.array(F.struct(v.alias("v"), _norm(v).alias("nv")))
-            ).alias("s"),
-        )
-        .select("vec_id", F.col("s.v").alias("v"), F.col("s.nv").alias("nv"))
-        .crossJoin(F.broadcast(carr))
-        .withColumn("best", F.aggregate("carr", init, _step))
-        .select("vec_id", F.col("best.cid").alias("cid"), "v")
-    )
-    return cents, assigns
+    for _ in range(lloyd_iters):
+        assigns = _ivf_assign(emb, cents, id_col, vec_col)
+        # localCheckpoint cuts the per-iteration lineage (at cluster scale
+        # swap for checkpoint() to reliable storage); the centroid table
+        # is n_centroids rows, so the materialization is tiny
+        new = _lloyd_update(assigns, cents).localCheckpoint()
+        cents.unpersist()
+        cents = new
+    return cents, _ivf_assign(emb, cents, id_col, vec_col)
 
 
 def ivf_cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-Flat ANN top-k: -> (rank, vec_id, sim).
 
@@ -374,8 +433,10 @@ def ivf_cosine_topk(
     smaller cid) and exact-cosine re-ranks only the vectors assigned to
     those lists. Recall < 1.0 by construction (the probed lists may miss
     true neighbors); with ``n_probe == n_centroids`` it is exhaustive.
+    ``n_centroids='auto'`` / ``lloyd_iters`` as in :func:`ivf_assignments`.
     """
-    cents, assigns = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    cents, assigns = ivf_assignments(emb, n_centroids, id_col, vec_col,
+                                     lloyd_iters=lloyd_iters)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probe = (
         cents.select(

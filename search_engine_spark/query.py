@@ -70,11 +70,13 @@ def bm25_idf(n_docs: int, df: int) -> float:
 
 def _plan_terms(plan: "QueryPlan") -> list[str]:
     """Every term whose postings a plan needs: scoring terms, negated
-    terms, phrase words (sorted for deterministic scan pruning)."""
+    terms, phrase words, phrase-synonym words (sorted for deterministic
+    scan pruning)."""
     return sorted(
         set(plan.term_weights)
         | set(plan.negated)
         | {w for ph in plan.phrases for w in ph}
+        | {w for ph, _wt in (plan.syn_phrases or ()) for w in ph}
     )
 
 
@@ -87,7 +89,8 @@ def _pick_algo(mode: str, plan: "QueryPlan", has_filter: bool) -> str:
     if mode in ("wand", "maxscore", "exhaustive"):
         return mode
     if (plan.phrases or plan.negated or has_filter or plan.match_all
-            or plan.prox_pairs or plan.word_groups or plan.exact_boost):
+            or plan.prox_pairs or plan.word_groups or plan.exact_boost
+            or plan.syn_phrases):
         return "exhaustive"
     return "maxscore"
 
@@ -148,6 +151,22 @@ class QueryPlan:
     # score = matched_prefix_words * offset + bm25 with offset > any
     # possible bm25 sum, so shard merge / pagination stay unchanged.
     word_groups: list[list[str]] | None = None
+    # Multi-word (phrase) synonyms (reference Q5 multi-word expansion,
+    # ``query_graph.rs:307-396``: "nyc" -> "new york city" matches the
+    # words CONSECUTIVELY). Each entry is (phrase words, weight) where
+    # weight = SYNONYM_PENALTY * bm25_idf(N, df_phrase) — the phrase is
+    # scored as a pseudo-term: contribution per doc is
+    # weight * tf_p / (tf_p + k1*(1-b+b*dl/avgdl)) with tf_p = number of
+    # consecutive occurrences of the phrase — EXACTLY how the synonym
+    # would score if it were one indexed term. df_phrase is resolved at
+    # plan() time via the driver point-read phrase kernel (budgeted; over
+    # budget or positions absent -> the words fall back to independent
+    # synonym terms, documented). Docs matching ONLY the phrase still
+    # enter the candidate set. FROZEN spec, mirrored by the DuckDB oracle.
+    # Deviation notes: phrase synonyms contribute score but not
+    # Last-strategy word credit (like ngram/split derivations), and under
+    # match_all the mandatory set remains the flat scoring terms.
+    syn_phrases: list[tuple[tuple[str, ...], float]] | None = None
 
 
 class SearchIndex:
@@ -221,13 +240,19 @@ class SearchIndex:
         # filters could match a dead version's attrs. Horizon semantics
         # live in ONE place (update._tombstones_df/_filter_dead).
         if os.path.isdir(self.paths.deletes):
-            from search_engine_spark.update import _filter_dead, _tombstones_df
-
-            had_gen = "gen" in self._doc_stats.columns
-            stats = (
-                self._doc_stats if had_gen
-                else self._doc_stats.withColumn("gen", F.lit(0).cast("int"))
+            from search_engine_spark.update import (
+                _filter_dead, _read_with_gen, _tombstones_df,
             )
+
+            # _read_with_gen, not the plain read above: on a mixed dir
+            # (legacy gen-less files + appended gen-ful files) schema
+            # inference can pick a legacy footer and silently drop the gen
+            # column — every row would read as gen 0 and the live
+            # new-generation rows of in-place-replaced docids would be
+            # filtered as dead here. update.py's mutation paths already
+            # read this way; the serving path must match.
+            had_gen = "gen" in self._doc_stats.columns
+            stats = _read_with_gen(spark, self.paths.doc_stats)
             stats = _filter_dead(stats, _tombstones_df(spark, self.paths))
             self._doc_stats = stats if had_gen else stats.drop("gen")
         # The dictionary is tiny relative to the corpus (the reference keeps
@@ -236,6 +261,9 @@ class SearchIndex:
         # Spark jobs; above it, lookups fall back to DataFrame point reads.
         self._local_dict_max_terms = 2_000_000
         self._dict: dict[str, int] | None = None
+        # pair-proximity-1 doc counts per (left, right), reused across
+        # plan() calls (split ranking + phrase-synonym df)
+        self._split_rank_cache: dict[tuple[str, str], int] = {}
         # execute(execution='auto') runs the query driver-side when the
         # posting slices it touches total at most this many postings
         # (point-read path; ~ms latency). Head terms at web scale exceed it
@@ -264,7 +292,8 @@ class SearchIndex:
 
     def pin(self, buckets: list[int] | None = None,
             storage_level: str = "MEMORY_AND_DISK",
-            materialize: bool = True) -> "SearchIndex":
+            materialize: bool = True,
+            max_bytes: int = 1 << 30) -> "SearchIndex":
         """Pin postings (optionally only ``buckets``) + doc_stats in executor
         cache for repeated-query serving — the Spark analogue of the
         reference's resident LMDB pages. Queries whose term buckets are all
@@ -272,18 +301,35 @@ class SearchIndex:
         others fall back to the pruned parquet scan transparently.
 
         At web scale pin the *head* buckets only (term frequency is Zipfian:
-        a few buckets serve most queries); pinning everything is a
-        small-index convenience. Cache is cluster-memory bounded —
+        a few buckets serve most queries); ``pin_for(terms)`` computes the
+        bucket set for a query mix. REFUSES (ValueError) when the selected
+        buckets' postings exceed ``max_bytes`` on disk: a whole-index pin of
+        a large index is a measured anti-pattern — the in-memory relation
+        lacks parquet's row-group term pruning, so big pinned scans are
+        SLOWER than the pruned parquet read (BENCH/BASELINE.md round-3
+        addendum) while also evicting executor memory. Raise ``max_bytes``
+        explicitly to override. Cache is cluster-memory bounded —
         MEMORY_AND_DISK spills instead of recomputing the scan.
         """
         from pyspark import StorageLevel
 
         lvl = getattr(StorageLevel, storage_level)
-        self.unpin()
-        self._pinned_buckets = (
+        sel = (
             set(range(self.config.num_buckets)) if buckets is None
             else {int(b) for b in buckets}
         )
+        sz = self._postings_bytes(sel)
+        if sz > max_bytes:
+            raise ValueError(
+                f"pin() refused: selected buckets hold {sz / 2**20:.0f} MiB "
+                f"of postings on disk (> max_bytes={max_bytes / 2**20:.0f} "
+                "MiB). Pinning large slices is slower than the row-group-"
+                "pruned parquet scan (see pin() docstring); pin head "
+                "buckets (pin_for(terms)) or pass a larger max_bytes to "
+                "override."
+            )
+        self.unpin()
+        self._pinned_buckets = sel
         pinned = self._postings
         if len(self._pinned_buckets) < self.config.num_buckets:
             pinned = pinned.filter(
@@ -296,6 +342,32 @@ class SearchIndex:
             self._pinned_stats.count()
         self._doc_stats = self._pinned_stats
         return self
+
+    def _postings_bytes(self, buckets: set[int]) -> int:
+        """On-disk bytes of the selected buckets' postings (all
+        generations) — the pin() size gate."""
+        total = 0
+        for dirpath, _dirs, files in os.walk(self.paths.postings):
+            bucket = None
+            for part in dirpath.split(os.sep):
+                if part.startswith("bucket="):
+                    try:
+                        bucket = int(part.split("=", 1)[1])
+                    except ValueError:
+                        pass
+            if bucket is None or bucket not in buckets:
+                continue
+            for f in files:
+                total += os.path.getsize(os.path.join(dirpath, f))
+        return total
+
+    def pin_for(self, terms: list[str], **pin_kw) -> "SearchIndex":
+        """Pin exactly the buckets a query mix touches (the Zipfian-head
+        serving pattern): ``pin_for(['hash', 'group', 'sort'])`` pins the
+        union of those terms' buckets and leaves the rest on parquet."""
+        buckets = sorted({term_bucket(t, self.config.num_buckets)
+                          for t in terms})
+        return self.pin(buckets=buckets, **pin_kw)
 
     def unpin(self) -> None:
         """Release pinned cache (no-op if not pinned)."""
@@ -397,23 +469,40 @@ class SearchIndex:
         back to min-df descending when positions aren't stored or the
         candidates' postings exceed the driver point-read budget.
 
-        ``cands`` rows are ``(min_df, df_sum, left, right)``.
+        ``cands`` rows are ``(min_df, half_dfs, left, right)`` where
+        ``half_dfs`` maps each half to its df. The point-read budget is the
+        df sum over DISTINCT terms across all candidates (shared halves
+        counted once — per-candidate sums double-count them and could
+        needlessly skip the reference-accurate ranking); pair counts cache
+        per (left, right) across plan() calls on this handle.
         """
         if len(cands) <= 1:
             return [(c[2], c[3]) for c in cands]
-        if (self.config.store_positions
-                and sum(c[1] for c in cands) <= self.driver_exec_max_postings):
-            terms = sorted({h for c in cands for h in (c[2], c[3])})
-            readers = self._readers_for(terms)
-            deleted = self._deleted if len(self._deleted) else None
-            ranked = []
-            for min_df, _df_sum, left, right in cands:
-                docs = _phrase_docids(readers, [left, right],
-                                      self._partial_tombs)
-                if deleted is not None and len(docs):
-                    docs = docs[~np.isin(docs, deleted)]
-                ranked.append((len(docs), min_df, left, right))
-            ranked.sort(key=lambda c: (-c[0], -c[1], c[2]))
+        union_df: dict[str, int] = {}
+        for _m, half_dfs, _l, _r in cands:
+            union_df.update(half_dfs)
+        uncached = [
+            c for c in cands if (c[2], c[3]) not in self._split_rank_cache
+        ]
+        if self.config.store_positions and (
+            not uncached
+            or sum(union_df.values()) <= self.driver_exec_max_postings
+        ):
+            if uncached:
+                terms = sorted({h for c in uncached for h in (c[2], c[3])})
+                readers = self._readers_for(terms)
+                deleted = self._deleted if len(self._deleted) else None
+                for _min_df, _half_dfs, left, right in uncached:
+                    docs = _phrase_docids(readers, [left, right],
+                                          self._partial_tombs)
+                    if deleted is not None and len(docs):
+                        docs = docs[~np.isin(docs, deleted)]
+                    self._split_rank_cache[(left, right)] = len(docs)
+            ranked = sorted(
+                ((self._split_rank_cache[(c[2], c[3])], c[0], c[2], c[3])
+                 for c in cands),
+                key=lambda c: (-c[0], -c[1], c[2]),
+            )
             return [(c[2], c[3]) for c in ranked]
         cands = sorted(cands, key=lambda c: (-c[0], c[2]))
         return [(c[2], c[3]) for c in cands]
@@ -560,15 +649,57 @@ class SearchIndex:
         for w in pq.words:
             if w in found_exact:
                 note(w, [w])
+        syn_phrases: list[tuple[tuple[str, ...], float]] = []
         if synonyms:
-            syn_found = self._lookup_exact(
-                [t for w in pq.words for s in synonyms.get(w, ())
-                 for t in s.split()]
-            )
-            add(syn_found, SYNONYM_PENALTY)
+            # Reference Q5 full semantics (query_graph.rs:307-396): keys may
+            # be single words OR multi-word phrases (matched against
+            # consecutive query-word runs); values may be single words
+            # (scored alongside, SYNONYM_PENALTY) or multi-word phrases
+            # (scored as a consecutive-phrase pseudo-term — see
+            # QueryPlan.syn_phrases).
+            single_targets: list[str] = []
+            noted: dict[str, list[str]] = {}
+            phrase_cands: list[tuple[str, ...]] = []
+
+            def expand(src_words: list[str], vals: Iterable[str]) -> None:
+                for v in vals:
+                    parts = v.split()
+                    if len(parts) == 1:
+                        single_targets.extend(parts)
+                        for sw in src_words:
+                            noted.setdefault(sw, []).extend(parts)
+                    elif parts:
+                        phrase_cands.append(tuple(parts))
+
             for w in pq.words:
-                note(w, [t for s in synonyms.get(w, ()) for t in s.split()
-                         if t in syn_found])
+                if w in synonyms:
+                    expand([w], synonyms[w])
+            for key in synonyms:
+                kws = key.split()
+                if len(kws) < 2:
+                    continue
+                n = len(kws)
+                for i in range(len(pq.words) - n + 1):
+                    if pq.words[i:i + n] == kws:
+                        # every word of the matched run gets word credit
+                        expand(kws, synonyms[key])
+                        break
+            syn_found = self._lookup_exact(single_targets)
+            add(syn_found, SYNONYM_PENALTY)
+            for w, ts in noted.items():
+                note(w, [t for t in ts if t in syn_found])
+            for ph in dict.fromkeys(phrase_cands):
+                dfp = self._phrase_df(ph)
+                if dfp is None:
+                    # positions absent / over the point-read budget:
+                    # documented fallback — the phrase words score as
+                    # independent synonym terms (adjacency not enforced)
+                    add(self._lookup_exact(list(ph)), SYNONYM_PENALTY)
+                elif dfp > 0:
+                    syn_phrases.append(
+                        (ph, SYNONYM_PENALTY
+                         * bm25_idf(self.n_docs_indexed, dfp))
+                    )
         if ngrams:
             words = pq.words
             grams = [
@@ -583,8 +714,8 @@ class SearchIndex:
                 for i in range(1, len(w)):
                     halves = self._lookup_exact([w[:i], w[i:]])
                     if len(halves) == 2:
-                        cands.append((min(halves.values()),
-                                      sum(halves.values()), w[:i], w[i:]))
+                        cands.append((min(halves.values()), dict(halves),
+                                      w[:i], w[i:]))
                 for left, right in self._rank_splits(cands)[:split_take_n]:
                     add(self._lookup_exact([left, right]), SPLIT_PENALTY)
         for pref in pq.prefixes:
@@ -654,8 +785,37 @@ class SearchIndex:
             match_all=match_all, prox_pairs=prox_pairs,
             prox_weight=float(proximity), prox_gaps=prox_gaps,
             exact_boost=float(exactness), exact_words=exact_words,
-            word_groups=word_groups,
+            word_groups=word_groups, syn_phrases=syn_phrases or None,
         )
+
+    def _phrase_df(self, words: tuple[str, ...]) -> int | None:
+        """Number of live docs containing ``words`` at consecutive positions
+        (phrase df for synonym-phrase idf). Driver point-read + the
+        ``_phrase_docids`` packed-key kernel, cached per phrase tuple
+        (shares the pair cache with ``_rank_splits`` — a 2-word phrase df
+        IS the pair-proximity-1 doc count). Returns None when positions
+        aren't stored or the words' postings exceed the point-read budget
+        (callers fall back to independent-term scoring); 0 when a word is
+        unindexed or the phrase never occurs."""
+        if not self.config.store_positions:
+            return None
+        key = tuple(words)
+        cached = self._split_rank_cache.get(key)
+        if cached is not None:
+            return cached
+        dfs = self._lookup_exact(sorted(set(words)))
+        if len(dfs) < len(set(words)):
+            self._split_rank_cache[key] = 0
+            return 0
+        if sum(dfs.values()) > self.driver_exec_max_postings:
+            return None
+        readers = self._readers_for(sorted(dfs))
+        docs = _phrase_docids(readers, list(words), self._partial_tombs)
+        if len(self._deleted) and len(docs):
+            docs = docs[~np.isin(docs, self._deleted)]
+        n = int(len(docs))
+        self._split_rank_cache[key] = n
+        return n
 
     # -- execution ---------------------------------------------------------
     def _postings_for(self, terms: list[str]) -> DataFrame:
@@ -846,6 +1006,7 @@ class SearchIndex:
             exact_words=plan.exact_words,
             exact_dl_check=not self.config.field_cols,
             word_groups=plan.word_groups,
+            syn_phrases=plan.syn_phrases,
             partial_tombs=self._partial_bc,
         )
 
@@ -976,7 +1137,7 @@ class SearchIndex:
         algo = _pick_algo(mode, plan, False)
         plain = (not plan.phrases and not plan.negated and not plan.match_all
                  and not plan.prox_pairs and not plan.word_groups
-                 and not plan.exact_boost
+                 and not plan.exact_boost and not plan.syn_phrases
                  and self._partial_tombs is None)
         k = plan.k + offset
         if algo == "wand" and plain:
@@ -999,6 +1160,7 @@ class SearchIndex:
                 exact_words=plan.exact_words,
                 exact_dl_check=not self.config.field_cols,
                 word_groups=plan.word_groups,
+                syn_phrases=plan.syn_phrases,
                 partial_tombs=self._partial_tombs,
             )
         pairs = pairs[offset:]
@@ -1039,7 +1201,9 @@ class SearchIndex:
 
         plan = self.plan(query, 10, **plan_kw)
         terms = sorted(
-            set(plan.term_weights) | {w for ph in plan.phrases for w in ph}
+            set(plan.term_weights)
+            | {w for ph in plan.phrases for w in ph}
+            | {w for ph, _wt in (plan.syn_phrases or ()) for w in ph}
         )
         text_col = self.config.searchable_fields()[0][0]
         docs = self._docs_snapshot()
@@ -1068,12 +1232,7 @@ class SearchIndex:
             return self.spark.createDataFrame([], "docid long, term string, part double")
         top = self.execute(plan, mode=mode).select("docid").collect()
         docids = np.array(sorted(r["docid"] for r in top), dtype=np.int64)
-        all_terms = sorted(
-            set(plan.term_weights)
-            | set(plan.negated)
-            | {w for ph in plan.phrases for w in ph}
-        )
-        readers = self._readers_for(all_terms)
+        readers = self._readers_for(_plan_terms(plan))
         k1, b = self.config.k1, self.config.b
         rows: list[tuple[int, str, float]] = []
         pt = self._partial_tombs
@@ -1115,6 +1274,23 @@ class SearchIndex:
                         (int(dd), f"~prox:{a}:{bb}", float(pp))
                         for dd, pp in zip(pd_docs[sel], bonus[sel])
                     )
+        if plan.syn_phrases:
+            # phrase-synonym pseudo-terms: mirror _exhaustive_topk's
+            # weight * tf_p/(tf_p+norm) exactly, one '~syn:a-b-c' row per
+            # matching doc, keeping sum(part) == score
+            for ph, wt in plan.syn_phrases:
+                pdocs, pcnt, pdls = _phrase_matches(readers, list(ph), pt)
+                if not len(pdocs):
+                    continue
+                sel = np.isin(pdocs, docids)
+                tfs_f = pcnt[sel].astype(np.float64)
+                norm = k1 * (1.0 - b + b * pdls[sel]
+                             / max(self.avgdl, 1e-12))
+                label = "~syn:" + "-".join(ph)
+                rows.extend(
+                    (int(dd), label, float(pp))
+                    for dd, pp in zip(pdocs[sel], wt * tfs_f / (tfs_f + norm))
+                )
         if plan.exact_boost and plan.exact_words:
             # indexed exact words are scoring terms, so `readers` has them;
             # an unindexed word yields the empty exact set either way
@@ -1133,7 +1309,9 @@ class SearchIndex:
             offset_val = (
                 sum(abs(v) for v in plan.term_weights.values())
                 + abs(plan.prox_weight) * max(1, len(plan.prox_pairs or ()))
-                + abs(plan.exact_boost) + 1.0
+                + abs(plan.exact_boost)
+                + sum(abs(wt) for _ph, wt in (plan.syn_phrases or ()))
+                + 1.0
             )
             term_docs: dict[str, np.ndarray] = {}
             for t in {x for grp in plan.word_groups for x in grp}:
@@ -1300,6 +1478,7 @@ def make_shard_scorer(
     exact_words: list[str] | None = None,
     exact_dl_check: bool = True,
     word_groups: list[list[str]] | None = None,
+    syn_phrases: list[tuple[tuple[str, ...], float]] | None = None,
     partial_tombs=None,
 ):
     """Build the per-shard scoring function (cogroup signature).
@@ -1357,7 +1536,7 @@ def make_shard_scorer(
 
         plain = (not phrases and not neg_set and allowed is None
                  and not match_all and not prox_pairs and not word_groups
-                 and not exact_boost and pt is None)
+                 and not exact_boost and not syn_phrases and pt is None)
         if algo == "wand" and plain:
             pairs = _wand_topk(readers, term_weights, k, avgdl, k1, b, tomb)
         elif algo == "maxscore" and plain:
@@ -1369,7 +1548,8 @@ def make_shard_scorer(
                 prox_pairs=prox_pairs, prox_weight=prox_weight,
                 prox_gaps=prox_gaps, exact_boost=exact_boost,
                 exact_words=exact_words, exact_dl_check=exact_dl_check,
-                word_groups=word_groups, partial_tombs=pt,
+                word_groups=word_groups, syn_phrases=syn_phrases,
+                partial_tombs=pt,
             )
         if not pairs:
             return _empty()
@@ -1400,6 +1580,7 @@ def _exhaustive_topk(
     exact_words: list[str] | None = None,
     exact_dl_check: bool = True,
     word_groups: list[list[str]] | None = None,
+    syn_phrases: list[tuple[tuple[str, ...], float]] | None = None,
     partial_tombs: tuple | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized full-decode scoring: concatenate (docid, idf*impact) across
@@ -1427,6 +1608,20 @@ def _exhaustive_topk(
             )
         if word_groups and t_docs:
             term_docs[term] = np.concatenate(t_docs)
+    # phrase-synonym pseudo-terms (QueryPlan.syn_phrases spec): docs
+    # matching ONLY the phrase still become candidates (appended with a
+    # zero base score), then receive weight * tf_p/(tf_p + norm)
+    syn_data: list[tuple[np.ndarray, np.ndarray]] = []
+    if syn_phrases:
+        for ph, wt in syn_phrases:
+            pdocs, pcnt, pdls = _phrase_matches(readers, list(ph),
+                                                partial_tombs)
+            if len(pdocs):
+                tfs_f = pcnt.astype(np.float64)
+                norm = k1 * (1.0 - b + b * pdls / max(avgdl, 1e-12))
+                syn_data.append((pdocs, wt * tfs_f / (tfs_f + norm)))
+                doc_chunks.append(pdocs)
+                score_chunks.append(np.zeros(len(pdocs), dtype=np.float64))
     if not doc_chunks:
         return []
     docs = np.concatenate(doc_chunks)
@@ -1434,6 +1629,9 @@ def _exhaustive_topk(
     uniq, inv = np.unique(docs, return_inverse=True)
     agg = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(agg, inv, scores)
+    for pdocs, pbonus in syn_data:
+        # every pdoc is in uniq by construction (appended above)
+        np.add.at(agg, np.searchsorted(uniq, pdocs), pbonus)
 
     if prox_weight and prox_pairs:
         occ_cache: dict[str, np.ndarray] = {}
@@ -1488,7 +1686,9 @@ def _exhaustive_topk(
         offset_val = (
             sum(abs(v) for v in term_weights.values())
             + abs(prox_weight) * max(1, len(prox_pairs or ()))
-            + abs(exact_boost) + 1.0
+            + abs(exact_boost)
+            + sum(abs(wt) for _ph, wt in (syn_phrases or ()))
+            + 1.0
         )
         alive = np.ones(len(uniq), dtype=bool)
         wcnt = np.zeros(len(uniq), dtype=np.float64)
@@ -1770,6 +1970,70 @@ def _phrase_docids(
             break
         inter = np.intersect1d(inter, ks, assume_unique=True)
     return np.unique(inter >> 32).astype(np.int64, copy=False)
+
+
+def _phrase_matches(
+    readers: dict[str, list[tuple[PostingReader, float]]],
+    phrase: list[str],
+    pt: tuple | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(docids, occurrence counts, dls) for docs containing ``phrase`` at
+    consecutive positions — the pseudo-term decode behind
+    ``QueryPlan.syn_phrases``: counts are the phrase's tf (number of
+    aligned starts), dl comes from the first word's postings (any word's
+    dl is the doc's dl). Same packed start-key construction as
+    ``_phrase_docids``; keys are globally unique ((docid, pos) occurs once
+    per term — docids are disjoint across generations) so the k-way
+    ``intersect1d`` keeps each matching start exactly once."""
+    stride = _POS_STRIDE
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64),
+             np.zeros(0, dtype=np.float64))
+    keysets = []
+    dl_docs: list[np.ndarray] = []
+    dl_vals: list[np.ndarray] = []
+    for i, t in enumerate(phrase):
+        rs = readers.get(t, ())
+        if not rs:
+            return empty
+        chunks = []
+        for r, _scale in rs:
+            if i == 0:
+                d0, _tf0, dl0 = _live_decode(r, pt)
+                if len(d0):
+                    dl_docs.append(d0)
+                    dl_vals.append(dl0)
+            docids, pos, lens = _live_decode_flat(r, pt)
+            if not len(pos):
+                continue
+            rep = np.repeat(docids, lens)
+            if i:  # a term at position < i cannot start-align a phrase
+                keep = pos >= i
+                pos, rep = pos[keep], rep[keep]
+            chunks.append(rep * stride + (pos - i))
+        if not chunks:
+            return empty
+        ks = np.concatenate(chunks)
+        if len(chunks) > 1:
+            ks = np.sort(ks)
+        keysets.append(ks)
+    inter = keysets[0]
+    for ks in keysets[1:]:
+        if len(inter) == 0:
+            break
+        inter = np.intersect1d(inter, ks, assume_unique=True)
+    if not len(inter):
+        return empty
+    docs_rep = (inter >> 32).astype(np.int64, copy=False)
+    starts = np.flatnonzero(np.r_[True, docs_rep[1:] != docs_rep[:-1]])
+    docs = docs_rep[starts]
+    counts = np.diff(np.r_[starts, len(docs_rep)]).astype(np.int64)
+    dd = np.concatenate(dl_docs)
+    dv = np.concatenate(dl_vals)
+    if len(dl_docs) > 1:
+        order = np.argsort(dd, kind="stable")
+        dd, dv = dd[order], dv[order]
+    dls = dv[np.searchsorted(dd, docs)].astype(np.float64)
+    return docs, counts, dls
 
 
 # ---------------------------------------------------------------------------

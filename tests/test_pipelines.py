@@ -451,3 +451,276 @@ def test_cluster_pairs_connected_components(spark):
            for r in cluster_pairs(nodes, pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0,
                    10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20}
+
+
+# ---------------------------------------------------------------------------
+# round 4: LSH bucket caps, prompt templates, REST adapter
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_bucket_cap_bounds_pathological_cluster(spark, caplog):
+    """The LSH skew bomb: N identical docs land in ONE (band, bucket) and
+    fan out N^2/2 candidate pairs. With bucket_cap the candidate count is
+    bounded by cap^2/2 per band, and audit mode logs the truncation."""
+    import logging
+
+    from search_engine_spark.pipelines import dedup
+
+    n = 400
+    rows = [(i, "the same boilerplate page text repeated everywhere")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = 16
+    with caplog.at_level(logging.WARNING,
+                         logger="search_engine_spark.pipelines.dedup"):
+        pairs = dedup.minhash_lsh_pairs(
+            df, threshold=0.5, bucket_cap=cap, audit_cap=True
+        ).collect()
+    assert any("truncated" in r.message for r in caplog.records)
+    # every band keeps the same cap smallest doc_ids -> C(cap,2) pairs
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert all(p["a"] < cap and p["b"] < cap for p in pairs)
+
+    # simhash path: same bound
+    sp = dedup.simhash_pairs(df, bucket_cap=cap).collect()
+    assert len(sp) == cap * (cap - 1) // 2
+
+    # uncapped on a small healthy corpus: cap=None is the old behavior
+    small = spark.createDataFrame(rows[:10], "doc_id long, text string")
+    assert len(dedup.minhash_lsh_pairs(small, threshold=0.5,
+                                       bucket_cap=None).collect()) == 45
+
+
+def test_cosine_near_dup_bucket_cap(spark):
+    from search_engine_spark.pipelines import similarity
+
+    n = 100
+    vec = [1.0, 0.0, 0.5, 0.25]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    cap = 8
+    pairs = similarity.cosine_near_dup_pairs(
+        emb, threshold=0.9, bucket_cap=cap
+    ).collect()
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert all(p["a"] < cap and p["b"] < cap for p in pairs)
+
+
+def test_cluster_pairs_respects_node_universe(spark):
+    """Pair endpoints outside `nodes` are dropped: the output is exactly
+    one row per node (the documented contract)."""
+    from search_engine_spark.pipelines import dedup
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 99), (98, 97)], "a long, b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.cluster_pairs(nodes, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 3}
+
+
+def test_prompt_template_render_and_check(spark):
+    from search_engine_spark.pipelines.prompt import PromptTemplate
+
+    t = PromptTemplate("{{ lang }}: {{doc.text}}!")
+    assert t.fields() == ["lang", "text"]
+    assert t.render({"lang": "en", "text": "hi"}) == "en: hi!"
+    assert t.render({"lang": None, "text": "hi"}) == ": hi!"
+    t2 = PromptTemplate("{{text}}", max_chars=3)
+    assert t2.render({"text": "abcdef"}) == "abc"
+
+    df = spark.createDataFrame([(1, "en", "hello")],
+                               "doc_id long, lang string, text string")
+    rendered = df.select(t.column().alias("p")).collect()[0]["p"]
+    assert rendered == "en: hello!"
+
+    with pytest.raises(ValueError, match="missing document fields"):
+        PromptTemplate("{{nope}}").check(df)
+    with pytest.raises(ValueError, match="references no"):
+        PromptTemplate("static text only")
+
+
+def test_embed_documents_with_template(spark):
+    """Template rendering changes the embedded text: '{{lang}}: {{text}}'
+    equals embedding a pre-concatenated column; NULL fields render ''."""
+    import numpy as np
+
+    from search_engine_spark.pipelines import embed
+
+    df = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, None, "hello world")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: np.array(r["embedding"])
+           for r in embed.embed_documents(
+               df, dim=8, template="{{lang}}: {{text}}").collect()}
+    manual = embed.HashedBowEmbedder(8)(["en: hello world", ": hello world"])
+    assert np.allclose(out[1], manual[0])
+    assert np.allclose(out[2], manual[1])
+    # lang token shifts the embedding vs the raw-text path
+    raw = {r["doc_id"]: np.array(r["embedding"])
+           for r in embed.embed_documents(df, dim=8).collect()}
+    assert not np.allclose(out[1], raw[1])
+
+
+def test_rest_embedder_batching_retry_backoff():
+    import numpy as np
+    import pytest as _pytest
+
+    from search_engine_spark.pipelines.embed import (
+        RestEmbedder, RetryableEmbedderError,
+    )
+
+    calls: list[dict] = []
+    fails = {"left": 2}
+
+    def transport(payload):
+        calls.append(payload)
+        if fails["left"] > 0:
+            fails["left"] -= 1
+            raise RetryableEmbedderError("429")
+        return {"data": [{"embedding": [float(len(t)), 0.0]}
+                         for t in payload["input"]]}
+
+    sleeps: list[float] = []
+    emb = RestEmbedder(transport, dim=2, max_batch=3, max_retries=3,
+                       backoff_s=0.5, extra={"model": "m1"},
+                       sleep=sleeps.append)
+    texts = ["a", "bb", "ccc", "dddd", "eeeee", "ffffff", "g"]
+    out = emb(texts)
+    assert out.shape == (7, 2)
+    assert [v[0] for v in out] == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 1.0]
+    # 3 batches of <=3, +2 retried calls on the first batch
+    assert len(calls) == 3 + 2
+    assert all(c["model"] == "m1" for c in calls)
+    assert sleeps == [0.5, 1.0]  # exponential backoff
+
+    # retry budget exhausted -> the retryable error propagates
+    def always_429(payload):
+        raise RetryableEmbedderError("429")
+
+    emb2 = RestEmbedder(always_429, dim=2, max_retries=1, backoff_s=0,
+                        sleep=lambda s: None)
+    with _pytest.raises(RetryableEmbedderError):
+        emb2(["x"])
+
+    # shape validation
+    def bad_shape(payload):
+        return {"data": [{"embedding": [1.0, 2.0, 3.0]}]}
+
+    with _pytest.raises(ValueError, match="dim mismatch"):
+        RestEmbedder(bad_shape, dim=2)(["x"])
+    with _pytest.raises(ValueError):
+        RestEmbedder(None, dim=2)
+
+
+def test_unigram_logloss_no_forced_broadcast(spark):
+    """The vocab join must not carry an unconditional broadcast hint (a
+    100 TB corpus has 10^8+ distinct terms); values are unchanged and an
+    injected vocab_df (term dictionary reuse) gives identical results."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.pipelines import curation
+    from search_engine_spark.pipelines.dedup import tokens_col
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = curation.unigram_logloss(df)
+    # the vocab side must carry no broadcast hint; the 1-row total is the
+    # only hinted relation
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("ResolvedHint") <= 1
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[3]["n_tokens"] == 0 and rows[3]["cross_entropy"] is None
+    # hand check doc 2: total=5, p(a)=3/5, p(c)=1/5
+    import math
+    ce2 = -(math.log2(3 / 5) + math.log2(1 / 5)) / 2
+    assert abs(rows[2]["cross_entropy"] - round(ce2, 6)) < 1e-9
+
+    vocab = (
+        df.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("cf"))
+    )
+    rows2 = {r["doc_id"]: r
+             for r in curation.unigram_logloss(df, vocab_df=vocab).collect()}
+    assert rows2[2]["cross_entropy"] == rows[2]["cross_entropy"]
+
+
+def test_ivf_auto_centroids_and_lloyd_recall(spark):
+    """IVF upgrade: n_centroids='auto' sizes the codebook to ~sqrt(n);
+    Lloyd refinement keeps the fixed-seed init path intact (lloyd_iters=0
+    default unchanged) and reaches good recall on clustered data."""
+    import numpy as np
+
+    from search_engine_spark.pipelines import similarity
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 12))
+    n = 2000
+    vecs = centers[rng.integers(0, 8, n)] + 0.05 * rng.normal(size=(n, 12))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents, assigns = similarity.ivf_assignments(emb, "auto")
+    assert cents.count() == 44  # isqrt(2000)
+    assert assigns.count() == n
+
+    q = [float(x) for x in centers[3]]
+    brute = [r["vec_id"]
+             for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    got = [r["vec_id"]
+           for r in similarity.ivf_cosine_topk(
+               emb, q, k=10, n_centroids="auto", n_probe=6,
+               lloyd_iters=2).collect()]
+    recall = len(set(brute) & set(got)) / 10.0
+    assert recall >= 0.7, recall
+
+
+def test_audio_wav_real_decode_roundtrip(spark):
+    """REAL media decode: stdlib wave encode -> parse -> features; RMS is
+    the exact integer-sum formula (bit-reproducible vs the SQL oracle)."""
+    import numpy as np
+
+    from search_engine_spark.pipelines import multimodal as mm
+
+    # python-level roundtrip
+    f = mm.decode_wav(mm.synth_wav(3))
+    n = 800 + (3 % 5) * 160
+    i = np.arange(n, dtype=np.int64)
+    vals = (3 * 7919 + i * 997) % 65536 - 32768
+    assert f["channels"] == 1 and f["sample_rate"] == 8000
+    assert f["n_frames"] == n
+    assert f["duration_s"] == round(n / 8000.0, 6)
+    assert f["rms"] == round(float(np.sqrt((vals * vals).sum() / n)), 6)
+    # decode_payload routes audio/wav to the real parser
+    f2 = mm.decode_payload(mm.synth_wav(3), "audio/wav")
+    assert f2 == f
+
+    # Spark path
+    import pandas as pd_
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd_.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [mm.synth_wav(int(d)) for d in pdf["doc_id"]],
+            })
+
+    payloads = (
+        spark.range(6).selectExpr("id AS doc_id")
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    rows = {r["doc_id"]: r for r in mm.audio_features(payloads).collect()}
+    assert len(rows) == 6
+    assert rows[3]["rms"] == f["rms"]
+    assert rows[0]["n_frames"] == 800 and rows[4]["n_frames"] == 1440
+
+    # unknown media without a decoder still raises loudly
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(b"xx", "video/mp4")

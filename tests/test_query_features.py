@@ -449,7 +449,145 @@ def test_split_candidates_ranked_by_pair1_frequency(spark, tmp_path):
     assert "ab" in p.term_weights and "cd" in p.term_weights, p.term_weights
     assert "bcd" not in p.term_weights
 
-    # budget exhausted -> documented min-df fallback (higher-df halves win)
-    ix.driver_exec_max_postings = 0
-    p2 = ix.plan("abcd", splits=True, split_take_n=1)
+    # budget exhausted -> documented min-df fallback (higher-df halves win).
+    # Fresh handle: the first plan() call cached the pair counts on `ix`,
+    # and cached counts are used regardless of budget (they cost nothing).
+    ix2 = SearchIndex(spark, d)
+    ix2.driver_exec_max_postings = 0
+    p2 = ix2.plan("abcd", splits=True, split_take_n=1)
     assert "bcd" in p2.term_weights and "ab" not in p2.term_weights
+
+    # cached counts win over the budget: the warm handle keeps the
+    # reference-accurate ranking even at budget 0
+    ix.driver_exec_max_postings = 0
+    p3 = ix.plan("abcd", splits=True, split_take_n=1)
+    assert "ab" in p3.term_weights and "bcd" not in p3.term_weights
+
+
+# ---------------------------------------------------------------------------
+# phrase (multi-word) synonyms — reference Q5 full semantics,
+# query_graph.rs:307-396
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def syn_index(spark, tmp_path_factory):
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+
+    rows = [
+        (0, "newyork pizza"),            # exact one-word term
+        (1, "new york pizza"),           # the phrase, consecutive
+        (2, "york new haven"),           # both words, wrong order
+        (3, "new england york trip"),    # both words, not adjacent
+        (4, "boston travel notes"),      # neither
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    cfg = IndexConfig(text_col="text", pk_col="doc_id", ts_col=None,
+                      docid_col="doc_id", num_shards=2, num_buckets=2)
+    d = str(tmp_path_factory.mktemp("synidx") / "idx")
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    return SearchIndex(spark, d), d
+
+
+def test_word_to_phrase_synonym_requires_adjacency(syn_index):
+    """'newyork' -> 'new york' matches the words CONSECUTIVELY: docs with
+    both words out of order / apart get nothing."""
+    import math
+
+    ix, _ = syn_index
+    res = dict(ix.search_list("newyork", k=5,
+                              synonyms={"newyork": ["new york"]}))
+    assert set(res) == {0, 1}
+    # hand-computed scores: N=5, avgdl=3.0
+    # doc0: idf(newyork df=1)=ln(4), tf=1, dl=2 -> norm=0.9, 1/1.9
+    # doc1: phrase df=1 -> wt=0.5*ln(4); tf_p=1, dl=3 -> norm=1.2, 1/2.2
+    idf = math.log(1.0 + (5 - 1 + 0.5) / 1.5)
+    assert math.isclose(res[0], idf / 1.9, rel_tol=1e-9)
+    assert math.isclose(res[1], 0.5 * idf / 2.2, rel_tol=1e-9)
+
+
+def test_phrase_to_word_synonym(syn_index):
+    """Multi-word KEY: the consecutive query run 'new york' expands to the
+    word 'newyork'; every word of the run gets Last-strategy credit."""
+    ix, _ = syn_index
+    res = dict(ix.search_list("new york", k=5,
+                              synonyms={"new york": ["newyork"]}))
+    assert 0 in res  # matched only through the synonym word
+    assert set(res) == {0, 1, 2, 3}
+    # Last strategy: doc0 matches BOTH query words through the synonym
+    # (full word credit), so it lands in the top bucket with docs 1-3
+    last = ix.search("new york", k=5, matching_strategy="last",
+                     synonyms={"new york": ["newyork"]}).collect()
+    det = ix.score_details("new york", k=5, matching_strategy="last",
+                           synonyms={"new york": ["newyork"]}).collect()
+    words_part = {r["docid"]: r["part"] for r in det if r["term"] == "~words"}
+    assert words_part[0] == max(words_part.values())
+    assert len(last) == 4
+
+
+def test_phrase_synonym_score_details_sum(syn_index):
+    import math
+
+    ix, _ = syn_index
+    for kw in ({}, {"matching_strategy": "last"}):
+        res = dict(ix.search_list("newyork pizza", k=5, mode="exhaustive",
+                                  synonyms={"newyork": ["new york"]}, **kw))
+        det = ix.score_details("newyork pizza", k=5, mode="exhaustive",
+                               synonyms={"newyork": ["new york"]},
+                               **kw).collect()
+        sums: dict[int, float] = {}
+        for r in det:
+            sums[r["docid"]] = sums.get(r["docid"], 0.0) + r["part"]
+        assert set(sums) == set(res)
+        for dd, s in res.items():
+            assert math.isclose(sums[dd], s, rel_tol=1e-9, abs_tol=1e-12), (
+                dd, s, sums[dd], kw)
+
+
+def test_phrase_synonym_driver_cluster_identical(syn_index):
+    ix, _ = syn_index
+    kw = dict(k=5, synonyms={"newyork": ["new york"]})
+    driver = ix.search_list("newyork pizza", execution="driver", **kw)
+    cluster = ix.search_list("newyork pizza", execution="cluster", **kw)
+    assert driver == cluster
+
+
+def test_phrase_synonym_fallback_without_positions(spark, tmp_path):
+    """store_positions=False: adjacency can't be verified, so the phrase
+    words fall back to independent synonym terms (documented)."""
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.query import SearchIndex
+
+    rows = [(0, "newyork pizza"), (1, "new york pizza"),
+            (2, "york new haven")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    cfg = IndexConfig(text_col="text", pk_col="doc_id", ts_col=None,
+                      docid_col="doc_id", num_shards=2, num_buckets=2,
+                      store_positions=False)
+    d = str(tmp_path / "nopos_idx")
+    build_index(spark, spark.createDataFrame(pdf), d, cfg)
+    ix = SearchIndex(spark, d)
+    p = ix.plan("newyork", synonyms={"newyork": ["new york"]})
+    assert not p.syn_phrases
+    assert {"newyork", "new", "york"} <= set(p.term_weights)
+    # out-of-order doc 2 now matches too (adjacency not enforced)
+    res = dict(ix.search_list("newyork", k=5,
+                              synonyms={"newyork": ["new york"]}))
+    assert set(res) == {0, 1, 2}
+
+
+def test_pin_size_gate_and_pin_for(syn_index):
+    """pin() refuses oversized slices (whole-index pin of a big index is
+    the measured anti-pattern); pin_for pins the query mix's buckets."""
+    ix, _ = syn_index
+    with pytest.raises(ValueError, match="refused"):
+        ix.pin(max_bytes=0)
+    ix.pin_for(["newyork"])
+    try:
+        assert ix._pinned is not None
+        assert len(ix._pinned_buckets) >= 1
+        assert dict(ix.search_list("newyork", k=3))
+    finally:
+        ix.unpin()
