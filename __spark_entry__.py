@@ -619,6 +619,50 @@ def _q_unigram_logloss(spark, sf_dir):
     return curation.unigram_logloss(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_dup_ngram_cross(spark, sf_dir):
+    """Cross-document duplicate n-gram fraction (Lee et al. 2021 /
+    FineWeb inter-doc dup stats): share of each doc's distinct 3-grams
+    that occur in >= 1 other doc. Three linear md5-keyed exchanges, no
+    pair explosion (see curation.cross_doc_ngram_dup)."""
+    return curation.cross_doc_ngram_dup(_docs(spark, sf_dir), n=3).orderBy("doc_id")
+
+
+def _q_url_canon(spark, sf_dir):
+    """Crawl-style URL canonicalization (the key-maker for URL-level
+    dedup): tracking params stripped, params sorted, fragment/default
+    port/'www.' dropped, scheme+host lowercased, trailing slash trimmed.
+    Pure codegen projection over deterministically synthesized URLs (the
+    driver tables carry no url column; the synth covers every rule:
+    tracking+fragment, :80, mixed case, no-scheme fallback, whitespace +
+    root path)."""
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://WWW."), F.col("source"),
+                                F.lit(".Example.com:443/A/B/?utm_source=x&b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("http://"), F.col("source"),
+                               F.lit(".example.com:80/A/B")))
+        .when(m == 2, F.concat(F.lit("HTTPS://www."), F.col("source"),
+                               F.lit(".EXAMPLE.com/A/B?z=26&y=25&fbclid=abc")))
+        .when(m == 3, F.concat(F.col("source"), F.lit(".example.com/not-a-url")))
+        .otherwise(F.concat(F.lit("  https://"), F.col("source"),
+                            F.lit(".example.com/  ")))
+    )
+    return (
+        curation.canonicalize_urls(docs.select("doc_id", url.alias("url")))
+        .select("doc_id", "url", "url_canon", "url_host")
+        .orderBy("doc_id")
+    )
+
+
+def _q_gopher_filter(spark, sf_dir):
+    """Gopher quality-filter rules (Rae et al. 2021 A1.1; reused by
+    FineWeb/Dolma/RefinedWeb): word count, mean word length, symbol
+    ratio, alphabetic-word fraction, stop-word presence -> keep verdict +
+    failed-rule audit string. Zero-exchange codegen projection."""
+    return textstats.gopher_quality(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(
         _docs(spark, sf_dir), {"en": 0.5, "de": 0.25, "zh": 0.75}, seed=7
@@ -701,11 +745,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r03 checked only the first 50 of 56; these were absent from r03
         #  — unigram_logloss has never been driver-checked at all.)
         "unigram_logloss": _q_unigram_logloss,
+        "dup_ngram_cross": _q_dup_ngram_cross,
+        "url_canon": _q_url_canon,
+        "gopher_filter": _q_gopher_filter,
+        "bm25_phrase_synonym": _q_bm25_phrase_synonym,
+        "embed_docs_template": _q_embed_docs_template,
+        "multimodal_audio": _q_multimodal_audio,
         "stratified_sample": _q_stratified_sample,
         "multimodal_features": _q_multimodal,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
-        "multimodal_audio": _q_multimodal_audio,
         "build_metrics": _q_build_metrics,
         # core engine (index build + query; SURVEY.md §2.4/§2.6-2.8)
         "term_dict": _q_term_dict,
@@ -720,7 +769,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_paginated": _q_bm25_paginated,
         "bm25_negated": _q_bm25_negated,
         "bm25_synonyms": _q_bm25_synonyms,
-        "bm25_phrase_synonym": _q_bm25_phrase_synonym,
         "bm25_stored_settings": _q_bm25_stored_settings,
         "bm25_match_all": _q_bm25_match_all,
         "bm25_last": _q_bm25_last,
@@ -755,7 +803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "dedup_stream": _q_dedup_stream,
         "embed_docs": _q_embed_docs,
-        "embed_docs_template": _q_embed_docs_template,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -1785,6 +1832,111 @@ SELECT f.doc_id,
        round(f.n_frames / 8000.0, 6) AS duration_s,
        round(sqrt(a.ss * 1.0 / a.n), 6) AS rms
 FROM f JOIN agg a USING (doc_id) ORDER BY 1
+"""
+
+    # cross-document duplicate n-gram fraction (n=3); same partial-shingle
+    # edge semantics as decontaminate (whole doc for 0 < len < 3)
+    sql["dup_ngram_cross"] = """
+WITH arr AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+shing AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM arr WHERE len(t) > 0
+),
+dg AS (SELECT DISTINCT doc_id, g FROM shing),
+dfreq AS (SELECT g, count(*) AS dc FROM dg GROUP BY 1),
+per AS (
+  SELECT d.doc_id, count(*) AS ng,
+         sum(CASE WHEN f.dc > 1 THEN 1 ELSE 0 END) AS nd
+  FROM dg d JOIN dfreq f USING (g) GROUP BY 1
+)
+SELECT doc.doc_id,
+       coalesce(per.ng, 0) AS n_grams,
+       CAST(coalesce(per.nd, 0) AS BIGINT) AS n_dup_grams,
+       round(CASE WHEN coalesce(per.ng, 0) > 0
+                  THEN coalesce(per.nd, 0) / per.ng::DOUBLE ELSE 0.0 END, 6) AS dup_frac
+FROM documents doc LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+"""
+
+    # URL canonicalization over the same deterministic doc_id%5 synthesis as
+    # _q_url_canon; rules mirror curation.canonicalize_urls 1:1 (DuckDB's
+    # array_to_string on an empty list is NULL -> coalesce to '')
+    sql["url_canon"] = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'https://WWW.' || source || '.Example.com:443/A/B/?utm_source=x&b=2&a=1#frag'
+           WHEN 1 THEN 'http://' || source || '.example.com:80/A/B'
+           WHEN 2 THEN 'HTTPS://www.' || source || '.EXAMPLE.com/A/B?z=26&y=25&fbclid=abc'
+           WHEN 3 THEN source || '.example.com/not-a-url'
+           ELSE '  https://' || source || '.example.com/  '
+         END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id, url, trim(url) AS raw,
+         lower(regexp_extract(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_replace(regexp_extract(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+         regexp_extract(trim(url), '\?([^#]*)', 1) AS q
+  FROM u
+),
+h AS (
+  SELECT *, regexp_replace(
+           CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                ELSE auth END, '^www\.', '') AS host,
+         coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)(=|$)'))), '&'), '') AS qs
+  FROM p
+)
+SELECT doc_id, url,
+       CASE WHEN scheme = '' THEN lower(raw)
+            ELSE scheme || '://' || host || path ||
+                 CASE WHEN qs = '' THEN '' ELSE '?' || qs END END AS url_canon,
+       CASE WHEN scheme = '' THEN '' ELSE host END AS url_host
+FROM h ORDER BY doc_id
+"""
+
+    # Gopher rules: conditions evaluate on the ROUNDED ratios exactly as the
+    # engine column defs do; concat_ws skips NULL reason slots in both engines
+    stop_cols = " + ".join(
+        f"list_contains(t, '{w}')::INT" for w in textstats.GOPHER_STOPWORDS
+    )
+    sql["gopher_filter"] = f"""
+WITH arr AS (SELECT doc_id, text, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+f AS (
+  SELECT doc_id, len(t) AS n,
+         coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS chars,
+         (length(text) - length(replace(text, '#', ''))) / 1.0
+           + (length(text) - length(replace(text, '...', ''))) / 3.0
+           + (length(text) - length(replace(text, '…', ''))) / 1.0 AS n_sym,
+         len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         {stop_cols} AS stop_hits
+  FROM arr
+),
+g AS (
+  SELECT doc_id, n, stop_hits,
+         round(chars / greatest(n::DOUBLE, 1.0), 6) AS mean_word_len,
+         round(n_sym / greatest(n::DOUBLE, 1.0), 6) AS symbol_ratio,
+         round(n_alpha / greatest(n::DOUBLE, 1.0), 6) AS alpha_frac
+  FROM f
+)
+SELECT doc_id,
+       n AS n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+       NOT (n < 50 OR n > 100000) AND NOT (mean_word_len < 3.0 OR mean_word_len > 10.0)
+         AND NOT (symbol_ratio > 0.1) AND NOT (alpha_frac < 0.8)
+         AND NOT (stop_hits < 2) AS keep,
+       concat_ws(',',
+         CASE WHEN n < 50 OR n > 100000 THEN 'words' END,
+         CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_len' END,
+         CASE WHEN symbol_ratio > 0.1 THEN 'symbols' END,
+         CASE WHEN alpha_frac < 0.8 THEN 'alpha' END,
+         CASE WHEN stop_hits < 2 THEN 'stop' END) AS reasons
+FROM g ORDER BY doc_id
 """
 
     # build_metrics: intentionally no oracle (lineage rows; rows-only check)

@@ -301,3 +301,146 @@ def pii_redact(
         red.alias("text_redacted"),
         *counts,
     )
+
+
+def cross_doc_ngram_dup(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicate n-gram fraction — the corpus-level twin of
+    ``repetition_stats`` (which is within-doc): for each doc, the share of
+    its DISTINCT word n-grams that also occur in at least one OTHER doc.
+    This is the "fraction of text duplicated across documents" signal of
+    Lee et al. 2021 (Deduplicating Training Data Makes LMs Better) /
+    FineWeb's inter-document dup stats, used both as a quality filter and
+    to decide whether substring-level dedup is worth running.
+
+    -> (doc_id, n_grams, n_dup_grams, dup_frac), one row per input doc
+    (token-less docs keep zeros). A gram counts as duplicated when its
+    corpus doc-frequency > 1; per-doc distinctness means a doc repeating
+    its own boilerplate does NOT inflate its score (that is
+    ``repetition_stats``' job).
+
+    Scale shape (100 TB): per-doc distinct gram arrays are built in-row
+    (``doc_term_array``, zero exchanges), grams ride as fixed 32-char md5
+    keys. Three linear, map-side-combined exchanges total: (1) groupBy
+    gram-hash for corpus doc-frequency, (2) the gram->doc-frequency join
+    back (same hash partitioning as (1) — Catalyst reuses the exchange on
+    the aggregated side), (3) groupBy doc for the fraction. Head grams
+    (common phrases) are absorbed by partial aggregation in (1) and fan
+    out only per (doc, gram) row in (2) — no pair explosion anywhere.
+    """
+    tset = (
+        _grams(df, n, id_col, text_col, distinct=True)
+        .select("doc_id", F.explode("terms").alias("g"))
+        .select("doc_id", F.md5("g").alias("gh"))
+    )
+    dfreq = tset.groupBy("gh").agg(F.count("*").alias("dc"))
+    per = (
+        tset.join(dfreq, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum(F.when(F.col("dc") > 1, 1).otherwise(0)).alias("nd"),
+        )
+    )
+    ng = F.coalesce(F.col("ng"), F.lit(0))
+    nd = F.coalesce(F.col("nd"), F.lit(0))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            ng.alias("n_grams"),
+            nd.cast("long").alias("n_dup_grams"),
+            F.round(
+                F.when(ng > 0, nd / ng.cast("double")).otherwise(F.lit(0.0)), ROUND
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# Query params stripped during URL canonicalization: click/campaign trackers
+# that vary per visit without changing the fetched page. Anchored at the
+# param start and matched identically by Java regex and RE2 (the DuckDB
+# oracle shares the literal pattern).
+URL_TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|ref|ref_src)(=|$)"
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_canon",
+    host_col: str = "url_host",
+) -> DataFrame:
+    """Crawl-style URL canonicalization — the key-maker for URL-level
+    dedup of a web corpus (the first dedup any Common-Crawl pipeline runs,
+    before any content hashing): two fetches of the same page under
+    tracking-param / fragment / case / default-port variations must map to
+    ONE canonical key.
+
+    Rules (deterministic, documented order):
+      1. trim surrounding whitespace;
+      2. scheme and host lowercased (path/query case is preserved — it is
+         significant on most origins);
+      3. fragment (``#...``) dropped;
+      4. default port stripped (``:80`` for http, ``:443`` for https);
+      5. leading ``www.`` stripped from the host;
+      6. tracking params removed (``utm_*``, ``fbclid``, ``gclid``,
+         ``msclkid``, ``ref``, ``ref_src`` — ``URL_TRACKING_PARAM_RE``);
+      7. remaining query params sorted byte-wise (param order never
+         changes the resource); empty query dropped;
+      8. trailing ``/`` stripped from the path (`/a/` == `/a`; the root
+         path canonicalizes to the bare origin).
+    A value with no ``scheme://`` does not parse as a URL and
+    canonicalizes to its trimmed, lowercased self (documented fallback —
+    quarantine-grade input).
+
+    Scale shape: pure per-row JVM projection (regexp_extract / array_sort
+    / concat inside whole-stage codegen) — zero exchanges, zero Python.
+    Compose with ``exact_dedup(df, text_col=out_col)`` for the actual
+    URL-level dedup; the canonical key is also the right shuffle key for
+    per-site aggregations (host-prefixed, so one site's pages co-locate).
+
+    -> input columns + ``url_canon`` + ``url_host``.
+    """
+    raw = F.trim(F.col(url_col))
+    scheme = F.lower(F.regexp_extract(raw, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    auth = F.lower(F.regexp_extract(raw, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_replace(
+        F.regexp_extract(raw, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        "/+$",
+        "",
+    )
+    qs = F.concat_ws(
+        "&",
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(raw, r"\?([^#]*)", 1), "&"),
+                lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM_RE),
+            )
+        ),
+    )
+    canon = F.when(
+        scheme == "",
+        F.lower(raw),
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+        )
+    )
+    return df.withColumn(out_col, canon).withColumn(
+        host_col, F.when(scheme == "", F.lit("")).otherwise(host)
+    )

@@ -724,3 +724,102 @@ def test_audio_wav_real_decode_roundtrip(spark):
     # unknown media without a decoder still raises loudly
     with pytest.raises(NotImplementedError):
         mm.decode_payload(b"xx", "video/mp4")
+
+
+def test_cross_doc_ngram_dup(spark):
+    """Per-doc DISTINCT grams vs corpus doc-frequency: self-repetition does
+    not inflate the score, partial shingles (len < n) collide only on
+    exact duplicates, token-less docs keep zeros."""
+    import pandas as pd
+
+    from search_engine_spark.pipelines.curation import cross_doc_ngram_dup
+
+    rows = [
+        (0, "a b c"),      # grams: "a b"(shared w/ 1,6), "b c"
+        (1, "a b x"),      # "a b", "b x"
+        (2, "q r"),        # unique
+        (3, ""),           # no tokens -> zeros
+        (4, "z"),          # partial shingle "z" (dup with 5)
+        (5, "z"),
+        (6, "a b a b"),    # distinct {"a b","b a"} -> only "a b" is cross-dup
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in cross_doc_ngram_dup(df, n=2).collect()}
+    assert (got[0]["n_grams"], got[0]["n_dup_grams"], got[0]["dup_frac"]) == (2, 1, 0.5)
+    assert (got[1]["n_grams"], got[1]["n_dup_grams"], got[1]["dup_frac"]) == (2, 1, 0.5)
+    assert (got[2]["n_grams"], got[2]["n_dup_grams"], got[2]["dup_frac"]) == (1, 0, 0.0)
+    assert (got[3]["n_grams"], got[3]["n_dup_grams"], got[3]["dup_frac"]) == (0, 0, 0.0)
+    assert got[4]["dup_frac"] == 1.0 and got[5]["dup_frac"] == 1.0
+    assert (got[6]["n_grams"], got[6]["n_dup_grams"], got[6]["dup_frac"]) == (2, 1, 0.5)
+
+
+def test_canonicalize_urls(spark):
+    """Every documented rule plus the near-miss cases: non-default ports
+    kept, path case preserved, 'refresh' param NOT eaten by the 'ref'
+    tracking rule, scheme-less fallback."""
+    import pandas as pd
+
+    from search_engine_spark.pipelines.curation import canonicalize_urls
+
+    cases = [
+        (0, "https://WWW.Example.com:443/Path/?utm_source=a&b=2&a=1#f",
+            "https://example.com/Path?a=1&b=2", "example.com"),
+        (1, "http://example.com:80/", "http://example.com", "example.com"),
+        (2, "http://example.com:8080/x", "http://example.com:8080/x",
+            "example.com:8080"),
+        (3, "not a url", "not a url", ""),
+        (4, "  HTTPS://a.b/  ", "https://a.b", "a.b"),
+        (5, "https://h/P?Q=V&ref=x", "https://h/P?Q=V", "h"),
+        (6, "https://h/p?refresh=1&ref_src=tw", "https://h/p?refresh=1", "h"),
+        (7, "https://www.h.io/a//", "https://h.io/a", "h.io"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame([(i, u) for i, u, *_ in cases], columns=["doc_id", "url"])
+    )
+    got = {r["doc_id"]: r for r in canonicalize_urls(df).collect()}
+    for i, _, canon, host in cases:
+        assert got[i]["url_canon"] == canon, (i, got[i]["url_canon"])
+        assert got[i]["url_host"] == host, (i, got[i]["url_host"])
+    # the point of the exercise: tracking variants of one page dedupe to
+    # one key via exact_dedup on url_canon
+    from search_engine_spark.pipelines.dedup import exact_dedup
+
+    two = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "https://x.io/a?utm_campaign=1"), (1, "https://WWW.x.io/a/")],
+            columns=["doc_id", "url"],
+        )
+    )
+    dd = exact_dedup(canonicalize_urls(two), text_col="url_canon")
+    assert dd.count() == 1
+
+
+def test_gopher_quality(spark):
+    """One rule violated per row; verdict + audit string; empty text fails
+    words/mean_len/alpha/stop but not symbols."""
+    import pandas as pd
+
+    from search_engine_spark.pipelines.textstats import gopher_quality
+
+    good = "the quick brown fox jumps over with lazy dogs near " * 5  # 50 words
+    rows = [
+        (0, good),
+        (1, "hello world"),                       # words + stop
+        (2, good + "# # # # # #"),                # 6/50 symbols > 0.1
+        (3, ("the of " + "11 22 33 44 55 66 77 88 " * 6).strip()),  # alpha
+        (4, " ".join(["a"] * 48 + ["the", "of"])),  # mean_len < 3
+        (5, ""),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[0]["keep"] and got[0]["reasons"] == ""
+    assert got[0]["n_words"] == 50 and got[0]["stop_hits"] >= 2
+    assert not got[1]["keep"] and got[1]["reasons"] == "words,stop"
+    assert not got[2]["keep"] and got[2]["reasons"] == "symbols"
+    assert got[2]["symbol_ratio"] == round(6 / 50, 6)
+    assert not got[3]["keep"] and "alpha" in got[3]["reasons"].split(",")
+    assert not got[4]["keep"] and "mean_len" in got[4]["reasons"].split(",")
+    assert got[4]["mean_word_len"] == round((48 + 3 + 2) / 50, 6)
+    assert not got[5]["keep"]
+    assert got[5]["reasons"] == "words,mean_len,alpha,stop"
+    assert got[5]["n_words"] == 0 and got[5]["symbol_ratio"] == 0.0
