@@ -663,6 +663,16 @@ def _q_gopher_filter(spark, sf_dir):
     return textstats.gopher_quality(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_dup_passages(spark, sf_dir):
+    """Duplicated-passage spans (Lee et al. 2021 ExactSubstr, re-expressed
+    as stride-1 L-token window hashing + span merge — no suffix array):
+    maximal token ranges shared with >= 1 other doc. Linear exchanges
+    only (see curation.dup_passages)."""
+    return curation.dup_passages(_docs(spark, sf_dir), L=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(
         _docs(spark, sf_dir), {"en": 0.5, "de": 0.25, "zh": 0.75}, seed=7
@@ -748,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_cross": _q_dup_ngram_cross,
         "url_canon": _q_url_canon,
         "gopher_filter": _q_gopher_filter,
+        "dup_passages": _q_dup_passages,
         "bm25_phrase_synonym": _q_bm25_phrase_synonym,
         "embed_docs_template": _q_embed_docs_template,
         "multimodal_audio": _q_multimodal_audio,
@@ -1937,6 +1948,44 @@ SELECT doc_id,
          CASE WHEN alpha_frac < 0.8 THEN 'alpha' END,
          CASE WHEN stop_hits < 2 THEN 'stop' END) AS reasons
 FROM g ORDER BY doc_id
+"""
+
+    # duplicated-passage spans (L=8 stride-1 windows, cross-doc dup, span
+    # merge with gap <= L); window pos is 0-based = unnest index - 1
+    L = 8
+    gram8 = "concat_ws(' ', " + ", ".join(f"t[i+{j}]" for j in range(L)) + ")"
+    sql["dup_passages"] = f"""
+WITH arr AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+win AS (
+  SELECT doc_id, len(t) AS n_toks, g.i - 1 AS pos, {gram8} AS gram
+  FROM arr, LATERAL (
+    SELECT unnest(range(1, greatest(len(t) - {L - 1}, 1) + 1)) AS i) g
+  WHERE len(t) > 0
+),
+dup AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS dc FROM win GROUP BY 1)
+  WHERE dc > 1
+),
+hits AS (SELECT w.doc_id, w.n_toks, w.pos FROM win w JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, n_toks, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {L}
+              THEN 1 ELSE 0 END AS ns
+  FROM hits
+),
+s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM m
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       least(max(pos) + {L}, any_value(n_toks)) AS span_end,
+       least(max(pos) + {L}, any_value(n_toks)) - min(pos) AS n_tokens_span,
+       count(*) AS n_windows
+FROM s GROUP BY doc_id, span_id
+ORDER BY doc_id, span_start
 """
 
     # build_metrics: intentionally no oracle (lineage rows; rows-only check)

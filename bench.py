@@ -157,6 +157,13 @@ def main() -> None:
     timed("q_repetition_stats", lambda: _force(curation.repetition_stats(docs)))
     timed("q_unigram_logloss", lambda: _force(curation.unigram_logloss(docs)))
     timed("q_pii_redact", lambda: _force(curation.pii_redact(docs)))
+    # round-4 curation operators
+    timed("q_dup_ngram_cross", lambda: _force(curation.cross_doc_ngram_dup(docs, n=3)))
+    timed("q_gopher_filter", lambda: _force(textstats.gopher_quality(docs)))
+    timed("q_url_canon", lambda: _force(curation.canonicalize_urls(
+        docs.select("doc_id", F.concat(
+            F.lit("https://WWW."), F.col("source"),
+            F.lit(".Example.com:443/p/?utm_source=x&b=2&a=1#f")).alias("url")))))
     # serving-path entries (protocol change, round 4): search_rows is the
     # no-DataFrame serving API (driver point-read when the query fits the
     # budget), highlight_results the O1 snippet path over a top-k result

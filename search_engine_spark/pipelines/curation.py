@@ -444,3 +444,78 @@ def canonicalize_urls(
     return df.withColumn(out_col, canon).withColumn(
         host_col, F.when(scheme == "", F.lit("")).otherwise(host)
     )
+
+
+def dup_passages(
+    df: DataFrame,
+    L: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-passage detection — the span-level member of the dedup
+    suite (exact_dedup = whole doc, minhash/simhash = near-dup doc,
+    cross_doc_ngram_dup = per-doc fraction; this one says WHERE the
+    duplicated text sits). Spark-native equivalent of Lee et al. 2021's
+    ExactSubstr pass: any substring of >= L tokens shared by two docs is
+    exactly a run of shared stride-1 L-token windows, so hashing every
+    window and keeping those whose corpus doc-frequency > 1 finds all
+    such substrings without a suffix array; overlapping/adjacent
+    duplicated windows then merge into maximal spans (the union of dup
+    regions — partners are not distinguished, matching the "cut these
+    bytes" use of the original).
+
+    -> (doc_id, span_start, span_end, n_tokens_span, n_windows): one row
+    per maximal duplicated span, token offsets [span_start, span_end).
+    Docs shorter than L tokens degrade to one whole-doc window (the
+    shingle partial), so they only flag on exact whole-doc duplication;
+    span_end is clamped to the doc length.
+
+    Scale shape (100 TB): the window explosion is one row per token —
+    the same cost class as the postings extraction, linear. Three
+    exchanges: (1) groupBy window-hash with partial count-distinct (head
+    windows — boilerplate — are absorbed map-side and fan back out only
+    per occurrence: no pair explosion, unlike all-pairs suffix compare),
+    (2) the dup-window semi-join back, (3) repartition by doc for the
+    lag/running-sum span merge, whose per-doc state is bounded by the
+    doc's own token count.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens_col(text_col))).alias("toks"),
+    )
+    win = base.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.posexplode(shingle_expr(F.col("toks"), L)).alias("pos", "g"),
+    ).select("doc_id", "n_toks", "pos", F.md5("g").alias("gh"))
+    dup = (
+        win.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("dc"))
+        .filter(F.col("dc") > 1)
+    )
+    hits = win.join(dup.select("gh"), "gh").select("doc_id", "n_toks", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hits.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_span",
+            (F.col("prev").isNull() | (F.col("pos") - F.col("prev") > L)).cast("int"),
+        )
+        .withColumn("span_id", F.sum("new_span").over(run))
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.least(F.max("pos") + L, F.first("n_toks")).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens_span"),
+            "n_windows",
+        )
+    )

@@ -823,3 +823,40 @@ def test_gopher_quality(spark):
     assert not got[5]["keep"]
     assert got[5]["reasons"] == "words,mean_len,alpha,stop"
     assert got[5]["n_words"] == 0 and got[5]["symbol_ratio"] == 0.0
+
+
+def test_dup_passages(spark):
+    """Maximal cross-doc duplicated spans: overlapping windows merge, a
+    gap of exactly L merges (adjacent spans touch), within-doc-only
+    repetition is NOT flagged, short docs flag only on exact whole-doc
+    duplication, span_end clamps to doc length."""
+    import pandas as pd
+
+    from search_engine_spark.pipelines.curation import dup_passages
+
+    rows = [
+        (0, "a b c d e f"),            # shares "a b c d" with doc 1
+        (1, "x a b c d y"),
+        (2, "p q r"),                  # exact whole-doc dup with doc 3
+        (3, "p q r"),
+        (4, "zz"),                     # short + unique -> nothing
+        (5, ""),                       # no tokens -> nothing
+        (6, "a b c z z z z a b c"),    # 'z z z' repeats only WITHIN the doc
+        (7, "a b c d p q r"),          # dup at pos {0,1,4}: gap==L merges
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r["doc_id"], r["span_start"]): (
+            r["span_end"], r["n_tokens_span"], r["n_windows"]
+        )
+        for r in dup_passages(df, L=3).collect()
+    }
+    assert got == {
+        (0, 0): (4, 4, 2),
+        (1, 1): (5, 4, 2),
+        (2, 0): (3, 3, 1),
+        (3, 0): (3, 3, 1),
+        (6, 0): (3, 3, 1),
+        (6, 7): (10, 3, 1),
+        (7, 0): (7, 7, 3),
+    }
