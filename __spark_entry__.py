@@ -673,6 +673,48 @@ def _q_dup_passages(spark, sf_dir):
     )
 
 
+# batch-retrieval query set: plain-word queries over the corpus vocab
+# (head terms 'the'/'a' + mid/tail terms); tokenization is whitespace on
+# already-normalized words so the Spark plan and the SQL VALUES agree.
+_BATCH_QUERIES = [
+    (0, "table join merge"),
+    (1, "spark query data stream"),
+    (2, "the a"),
+    (3, "window filter sort part"),
+    (4, "customer line batch"),
+]
+
+
+def _q_search_many(spark, sf_dir):
+    """Batch retrieval: 5 queries scored in ONE Spark job — union postings
+    scanned once, per-term decode shared across queries inside each shard
+    task, one window merge (SearchIndex.search_many; the offline
+    query-log/eval-set companion to the per-query serving path)."""
+    idx = _index(spark, sf_dir)
+    return idx.search_many(_BATCH_QUERIES, k=10).select(
+        "query_id", "rank", "docid", F.round("score", SCORE_ROUND).alias("score")
+    )
+
+
+def _q_dedup_lines(spark, sf_dir):
+    """Cross-doc segment dedup (CCNet/RefinedWeb boilerplate removal):
+    segments on the literal token ' line ', removes segments occurring in
+    >= 2 distinct docs, re-joins survivors in order
+    (curation.dedup_lines)."""
+    return curation.dedup_lines(
+        _docs(spark, sf_dir), min_docs=2, delimiter=" line "
+    )
+
+
+def _q_dedup_keep(spark, sf_dir):
+    """End-to-end dedup verdict: Jaccard pairs -> connected components ->
+    keep the min-id doc per cluster (dedup.dedup_keep). filter(keep) IS
+    the deduplicated corpus; ~keep is the removal manifest."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.4)
+    return dedup.dedup_keep(docs, pairs).orderBy("doc_id")
+
+
 def _q_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(
         _docs(spark, sf_dir), {"en": 0.5, "de": 0.25, "zh": 0.75}, seed=7
@@ -754,6 +796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries the driver has not yet hash-verified run FIRST ---
         # (r03 checked only the first 50 of 56; these were absent from r03
         #  — unigram_logloss has never been driver-checked at all.)
+        "search_many": _q_search_many,
+        "dedup_lines": _q_dedup_lines,
+        "dedup_keep": _q_dedup_keep,
         "unigram_logloss": _q_unigram_logloss,
         "dup_ngram_cross": _q_dup_ngram_cross,
         "url_canon": _q_url_canon,
@@ -1986,6 +2031,95 @@ SELECT doc_id,
        count(*) AS n_windows
 FROM s GROUP BY doc_id, span_id
 ORDER BY doc_id, span_start
+"""
+
+    # search_many: the multi-query BM25 — same score formula as _bm25_sql,
+    # grouped by (query_id, doc) with a per-query rank window
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, text in _BATCH_QUERIES
+        for t in dict.fromkeys(text.split())
+    )
+    sql["search_many"] = f"""
+WITH {_TOKS},
+q(query_id, term) AS (VALUES {qvals}),
+scores AS (
+  SELECT q.query_id, td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td
+  JOIN q ON q.term = td.term
+  JOIN dict di ON di.term = td.term
+  JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id AS docid, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id::BIGINT AS query_id, rank::INT AS rank, docid,
+       round(score, {SCORE_ROUND}) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+    sql["dedup_lines"] = """
+WITH segs AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' line '), 1) AS pos,
+         unnest(string_split(text, ' line ')) AS seg
+  FROM documents
+),
+heavy AS (
+  SELECT seg FROM (
+    SELECT seg, count(DISTINCT doc_id) AS dc FROM segs GROUP BY 1
+  ) WHERE dc >= 2
+),
+kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM heavy)),
+agg AS (
+  SELECT doc_id, string_agg(seg, ' line ' ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+),
+nseg AS (
+  SELECT doc_id, len(string_split(text, ' line ')) AS n_segments
+  FROM documents
+)
+SELECT n.doc_id, coalesce(a.text_clean, '') AS text_clean,
+       n.n_segments::INT AS n_segments,
+       (n.n_segments - coalesce(a.n_kept, 0))::INT AS n_removed
+FROM nseg n LEFT JOIN agg a USING (doc_id)
+"""
+
+    sql["dedup_keep"] = f"""
+WITH RECURSIVE {_TOKS},
+tset AS (SELECT DISTINCT doc_id, term FROM toks),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tset GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+  FROM tset a JOIN tset b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.4
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+labels AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       l.doc_id = l.cluster_id AS keep
+FROM labels l JOIN csizes s USING (cluster_id)
+ORDER BY l.doc_id
 """
 
     # build_metrics: intentionally no oracle (lineage rows; rows-only check)

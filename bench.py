@@ -171,6 +171,19 @@ def main() -> None:
     timed("q_highlight", lambda: ix.highlight_results(
         ix.search("table join", k=5, mode="exhaustive"),
         "table join", crop_length=12).collect())
+    # batch retrieval: 32 queries in ONE job (union postings scanned once,
+    # per-term decode shared across queries) — compare against 32x the
+    # per-query q_bm25_exhaustive wall for the amortization story
+    batch_qs = [
+        (i, q) for i, q in enumerate(
+            ["table join merge", "hash group sort", "scan data filter",
+             "window part key", "spark query stream", "customer order value",
+             "batch row column", "slow fast small"] * 4
+        )
+    ]
+    timed("q_search_many_32", lambda: ix.search_many(batch_qs, k=10).collect())
+    timed("q_dedup_lines", lambda: _force(curation.dedup_lines(
+        docs, min_docs=2, delimiter=" line ")))
 
     total = round(sum(timings.values()), 3)
     out = {

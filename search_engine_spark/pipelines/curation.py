@@ -519,3 +519,70 @@ def dup_passages(
             "n_windows",
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document line (segment) deduplication — the boilerplate
+    remover of CCNet / RefinedWeb: split every document into segments on
+    ``delimiter``, count how many DISTINCT documents each exact segment
+    occurs in, and delete segments appearing in >= ``min_docs`` documents
+    (nav bars, cookie banners, footers repeat verbatim across a site;
+    body text does not). Remaining segments are re-joined in original
+    order. Exact match by design (normalization belongs upstream).
+
+    -> (doc_id, text_clean, n_segments, n_removed): every input doc keeps
+    a row; a fully-boilerplate doc comes back with ``text_clean = ''``
+    (filter on ``n_segments > n_removed`` to drop husks).
+
+    Scale shape (100 TB): linear exchanges only — (1) distinct (segment
+    md5, doc) then a map-side-combined count per hash (head segments
+    collapse in the combiner; no pair explosion), (2) one semi/anti join
+    of the exploded segments against the heavy-hash set (hash join on the
+    md5 key), (3) one groupBy(doc) re-assembly whose state is bounded by
+    the doc's own segment count. Segment strings never shuffle twice:
+    the count and the join both key on the 16-byte md5.
+    """
+    import re as _re
+
+    delim_re = _re.escape(delimiter)
+    segs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), delim_re)).alias("pos", "seg"),
+    ).withColumn("sh", F.md5("seg"))
+    heavy = (
+        segs.select("sh", "doc_id")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count("*").alias("dc"))
+        .filter(F.col("dc") >= min_docs)
+        .select("sh")
+    )
+    kept = segs.join(heavy, "sh", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s.getField("seg"),
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), delim_re)).alias("n_segments"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_segments",
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+    )

@@ -641,3 +641,38 @@ def cluster_pairs(
     return labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
     )
+
+
+def dedup_keep(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """End-to-end dedup verdict: compose ``cluster_pairs`` with the
+    keep-one-per-cluster rule every real pipeline ends on. The canonical
+    survivor is the SMALLEST doc id in each connected component —
+    deterministic, parallelism-independent, and the convention MinHash
+    dedup pipelines use absent a quality signal (swap the rule by joining
+    a quality column and re-ranking before the filter).
+
+    -> (id_col, cluster_id, cluster_size, keep boolean): one row per node;
+    ``keep`` is true for singletons and each cluster's min-id member, so
+    ``filter(keep)`` IS the deduplicated corpus and
+    ``filter(~keep)`` the removal manifest (the audit trail).
+
+    Scale shape (100 TB): cluster_pairs' bounded label-propagation
+    shuffles plus ONE groupBy(cluster_id) count on the (doc, label) rows
+    — linear in docs; cluster sizes are the natural skew point but the
+    count is a map-side-combining scalar agg, never a row explosion.
+    """
+    labels = cluster_pairs(nodes, pairs, id_col=id_col, max_iter=max_iter)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "cluster_size",
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

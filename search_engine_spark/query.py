@@ -882,6 +882,168 @@ class SearchIndex:
             ).collect()
         ]
 
+    def search_many(
+        self,
+        queries,
+        k: int = 10,
+        match_all: bool = False,
+    ) -> DataFrame:
+        """Batch retrieval: score MANY queries in ONE Spark job.
+
+        The per-query ``search()`` path costs one job per query — right for
+        serving, wrong for offline workloads (relevance eval over a query
+        log, A/B score dumps, training-label generation) where 10^4-10^6
+        queries hit the same index. Batch shape: the union of all query
+        terms is scanned ONCE (bucket/row-group-pruned like ``search()``),
+        each shard task decodes every term ONCE and reuses the decoded
+        (docid, contribution) arrays across all queries containing that
+        term — head terms shared by thousands of queries are decoded once
+        per shard instead of once per query — then emits a per-(query,
+        shard) top-k. The global merge is a single window over
+        <= n_queries * num_shards * k rows. Net: one job, two exchanges
+        (shard group + merge), postings decoded exactly once.
+
+        ``queries``: list of ``(query_id, text)`` pairs or a DataFrame with
+        columns ``(query_id, query)`` (collected — the query side is the
+        small side by definition; memory is O(total query terms)).
+
+        Batch mode scores the plain-word BM25 disjunction (or conjunction
+        with ``match_all``) with exact dictionary terms — rank-identical to
+        ``search(text, mode=..)`` with derivations off (tested). Query
+        grammar constructs (phrases, negation, prefix/typo markers) raise:
+        per-query planning belongs to the serving path.
+
+        -> DataFrame(query_id, rank int, docid long, pk, score double),
+        ties (score desc, docid asc) per query; rank 1..<=k.
+        """
+        if isinstance(queries, DataFrame):
+            queries = [(r[0], r[1]) for r in queries.select("query_id", "query").collect()]
+        parsed: list[tuple[object, list[str]]] = []
+        for qid, text in queries:
+            pq = parse_query(text)
+            if pq.phrases or pq.negated or pq.prefixes or pq.typos:
+                raise ValueError(
+                    f"search_many scores plain word queries; query {qid!r} "
+                    "uses phrase/negation/prefix/typo syntax — use search()"
+                )
+            # distinct terms, first-seen order (BM25 scores each term once)
+            parsed.append((qid, list(dict.fromkeys(pq.words))))
+
+        union = sorted({w for _, ws in parsed for w in ws})
+        if not union:
+            return self.spark.createDataFrame(
+                [], "query_id string, rank int, docid long, pk string, score double"
+            )
+        # one dictionary job for the whole batch (vs one point read per
+        # query term in plan()); idf over the indexed count like search()
+        df_map = {
+            r["term"]: int(r["df"])
+            for r in self._terms.filter(F.col("term").isin(union))
+            .select("term", "df").collect()
+        }
+        weights = {t: bm25_idf(self.n_docs_indexed, d) for t, d in df_map.items()}
+
+        qid_is_int = all(isinstance(q, (int, np.integer)) for q, _ in parsed)
+        qid_type = "long" if qid_is_int else "string"
+        # per-query indexed terms; match_all with an unindexed word matches
+        # nothing (reference TermsMatchingStrategy::All semantics)
+        batch: list[tuple[object, list[str]]] = []
+        for qid, ws in parsed:
+            hit = [w for w in ws if w in df_map]
+            if not hit or (match_all and len(hit) < len(ws)):
+                continue
+            batch.append((qid if qid_is_int else str(qid), hit))
+        if not batch:
+            return self.spark.createDataFrame(
+                [], f"query_id {qid_type}, rank int, docid long, pk string, score double"
+            )
+
+        avgdl, k1, b = self.avgdl, self.config.k1, self.config.b
+        block_size = self.config.block_size
+        deleted_bc, part_bc = self._deleted_bc, self._partial_bc
+        kk = int(k)
+        mall = bool(match_all)
+        wt = dict(weights)
+
+        def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            tomb = deleted_bc.value if deleted_bc is not None else None
+            if tomb is not None and not len(tomb):
+                tomb = None
+            pt = part_bc.value if part_bc is not None else None
+            # decode each term ONCE (concat across segment generations,
+            # tombstones out), shared by every query that uses it
+            contrib: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for row in pdf.to_dict("records"):
+                r = PostingReader.from_row(row, block_size)
+                docids, tfs, dls = _live_decode(r, pt)
+                if tomb is not None and len(docids):
+                    m = ~np.isin(docids, tomb)
+                    docids, tfs, dls = docids[m], tfs[m], dls[m]
+                if not len(docids):
+                    continue
+                tfs_f = tfs.astype(np.float64)
+                norm = k1 * (1.0 - b + b * dls.astype(np.float64) / max(avgdl, 1e-12))
+                c = wt[row["term"]] * tfs_f / (tfs_f + norm)
+                prev = contrib.get(row["term"])
+                contrib[row["term"]] = (
+                    (docids, c) if prev is None
+                    else (np.concatenate([prev[0], docids]),
+                          np.concatenate([prev[1], c]))
+                )
+            out_q, out_d, out_s = [], [], []
+            for qid, terms in batch:
+                # shard == docid % num_shards: ALL postings of a docid live
+                # in one shard, so shard-local term presence IS global
+                # presence — match_all needs no cross-shard pass
+                arrs = [contrib[t] for t in terms if t in contrib]
+                if not arrs or (mall and len(arrs) < len(terms)):
+                    continue
+                docs = np.concatenate([a[0] for a in arrs])
+                vals = np.concatenate([a[1] for a in arrs])
+                uniq, inv = np.unique(docs, return_inverse=True)
+                agg = np.zeros(len(uniq), dtype=np.float64)
+                np.add.at(agg, inv, vals)
+                if mall:
+                    # docids unique per term (disjoint across generations)
+                    # -> occurrence count == matched-term count
+                    keep = np.bincount(inv) == len(arrs)
+                    uniq, agg = uniq[keep], agg[keep]
+                if not len(uniq):
+                    continue
+                top = np.lexsort((uniq, -agg))[: min(kk, len(uniq))]
+                out_q.extend([qid] * len(top))
+                out_d.extend(uniq[top].tolist())
+                out_s.extend(agg[top].tolist())
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(
+                        out_q, dtype="int64" if qid_is_int else "object"
+                    ),
+                    "docid": pd.Series(out_d, dtype="int64"),
+                    "score": pd.Series(out_s, dtype="float64"),
+                }
+            )
+
+        pq_df = self._postings_for(union)
+        shard_topk = pq_df.groupby("shard").applyInPandas(
+            score_shard, schema=f"query_id {qid_type}, docid long, score double"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("docid").asc()
+        )
+        ranked = (
+            shard_topk.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk)
+        )
+        # pk lookup: ranked is <= n_queries * k rows — broadcast it so the
+        # join streams doc_stats without a shuffle (inner ≡ left here:
+        # every scored docid is live and present in doc_stats)
+        return (
+            F.broadcast(ranked)
+            .join(self._doc_stats.select("docid", "pk"), "docid")
+            .select("query_id", "rank", "docid", "pk", "score")
+        )
+
     def matching_docids(self, terms: list[str]) -> DataFrame:
         """Disjunctive candidate set: docids containing >=1 of ``terms``
         (reference R1 resolve_docids). Decoded per shard, tombstones out."""

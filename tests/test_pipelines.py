@@ -860,3 +860,51 @@ def test_dup_passages(spark):
         (6, 7): (10, 3, 1),
         (7, 0): (7, 7, 3),
     }
+
+
+def test_dedup_lines_removes_cross_doc_segments(spark):
+    from search_engine_spark.pipelines.curation import dedup_lines
+
+    rows = [
+        (0, "alpha beta|shared boiler|unique zero"),
+        (1, "shared boiler|unique one"),
+        (2, "only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_docs=2, delimiter="|").collect()}
+    assert out[0]["text_clean"] == "alpha beta|unique zero"
+    assert (out[0]["n_segments"], out[0]["n_removed"]) == (3, 1)
+    assert out[1]["text_clean"] == "unique one"
+    assert (out[1]["n_segments"], out[1]["n_removed"]) == (2, 1)
+    assert out[2]["text_clean"] == "only here"
+    assert (out[2]["n_segments"], out[2]["n_removed"]) == (1, 0)
+
+
+def test_dedup_lines_fully_boilerplate_doc_and_within_doc_repeat(spark):
+    from search_engine_spark.pipelines.curation import dedup_lines
+
+    rows = [
+        (0, "boiler\nboiler\nbody zero"),  # repeats within ONE doc only
+        (1, "shared\nbody one"),
+        (2, "shared"),  # whole doc is a cross-doc segment
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_docs=2).collect()}
+    # within-doc repetition does not count: distinct-doc frequency is 1
+    assert out[0]["text_clean"] == "boiler\nboiler\nbody zero"
+    assert out[0]["n_removed"] == 0
+    assert out[1]["text_clean"] == "body one"
+    assert out[2]["text_clean"] == ""  # husk kept as a row
+    assert (out[2]["n_segments"], out[2]["n_removed"]) == (1, 1)
+
+
+def test_dedup_keep_min_id_survivor(spark):
+    from search_engine_spark.pipelines.dedup import dedup_keep
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
+    out = {r["doc_id"]: r for r in dedup_keep(nodes, pairs).collect()}
+    assert len(out) == 5
+    assert [out[i]["cluster_id"] for i in range(5)] == [0, 0, 0, 3, 4]
+    assert [out[i]["cluster_size"] for i in range(5)] == [3, 3, 3, 1, 1]
+    assert [out[i]["keep"] for i in range(5)] == [True, False, False, True, True]

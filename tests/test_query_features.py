@@ -591,3 +591,59 @@ def test_pin_size_gate_and_pin_for(syn_index):
         assert dict(ix.search_list("newyork", k=3))
     finally:
         ix.unpin()
+
+
+# ---------------------------------------------------------------------------
+# search_many (batch retrieval)
+# ---------------------------------------------------------------------------
+
+
+def test_search_many_rank_identity_with_search(search_index):
+    """Each batch query's (rank, docid, score) must equal the per-query
+    serving path's cluster execution on the same index."""
+    queries = [(0, "web search engine"), (1, "crawl data page"), (2, "the")]
+    batch = search_index.search_many(queries, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, text in queries:
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        want = search_index.search(text, k=5, execution="cluster").collect()
+        assert [(r["rank"], r["docid"]) for r in got] == [
+            (w["rank"], w["docid"]) for w in want
+        ], f"query {qid}"
+        for g, w in zip(got, want):
+            assert abs(g["score"] - w["score"]) < 1e-9
+            assert g["pk"] == w["pk"]
+
+
+def test_search_many_match_all(search_index):
+    queries = [(7, "web search")]
+    batch = search_index.search_many(queries, k=5, match_all=True).collect()
+    want = search_index.search(
+        "web search", k=5, match_all=True, execution="cluster"
+    ).collect()
+    got = sorted(batch, key=lambda r: r["rank"])
+    assert [(r["rank"], r["docid"]) for r in got] == [
+        (w["rank"], w["docid"]) for w in want
+    ]
+
+
+def test_search_many_dataframe_input_and_unknown_terms(search_index, spark):
+    qdf = spark.createDataFrame(
+        [("a", "web engine"), ("b", "zzzznotaword")],
+        "query_id string, query string",
+    )
+    rows = search_index.search_many(qdf, k=3).collect()
+    qids = {r["query_id"] for r in rows}
+    assert qids == {"a"}  # no-term query contributes no rows
+    assert all(isinstance(r["query_id"], str) for r in rows)
+
+
+def test_search_many_rejects_query_syntax(search_index):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        search_index.search_many([(0, '"exact phrase"')])
+    with _pytest.raises(ValueError):
+        search_index.search_many([(0, "web -engine")])
