@@ -767,6 +767,56 @@ def _q_multimodal_audio(spark, sf_dir):
     return multimodal.audio_features(payloads).orderBy("doc_id")
 
 
+_MIX_TARGET = {"en": 0.6, "de": 0.25, "zh": 0.15}
+
+
+def _q_mixture_weights(spark, sf_dir):
+    """Training-mix reweighting (curation.mixture_weights): per-language
+    token counts + the sampling weight that maps the corpus token
+    distribution onto a target mix. One map-side-combined groupBy."""
+    return curation.mixture_weights(
+        _docs(spark, sf_dir), _MIX_TARGET, stratum_col="lang"
+    ).orderBy("stratum")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """LLM pretraining sequence packing (curation.pack_sequences):
+    documents concatenated in doc_id order into one token stream, cut
+    into 128-token training sequences; one row per (doc, seq) span.
+    Scalable two-pass cumsum (range shuffle + n_parts subtotals), never
+    a single-partition global window."""
+    return curation.pack_sequences(
+        _docs(spark, sf_dir), max_len=128
+    ).orderBy("seq_id", "doc_id")
+
+
+def _q_multimodal_image(spark, sf_dir):
+    """REAL image decode (round 4, zero codec deps): per-doc deterministic
+    24bpp BMPs (synth_bmp integer pixel formula, width/height varied to
+    hit every row-padding remainder) parsed back by the pure-numpy BMP
+    container parser — width/height/channels/mean pixel. mean_px is one
+    float64 division of exact integer sums, so the oracle matches with no
+    rounding step."""
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.synth_bmp(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    return multimodal.image_features(payloads).orderBy("doc_id")
+
+
 def _q_build_metrics(spark, sf_dir):
     """Per-stage build lineage + metrics (north rule; rows-only check)."""
     idx = _index(spark, sf_dir)
@@ -799,6 +849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_many": _q_search_many,
         "dedup_lines": _q_dedup_lines,
         "dedup_keep": _q_dedup_keep,
+        "multimodal_image": _q_multimodal_image,
+        "pack_sequences": _q_pack_sequences,
+        "mixture_weights": _q_mixture_weights,
         "unigram_logloss": _q_unigram_logloss,
         "dup_ngram_cross": _q_dup_ngram_cross,
         "url_canon": _q_url_canon,
@@ -1888,6 +1941,82 @@ SELECT f.doc_id,
        round(f.n_frames / 8000.0, 6) AS duration_s,
        round(sqrt(a.ss * 1.0 / a.n), 6) AS rms
 FROM f JOIN agg a USING (doc_id) ORDER BY 1
+"""
+
+    # mixture weights: target shares normalized by the SAME python code as
+    # the operator, injected as repr'd double literals (repr roundtrips, so
+    # both engines hold bit-identical doubles); single-division floats
+    _mz = float(sum(_MIX_TARGET.values()))
+    _mix_case = (
+        "CASE p.stratum "
+        + " ".join(
+            f"WHEN '{k}' THEN {v / _mz!r}::DOUBLE"
+            for k, v in sorted(_MIX_TARGET.items())
+        )
+        + " ELSE 0.0::DOUBLE END"
+    )
+    sql["mixture_weights"] = f"""
+WITH per AS (
+  SELECT lang AS stratum, count(*) AS n_docs,
+         sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_tokens) AS t FROM per)
+SELECT p.stratum, p.n_docs, p.n_tokens::BIGINT AS n_tokens,
+       p.n_tokens::DOUBLE / tot.t::DOUBLE AS corpus_share,
+       {_mix_case} AS target_share,
+       {_mix_case} / (p.n_tokens::DOUBLE / tot.t::DOUBLE) AS weight
+FROM per p, tot ORDER BY p.stratum
+"""
+
+    # sequence packing: window cumsum over doc order, spans cut at
+    # multiples of 128 (the Spark side does the same cumsum scalably)
+    sql["pack_sequences"] = """
+WITH n AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         (sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n)::BIGINT AS start
+  FROM n
+),
+e AS (SELECT doc_id, n, start, start + n AS stop FROM c WHERE n > 0),
+w AS (
+  SELECT doc_id, start, stop,
+         unnest(range(start // 128, (stop - 1) // 128 + 1)) AS seq_id
+  FROM e
+)
+SELECT seq_id::BIGINT AS seq_id, doc_id,
+       (greatest(start, seq_id * 128) - start)::BIGINT AS doc_start,
+       (greatest(start, seq_id * 128) - seq_id * 128)::BIGINT AS seq_start,
+       (least(stop, (seq_id + 1) * 128)
+        - greatest(start, seq_id * 128))::BIGINT AS span_len
+FROM w ORDER BY seq_id, doc_id
+"""
+
+    # image analogue of multimodal_audio: the oracle evaluates synth_bmp's
+    # integer pixel formula with range() joins; mean_px = exact integer
+    # sum / count in one float64 division (identical double on both sides)
+    sql["multimodal_image"] = """
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 31 + r.i * 17 + c.i * 7 + k.i * 3) % 256) AS v
+  FROM d,
+  LATERAL (SELECT unnest(range(0, d.h)) AS i) r,
+  LATERAL (SELECT unnest(range(0, d.w)) AS i) c,
+  LATERAL (SELECT unnest(range(0, 3)) AS i) k
+),
+agg AS (SELECT doc_id, sum(v) AS s, count(*) AS n FROM px GROUP BY 1)
+SELECT d.doc_id, d.w::INT AS width, d.h::INT AS height, 3 AS channels,
+       a.s * 1.0 / a.n AS mean_px
+FROM d JOIN agg a USING (doc_id) ORDER BY 1
 """
 
     # cross-document duplicate n-gram fraction (n=3); same partial-shingle

@@ -184,6 +184,8 @@ def main() -> None:
     timed("q_search_many_32", lambda: ix.search_many(batch_qs, k=10).collect())
     timed("q_dedup_lines", lambda: _force(curation.dedup_lines(
         docs, min_docs=2, delimiter=" line ")))
+    timed("q_pack_sequences", lambda: _force(curation.pack_sequences(
+        docs, max_len=2048)))
 
     total = round(sum(timings.values()), 3)
     out = {

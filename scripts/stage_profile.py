@@ -62,9 +62,15 @@ def main():
     apply_runtime_env(env)
     walls: dict[str, dict[str, float]] = {}
     totals: dict[str, float] = {}
+    pin = os.environ.get("SPARK_GRAFT_PIN") == "1"
     for cpus in levels:
         idx = f"/tmp/stage_profile_idx_{cpus}"
-        p = subprocess.run([sys.executable, "-c", WORKER, cpus, corpus, idx],
+        cmd = [sys.executable, "-c", WORKER, cpus, corpus, idx]
+        if pin:
+            # same cluster-faithful pinning as scaling_bench.py: confine
+            # the whole worker tree (JVM + Arrow python workers) to N cores
+            cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
+        p = subprocess.run(cmd,
                            capture_output=True, text=True, env=env, cwd=REPO,
                            timeout=5400)
         for line in p.stdout.splitlines():

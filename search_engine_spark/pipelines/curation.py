@@ -586,3 +586,157 @@ def dedup_lines(
         .cast("int")
         .alias("n_removed"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    n_parts: int = 32,
+) -> DataFrame:
+    """LLM pretraining sequence packing: concatenate all documents (in
+    ascending ``id_col`` order) into one logical token stream and cut it
+    into fixed ``max_len``-token training sequences, emitting the span
+    map — one row per (document, sequence) overlap. This is the greedy
+    concat-and-chunk packing of GPT/Llama-style pretraining: no padding
+    waste, documents split across sequence boundaries, every sequence
+    except the last exactly full.
+
+    Tokens are the engine's standard ``[a-z0-9]+`` regex tokens (pass
+    ``count_col`` to use a precomputed per-doc token count — e.g. a real
+    BPE count — instead). The actual token *materialization* stays with
+    the caller: this operator computes the placement plan (which is the
+    shuffle-heavy part), so the follow-up gather is a map-only join.
+
+    -> (seq_id, doc_id, doc_start, seq_start, span_len): sequence
+    ``seq_id`` contains tokens ``[doc_start, doc_start + span_len)`` of
+    ``doc_id`` at positions ``[seq_start, seq_start + span_len)``.
+    Deterministic at any parallelism (depends only on the total order of
+    ids). Zero-token docs emit no rows.
+
+    Scale shape (100 TB): the global exclusive cumsum over doc order is
+    the same two-pass range pattern as the index builder's docid
+    assignment (``build.assign_docids``): ONE repartitionByRange exchange,
+    a collect of n_parts partition subtotals (bytes: n_parts * 16), then a
+    partition-local window — never a single-partition global window. The
+    span explode fans out ceil(n_tokens / max_len) + 1 rows per doc,
+    linear in corpus tokens / max_len.
+    """
+    from search_engine_spark.build import _offset_lookup
+
+    n_expr = (
+        F.col(count_col).cast("long")
+        if count_col
+        else F.size(tokens_col(text_col)).cast("long")
+    )
+    counts = df.select(F.col(id_col).alias("doc_id"), n_expr.alias("n"))
+    d = counts.repartitionByRange(n_parts, F.col("doc_id")).sortWithinPartitions(
+        "doc_id"
+    )
+    d = d.withColumn("_pid", F.spark_partition_id())
+    d.persist()
+    try:
+        sums = {
+            r["_pid"]: r["s"]
+            for r in d.groupBy("_pid").agg(F.sum("n").alias("s")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(sums):
+            offsets[pid] = acc
+            acc += int(sums[pid] or 0)
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        L = int(max_len)
+        spans = (
+            d.withColumn(
+                "start", F.sum("n").over(w) - F.col("n") + _offset_lookup(offsets)
+            )
+            .filter(F.col("n") > 0)
+            .withColumn("stop", F.col("start") + F.col("n"))
+            .withColumn(
+                "seq_id",
+                F.explode(
+                    F.sequence(
+                        (F.col("start") / L).cast("long"),
+                        ((F.col("stop") - 1) / L).cast("long"),
+                    )
+                ),
+            )
+            .select(
+                F.col("seq_id").cast("long"),
+                "doc_id",
+                (F.greatest(F.col("start"), F.col("seq_id") * L) - F.col("start"))
+                .cast("long")
+                .alias("doc_start"),
+                (F.greatest(F.col("start"), F.col("seq_id") * L) - F.col("seq_id") * L)
+                .cast("long")
+                .alias("seq_start"),
+                (
+                    F.least(F.col("stop"), (F.col("seq_id") + 1) * L)
+                    - F.greatest(F.col("start"), F.col("seq_id") * L)
+                )
+                .cast("long")
+                .alias("span_len"),
+            )
+        )
+        # materialization note: the persist must outlive the returned
+        # plan's first action; localCheckpoint the exploded spans (small:
+        # one row per span, no text) so the handle can be released now.
+        out = spans.localCheckpoint(eager=True)
+    finally:
+        d.unpersist()
+    return out
+
+
+def mixture_weights(
+    df: DataFrame,
+    target: dict[str, float],
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix reweighting: per-stratum token counts and the sampling
+    weight that turns the corpus's observed token distribution into the
+    ``target`` distribution (the domain/language mixture step of every
+    pretraining recipe — e.g. upsample code, downsample low-quality web).
+
+    ``target`` maps stratum value -> desired share; shares are normalized
+    to sum 1. ``weight = target_share / corpus_share``: feed it to
+    ``stratified_sample`` (weights <= 1) or a sampling-with-replacement
+    epoch planner (weights > 1 mean the stratum repeats). Strata present
+    in the corpus but absent from ``target`` get weight 0.0 (excluded);
+    target strata absent from the corpus are dropped (nothing to sample).
+
+    -> (stratum, n_docs, n_tokens, corpus_share, target_share, weight),
+    floats are single-division float64 on exact integer sums — identical
+    doubles in Spark and the SQL oracle, no rounding step.
+
+    Scale shape (100 TB): ONE map-side-combined groupBy on the stratum key
+    (cardinality ~10^1-10^3); the token count is a per-row projection.
+    """
+    z = float(sum(target.values()))
+    norm = {k: v / z for k, v in target.items()}
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens_col(text_col)).cast("long")).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens")).head()[0] or 0
+    tmap = F.create_map(
+        *[x for k, v in sorted(norm.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    share = F.col("n_tokens") / F.lit(float(total))
+    tshare = F.coalesce(tmap.getItem(F.col("stratum")), F.lit(0.0))
+    return per.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        share.alias("corpus_share"),
+        tshare.alias("target_share"),
+        (tshare / share).alias("weight"),
+    )

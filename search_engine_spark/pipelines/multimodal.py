@@ -1,8 +1,11 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(``decode_payload`` raises ``NotImplementedError`` unless
-``fake='deterministic'``), but everything Spark-side is real and tested:
+REAL decode paths with zero external dependencies: WAV audio (stdlib
+``wave``), uncompressed BMP and binary PPM images (pure numpy container
+parses). Compressed formats (JPEG/PNG/MP3/video) need codec libraries the
+container does not ship, so those decodes are import-gated (Pillow) or
+stubbed (``decode_payload`` raises ``NotImplementedError`` unless
+``fake='deterministic'``); everything Spark-side is real and tested:
 
 * schema: payloads travel as ``binary`` columns with a ``media_type`` tag;
 * batching: feature extraction is an Arrow-batched ``mapInPandas`` whose
@@ -104,20 +107,164 @@ def decode_wav(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Image decode via Pillow when installed (import-gated: this
-    container ships no codecs, a deployment with ``pillow`` gets the real
-    path with no code change)."""
+    """Image decode. REAL paths with zero dependencies: uncompressed BMP
+    (24/32 bpp, :func:`decode_bmp`) and binary PPM (P6,
+    :func:`decode_ppm`) are parsed with pure numpy — format sniffed from
+    the magic bytes. Compressed formats (JPEG/PNG/...) fall through to
+    Pillow when installed (import-gated: a deployment with ``pillow``
+    gets them with no code change)."""
     import io
 
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - container has no Pillow
         raise NotImplementedError(
-            "image decode requires pillow, which is not installed in this "
-            "environment"
+            "compressed-image decode requires pillow, which is not installed "
+            "in this environment (BMP and PPM decode with pure numpy)"
         ) from e
     with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
-        return {"width": im.width, "height": im.height, "mode": im.mode}
+        return {"width": im.width, "height": im.height,
+                "channels": len(im.getbands()), "mean_px": None}
+
+
+def _rgb_summary(rgb) -> dict:
+    """(h, w, 3) uint8 -> the feature dict shared by all image decoders.
+    ``mean_px`` is an exact-integer sum divided once in float64 — the
+    same two integers divide to the same double in numpy and DuckDB, so
+    the value is hash-comparable with NO rounding step."""
+    import numpy as np
+
+    h, w = rgb.shape[0], rgb.shape[1]
+    s = int(rgb.astype(np.int64).sum())
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": 3,
+        "mean_px": s / float(w * h * 3),
+    }
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode, no codec library: parse an uncompressed
+    BITMAPINFOHEADER BMP (24 bpp BGR or 32 bpp BGRA; bottom-up or
+    top-down), strip the 4-byte row padding, and return
+    (width, height, channels, mean_px) over the RGB planes (alpha
+    dropped). Pure numpy reshape/slice — O(payload bytes)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32 bpp BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    h = abs(h_raw)
+    nch = bpp // 8
+    row_bytes = ((bpp * w + 31) // 32) * 4
+    arr = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h,
+                        offset=pix_off)
+    arr = arr.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if h_raw > 0:  # positive height = bottom-up storage
+        arr = arr[::-1]
+    return _rgb_summary(arr[:, :, 2::-1])  # BGR(A) -> RGB, alpha dropped
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL image decode, no codec library: binary PPM (P6) — tokenized
+    header (whitespace-separated width/height/maxval, ``#`` comments
+    honored) followed by raw RGB triplets."""
+    import numpy as np
+
+    vals: list[int] = []
+    i = 2  # past 'P6'
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                        offset=i).reshape(h, w, 3)
+    return _rgb_summary(rgb)
+
+
+def synth_bmp(doc_id: int) -> bytes:
+    """Deterministic 24 bpp BMP for doc ``doc_id``: width ``4 + id % 5``,
+    height ``3 + id % 4`` (both ranges exercise every row-padding
+    remainder), pixel ``v(row, col, chan) = (id*31 + row*17 + col*7 +
+    chan*3) % 256`` in RGB channel order — a pure integer formula the
+    DuckDB oracle evaluates with ``range()`` joins, so the real
+    encode -> container-parse -> feature path is verifiable end to end
+    without external media files (image analogue of :func:`synth_wav`)."""
+    import struct
+
+    import numpy as np
+
+    w = 4 + int(doc_id) % 5
+    h = 3 + int(doc_id) % 4
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    k = np.arange(3, dtype=np.int64)[None, None, :]
+    rgb = ((int(doc_id) * 31 + r * 17 + c * 7 + k * 3) % 256).astype(np.uint8)
+    bgr = rgb[:, :, ::-1]
+    row_bytes = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+    pix = rows[::-1].tobytes()  # bottom-up
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return header + dib + pix
+
+
+IMAGE_SCHEMA = (
+    "doc_id long, width int, height int, channels int, mean_px double"
+)
+
+
+def image_features(payloads: DataFrame) -> DataFrame:
+    """REAL image feature extraction over (doc_id, payload) BMP/PPM
+    columns: -> (doc_id, width, height, channels, mean_px). Same
+    Arrow-batched ``mapInPandas`` shape as :func:`audio_features`; the
+    decode is the genuine numpy container parse — no fake, no codec
+    stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                feats = decode_image(bytes(payload))
+                rows.append({"doc_id": int(doc_id), **feats})
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "mean_px"],
+            )
+
+    return payloads.mapInPandas(run, schema=IMAGE_SCHEMA)
 
 
 def synth_wav(doc_id: int) -> bytes:

@@ -212,7 +212,14 @@ class SearchIndex:
                 F.max("max_tf").alias("max_tf"),
             )
         )
-        self._doc_stats = spark.read.parquet(self.paths.doc_stats)
+        # gen-guaranteed read (update._read_with_gen): on a mixed dir
+        # (legacy gen-less files + appended gen-ful files) schema inference
+        # can pick a legacy footer and silently drop `gen`, which would
+        # treat every row as gen 0 and filter live new-generation rows of
+        # in-place docid replacements as dead. Same fallback as mutations.
+        from search_engine_spark.update import _read_with_gen
+
+        self._doc_stats = _read_with_gen(spark, self.paths.doc_stats)
         self._deleted, self._partial_tombs = self._load_tombstones()
         # Ship tombstones to executors as a Spark broadcast (torrent, once
         # per executor) instead of riding every task's closure: the scorer

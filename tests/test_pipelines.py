@@ -908,3 +908,140 @@ def test_dedup_keep_min_id_survivor(spark):
     assert [out[i]["cluster_id"] for i in range(5)] == [0, 0, 0, 3, 4]
     assert [out[i]["cluster_size"] for i in range(5)] == [3, 3, 3, 1, 1]
     assert [out[i]["keep"] for i in range(5)] == [True, False, False, True, True]
+
+
+def test_bmp_ppm_real_decode_roundtrip(spark):
+    """REAL image decode with zero codec deps: synth BMP encode -> pure
+    numpy container parse -> features; mean_px is an exact integer-sum
+    division (bit-reproducible vs the SQL oracle)."""
+    import numpy as np
+
+    from search_engine_spark.pipelines import multimodal as mm
+
+    # python-level roundtrip: every width (padding 1-3 bytes) x height
+    for did in range(20):
+        w, h = 4 + did % 5, 3 + did % 4
+        f = mm.decode_image(mm.synth_bmp(did))
+        assert (f["width"], f["height"], f["channels"]) == (w, h, 3)
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        k = np.arange(3)[None, None, :]
+        s = int(((did * 31 + r * 17 + c * 7 + k * 3) % 256).sum())
+        assert f["mean_px"] == s / float(w * h * 3)
+
+    # decode_payload routes image/* through the magic-byte sniffer
+    assert mm.decode_payload(mm.synth_bmp(2), "image/bmp") == mm.decode_bmp(
+        mm.synth_bmp(2)
+    )
+
+    # PPM P6 with a header comment
+    ppm = b"P6\n# comment\n4 3\n255\n" + bytes(range(36))
+    f = mm.decode_ppm(ppm)
+    assert (f["width"], f["height"]) == (4, 3)
+    assert f["mean_px"] == sum(range(36)) / 36.0
+    assert mm.decode_image(ppm) == f
+
+    # top-down 32bpp BGRA decodes to the same RGB summary as the pixels
+    import struct
+
+    w, h = 5, 2
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    bgra = np.concatenate(
+        [rgb[:, :, ::-1], np.full((h, w, 1), 200, np.uint8)], axis=2
+    )
+    pix = bgra.tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(pix), 2835, 2835, 0, 0
+    )
+    f = mm.decode_bmp(hdr + dib + pix)
+    assert f["mean_px"] == rgb.astype(np.int64).sum() / float(w * h * 3)
+
+    # compressed formats still gate loudly (no Pillow in this container)
+    with pytest.raises((NotImplementedError, ValueError)):
+        mm.decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+    # Spark path
+    import pandas as pd_
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd_.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [mm.synth_bmp(int(d)) for d in pdf["doc_id"]],
+            })
+
+    payloads = (
+        spark.range(7).selectExpr("id AS doc_id")
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    rows = {r["doc_id"]: r for r in mm.image_features(payloads).collect()}
+    assert len(rows) == 7
+    assert (rows[3]["width"], rows[3]["height"]) == (7, 6)
+    assert rows[3]["mean_px"] == mm.decode_bmp(mm.synth_bmp(3))["mean_px"]
+
+
+def test_pack_sequences_spans(spark):
+    """Concat-and-chunk packing: spans tile each sequence exactly, docs
+    split across boundaries, zero-token docs vanish, deterministic vs a
+    straight python reimplementation."""
+    from search_engine_spark.pipelines.curation import pack_sequences
+
+    rows = [
+        (0, "a b c d e"),          # 5 tokens
+        (1, ""),                   # 0 tokens -> no rows
+        (2, "f g h"),              # 3 tokens
+        (3, "i j k l m n o p q"),  # 9 tokens
+        (4, "r"),                  # 1 token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["doc_start"], r["seq_start"], r["span_len"])
+        for r in pack_sequences(df, max_len=4, n_parts=3).collect()
+    )
+    # python oracle: cumsum in doc order, cut at multiples of 4
+    ns = {0: 5, 1: 0, 2: 3, 3: 9, 4: 1}
+    want, off = [], 0
+    for did in sorted(ns):
+        n = ns[did]
+        start, stop = off, off + n
+        off = stop
+        if n == 0:
+            continue
+        for seq in range(start // 4, (stop - 1) // 4 + 1):
+            lo, hi = max(start, seq * 4), min(stop, (seq + 1) * 4)
+            want.append((seq, did, lo - start, lo - seq * 4, hi - lo))
+    assert got == sorted(want)
+    # every sequence except the last is exactly full
+    per_seq = {}
+    for seq, *_rest, ln in got:
+        per_seq[seq] = per_seq.get(seq, 0) + ln
+    last = max(per_seq)
+    assert all(v == 4 for s, v in per_seq.items() if s != last)
+    # parallelism invariance
+    got1 = sorted(
+        (r["seq_id"], r["doc_id"], r["doc_start"], r["seq_start"], r["span_len"])
+        for r in pack_sequences(df, max_len=4, n_parts=1).collect()
+    )
+    assert got1 == got
+
+
+def test_mixture_weights(spark):
+    from search_engine_spark.pipelines.curation import mixture_weights
+
+    rows = [
+        (0, "en", "a b c d"),   # en: 6 tokens
+        (1, "en", "e f"),
+        (2, "de", "g h i"),     # de: 3 tokens
+        (3, "zh", "j"),         # zh: 1 token, not in target -> weight 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["stratum"]: r for r in
+           mixture_weights(df, {"en": 1.0, "de": 1.0}).collect()}
+    assert set(out) == {"en", "de", "zh"}
+    assert (out["en"]["n_docs"], out["en"]["n_tokens"]) == (2, 6)
+    assert out["en"]["corpus_share"] == 6 / 10
+    assert out["en"]["target_share"] == 0.5
+    assert out["en"]["weight"] == 0.5 / (6 / 10)
+    assert out["de"]["weight"] == 0.5 / (3 / 10)  # upsampled: > 1
+    assert out["zh"]["target_share"] == 0.0 and out["zh"]["weight"] == 0.0
