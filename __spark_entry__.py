@@ -779,6 +779,16 @@ def _q_mixture_weights(spark, sf_dir):
     ).orderBy("stratum")
 
 
+def _q_host_stats(spark, sf_dir):
+    """Per-site aggregation (curation.host_stats): doc/token counts +
+    within-host exact-duplicate fraction, grouped on the documents table's
+    source tag (the host key of this corpus). ONE map-side-combined
+    groupBy + two-phase distinct aggregate."""
+    return curation.host_stats(
+        _docs(spark, sf_dir), host_col="source"
+    ).orderBy("host")
+
+
 def _q_pack_sequences(spark, sf_dir):
     """LLM pretraining sequence packing (curation.pack_sequences):
     documents concatenated in doc_id order into one token stream, cut
@@ -852,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image": _q_multimodal_image,
         "pack_sequences": _q_pack_sequences,
         "mixture_weights": _q_mixture_weights,
+        "host_stats": _q_host_stats,
         "unigram_logloss": _q_unigram_logloss,
         "dup_ngram_cross": _q_dup_ngram_cross,
         "url_canon": _q_url_canon,
@@ -1967,6 +1978,21 @@ SELECT p.stratum, p.n_docs, p.n_tokens::BIGINT AS n_tokens,
        {_mix_case} AS target_share,
        {_mix_case} / (p.n_tokens::DOUBLE / tot.t::DOUBLE) AS weight
 FROM per p, tot ORDER BY p.stratum
+"""
+
+    # per-host stats: one GROUP BY on the site key; floats are single
+    # float64 divisions of exact integer aggregates (bit-identical)
+    sql["host_stats"] = """
+SELECT source AS host,
+       count(*) AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT
+         AS n_tokens,
+       sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::DOUBLE
+         / count(*)::DOUBLE AS avg_doc_tokens,
+       count(DISTINCT md5(text)) AS n_unique_texts,
+       (count(*) - count(DISTINCT md5(text)))::DOUBLE / count(*)::DOUBLE
+         AS dup_frac
+FROM documents GROUP BY 1 ORDER BY 1
 """
 
     # sequence packing: window cumsum over doc order, spans cut at

@@ -52,6 +52,10 @@ def stage_walls(idx_dir: str) -> dict[str, float]:
             out[name] = max(out.get(name, 0.0), rec["wall_s"])
         else:
             out[name] = rec["wall_s"]
+        # composite stages record sub-phase walls in metrics.sub_walls —
+        # surface them as indented pseudo-stages for scaling attribution
+        for sub, wall in (rec.get("metrics", {}).get("sub_walls") or {}).items():
+            out[f"{name}/{sub}"] = wall
     return out
 
 

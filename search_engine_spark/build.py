@@ -244,6 +244,7 @@ def assign_docids(
 def dedupe_and_rank(
     df: DataFrame, pk_col: str, ts_col: str | None, out_cols: list[tuple[str, str]],
     n_parts: int, staging_dir: str | None = None,
+    walls: dict | None = None,
 ) -> tuple[DataFrame, int]:
     """Last-write-wins dedupe by pk + deterministic dense docid in ONE
     full-data shuffle (reference T1/T2 ``transform.rs:107-360`` fused with
@@ -313,6 +314,7 @@ def dedupe_and_rank(
         dd.withColumn("_mid2", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftright("_mid2", 33).cast("int"))
     )
+    t_sub = time.time()
     if staging_dir is not None:
         # one sequential write pins _mid2/_pid IN THE FILES — stronger than
         # a cache pin (no eviction window), zero storage-pool pressure
@@ -320,11 +322,16 @@ def dedupe_and_rank(
         dd = df.sparkSession.read.parquet(staging_dir)
     else:
         dd = dd.persist()
+    if walls is not None:
+        walls["sorted_run_pin"] = round(time.time() - t_sub, 2)
 
+    t_sub = time.time()
     counts = {
         r["_pid"]: r["n"]
         for r in dd.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if walls is not None:
+        walls["pid_counts"] = round(time.time() - t_sub, 2)
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -1002,6 +1009,35 @@ def _write_docs_guard(fn, errs: list):
         errs.append(e)
 
 
+def _stage1_partitions(
+    spark: SparkSession, df: DataFrame, config: IndexConfig,
+    target_bytes: int = 96 << 20,
+) -> int:
+    """Partition count for stage 1 (the range shuffle whose reduce side
+    sorts/dedupes/writes the staging run, and the extract that consumes
+    it). Two floors, take the max:
+
+    * ``2 x cores`` — enough waves that the scheduler can pack;
+    * ``input_bytes / 96 MB`` — task-size bound. This is the scaling fix:
+      with only ``2 x cores`` coarse tasks, the LAST wave's straggler
+      idles the other cores (measured at 4M docs/local[4]: the 8-task
+      reduce side lost ~34 s to tail quantization, 0.61 efficiency; the
+      byte floor cuts the tail quantum ~4x). It is also the 100-TB
+      contract — reduce-task memory stays bounded by the byte target, not
+      by corpus/cores. Sized so staging files stay under the 128 MB scan
+      bin (no remainder fragmentation when extract re-reads them).
+
+    ``config.extract_partitions`` overrides everything.
+    """
+    if config.extract_partitions:
+        return config.extract_partitions
+    n = max(spark.sparkContext.defaultParallelism * 2, 8)
+    size = _input_bytes(df)
+    if size is not None:
+        n = max(n, int(size // target_bytes) + 1)
+    return n
+
+
 def _run_extract(
     spark: SparkSession, docs_text: DataFrame, paths: "IndexPaths",
     config: IndexConfig, *, repartition: bool,
@@ -1010,9 +1046,7 @@ def _run_extract(
     the stage metrics. ``repartition=False`` when the input already has
     cluster-sized partitions (the fused stage-1 cache path)."""
     if repartition:
-        n_extract = config.extract_partitions or max(
-            spark.sparkContext.defaultParallelism * 2, 8
-        )
+        n_extract = _stage1_partitions(spark, docs_text, config)
         docs_text = docs_text.repartition(n_extract)
     extracted = docs_text.mapInArrow(
         make_extract_fn(config), schema=term_doc_schema(config)
@@ -1098,6 +1132,10 @@ def build_index(
     # ---- stage 1: docs (dedupe + docid assignment) --------------------
     if not log.done("docs"):
         t0 = time.time()
+        # sub-phase wall clocks, recorded in the docs checkpoint metrics —
+        # the scaling profile (scripts/stage_profile.py) reads these to
+        # attribute non-scaling time inside this composite stage
+        sub_walls: dict[str, float] = {}
         # project before any shuffle: html & co. never enter the dedupe or
         # rank exchanges (at CC scale the raw html dominates row size)
         # searchable source columns: text_col aliased to canonical 'text'
@@ -1147,9 +1185,7 @@ def build_index(
                 # parallelism — measured 0.7s vs 2.6s for the same write
                 # at 5k docs. Bytes-aware so a near-threshold input still
                 # tokenizes in parallel.
-                n_extract = config.extract_partitions or max(
-                    spark.sparkContext.defaultParallelism * 2, 8
-                )
+                n_extract = _stage1_partitions(spark, pages, config)
                 size = _input_bytes(pages) or 0
                 n_pin = max(1, min(n_extract, int(size // (64 << 20)) + 1))
                 docs = docs.coalesce(n_pin).persist()
@@ -1158,14 +1194,15 @@ def build_index(
                 docs.count()
                 docid_col_pinned = True
         else:
-            n_parts = config.extract_partitions or max(
-                spark.sparkContext.defaultParallelism * 2, 8
-            )
+            n_parts = _stage1_partitions(spark, pages, config)
             stage1_staging = _stage1_staging_dir(pages, config, index_dir)
+            t_sub = time.time()
             docs, n_docs = dedupe_and_rank(
                 pages.select(*keep), config.pk_col, config.ts_col,
                 out_cols, n_parts, staging_dir=stage1_staging,
+                walls=sub_walls,
             )
+            sub_walls["dedupe_rank"] = round(time.time() - t_sub, 2)
         # `gen` marks which segment generation a docs/doc_stats row belongs
         # to (0 at build; appends stamp their own) — tombstones carry a
         # generation HORIZON (dead in gens < horizon), which is what lets
@@ -1196,9 +1233,12 @@ def build_index(
         )
 
         def _write_docs():
+            tw = time.time()
             docs.write.mode("overwrite").parquet(staging)
+            sub_walls["write_docs"] = round(time.time() - tw, 2)
 
         docs_err: list[BaseException] = []
+        t_sub = time.time()
         if run_extract_fused:
             th = threading.Thread(
                 target=lambda: (_write_docs_guard(_write_docs, docs_err))
@@ -1209,12 +1249,15 @@ def build_index(
                 spark, docs.select("docid", *[c for c, _ in config.searchable_fields()]), paths, config,
                 repartition=False,
             )
+            sub_walls["extract_in_fuse"] = round(time.time() - ex_t0, 2)
             th.join()
         else:
             _write_docs()
+        sub_walls["fused_phase"] = round(time.time() - t_sub, 2)
         if docs_err:
             raise docs_err[0]
         commit()
+        t_sub = time.time()
         got = obs.get
         written = int(got["rows"])
         max_docid = int(got["max_docid"] if got["max_docid"] is not None else -1)
@@ -1242,9 +1285,11 @@ def build_index(
                     f"docids for {n_docs} rows — duplicate docids from a "
                     "resampled cache; re-run the build"
                 )
+        sub_walls["integrity"] = round(time.time() - t_sub, 2)
         n_docs = written
         log.commit("docs", inputs={"source": "caller DataFrame"},
-                   metrics={"n_docs": n_docs, "max_docid": max_docid},
+                   metrics={"n_docs": n_docs, "max_docid": max_docid,
+                            "sub_walls": sub_walls},
                    wall_s=time.time() - t0)
         spark.catalog.clearCache()
         if stage1_staging is not None:

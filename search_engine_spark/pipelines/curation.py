@@ -740,3 +740,50 @@ def mixture_weights(
         tshare.alias("target_share"),
         (tshare / share).alias("weight"),
     )
+
+
+def host_stats(
+    df: DataFrame,
+    host_col: str = "url_host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-site corpus statistics — the host-level aggregation every
+    Common-Crawl curation pipeline runs before site-level policy (block-
+    list a spam domain, downweight a boilerplate farm, cap per-site doc
+    share): document and token counts plus the within-host exact-duplicate
+    fraction (a site whose pages hash to few distinct texts is template
+    noise).
+
+    ``host_col`` is any site key — ``canonicalize_urls``'s ``url_host``
+    on a real crawl, or a source/domain tag column. Floats are single
+    float64 divisions of exact integer aggregates (hash-identical in the
+    SQL oracle, no rounding step).
+
+    -> (host, n_docs, n_tokens, avg_doc_tokens, n_unique_texts, dup_frac)
+    with dup_frac = (n_docs - n_unique_texts) / n_docs.
+
+    Scale shape (100 TB): ONE groupBy on the host key. count/sum combine
+    map-side; count_distinct(md5) is Spark's two-phase distinct aggregate
+    (partial distinct per partition, then merge) — per-host state is the
+    host's distinct hash set, bounded by its page count, never the corpus.
+    Host keys are Zipfian but the per-row payload is a 32-byte hash, so
+    even a 10^8-page host is ~3 GB in one reducer — cap with a pre-filter
+    or salt+re-merge if a crawl ever concentrates worse than that.
+    """
+    n_docs = F.count("*").alias("n_docs")
+    n_tokens = F.sum(F.size(tokens_col(text_col)).cast("long")).alias("n_tokens")
+    n_unique = F.count_distinct(F.md5(F.col(text_col))).alias("n_unique_texts")
+    return (
+        df.groupBy(F.col(host_col).alias("host"))
+        .agg(n_docs, n_tokens, n_unique)
+        .select(
+            "host",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") / F.col("n_docs")).alias("avg_doc_tokens"),
+            "n_unique_texts",
+            ((F.col("n_docs") - F.col("n_unique_texts")) / F.col("n_docs"))
+            .alias("dup_frac"),
+        )
+    )

@@ -1045,3 +1045,25 @@ def test_mixture_weights(spark):
     assert out["en"]["weight"] == 0.5 / (6 / 10)
     assert out["de"]["weight"] == 0.5 / (3 / 10)  # upsampled: > 1
     assert out["zh"]["target_share"] == 0.0 and out["zh"]["weight"] == 0.0
+
+
+def test_host_stats_counts_and_dup_frac(spark):
+    """host_stats: per-host doc/token counts and exact-dup fraction."""
+    from search_engine_spark.pipelines import curation
+
+    df = spark.createDataFrame(
+        [
+            (0, "a.com", "one two three"),
+            (1, "a.com", "one two three"),   # exact dup of doc 0
+            (2, "a.com", "four five"),
+            (3, "b.com", "six"),
+        ],
+        "doc_id long, url_host string, text string",
+    )
+    out = {r["host"]: r for r in curation.host_stats(df).collect()}
+    a = out["a.com"]
+    assert (a["n_docs"], a["n_tokens"], a["n_unique_texts"]) == (3, 8, 2)
+    assert a["avg_doc_tokens"] == 8 / 3
+    assert a["dup_frac"] == 1 / 3
+    b = out["b.com"]
+    assert (b["n_docs"], b["n_tokens"], b["dup_frac"]) == (1, 1, 0.0)
