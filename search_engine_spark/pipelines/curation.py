@@ -661,11 +661,15 @@ def pack_sequences(
             .filter(F.col("n") > 0)
             .withColumn("stop", F.col("start") + F.col("n"))
             .withColumn(
+                # integer `div`, not float `/`+cast: float truncation
+                # diverges from floor once the global token cumsum nears
+                # 2^53 (~9e15 tokens); `div` keeps the plan exact at any
+                # scale and matches the oracle's integer `//`
                 "seq_id",
                 F.explode(
                     F.sequence(
-                        (F.col("start") / L).cast("long"),
-                        ((F.col("stop") - 1) / L).cast("long"),
+                        F.expr(f"start div {L}"),
+                        F.expr(f"(stop - 1) div {L}"),
                     )
                 ),
             )
