@@ -827,6 +827,33 @@ def _q_multimodal_image(spark, sf_dir):
     return multimodal.image_features(payloads).orderBy("doc_id")
 
 
+def _q_multimodal_png(spark, sf_dir):
+    """REAL compressed-image decode (round 5, zero codec deps): per-doc
+    deterministic PNGs (synth_png — same integer pixel formula as
+    synth_bmp, scanline filters rotating through all five PNG filter
+    types) inflated with stdlib zlib and unfiltered in numpy. The oracle
+    is the multimodal_image SQL verbatim: identical pixel formula,
+    identical exact-integer mean_px."""
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.synth_png(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    return multimodal.image_features(payloads).orderBy("doc_id")
+
+
 def _q_build_metrics(spark, sf_dir):
     """Per-stage build lineage + metrics (north rule; rows-only check)."""
     idx = _index(spark, sf_dir)
@@ -860,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "dedup_keep": _q_dedup_keep,
         "multimodal_image": _q_multimodal_image,
+        "multimodal_png": _q_multimodal_png,
         "pack_sequences": _q_pack_sequences,
         "mixture_weights": _q_mixture_weights,
         "host_stats": _q_host_stats,
@@ -2044,6 +2072,11 @@ SELECT d.doc_id, d.w::INT AS width, d.h::INT AS height, 3 AS channels,
        a.s * 1.0 / a.n AS mean_px
 FROM d JOIN agg a USING (doc_id) ORDER BY 1
 """
+
+    # multimodal_png decodes to the exact same features as multimodal_image
+    # by construction (synth_png shares synth_bmp's pixel formula); the
+    # filter rotation only changes the wire bytes, not the raster
+    sql["multimodal_png"] = sql["multimodal_image"]
 
     # cross-document duplicate n-gram fraction (n=3); same partial-shingle
     # edge semantics as decontaminate (whole doc for 0 < len < 3)

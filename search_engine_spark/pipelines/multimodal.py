@@ -2,10 +2,12 @@
 
 REAL decode paths with zero external dependencies: WAV audio (stdlib
 ``wave``), uncompressed BMP and binary PPM images (pure numpy container
-parses). Compressed formats (JPEG/PNG/MP3/video) need codec libraries the
-container does not ship, so those decodes are import-gated (Pillow) or
-stubbed (``decode_payload`` raises ``NotImplementedError`` unless
-``fake='deterministic'``); everything Spark-side is real and tested:
+parses), and compressed PNG (stdlib ``zlib`` inflate + numpy scanline
+unfiltering, all five filter types). Remaining compressed formats
+(JPEG/MP3/video) need codec libraries the container does not ship, so
+those decodes are import-gated (Pillow) or stubbed (``decode_payload``
+raises ``NotImplementedError`` unless ``fake='deterministic'``);
+everything Spark-side is real and tested:
 
 * schema: payloads travel as ``binary`` columns with a ``media_type`` tag;
 * batching: feature extraction is an Arrow-batched ``mapInPandas`` whose
@@ -108,23 +110,27 @@ def decode_wav(payload: bytes) -> dict:
 
 def decode_image(payload: bytes) -> dict:
     """Image decode. REAL paths with zero dependencies: uncompressed BMP
-    (24/32 bpp, :func:`decode_bmp`) and binary PPM (P6,
-    :func:`decode_ppm`) are parsed with pure numpy — format sniffed from
-    the magic bytes. Compressed formats (JPEG/PNG/...) fall through to
-    Pillow when installed (import-gated: a deployment with ``pillow``
-    gets them with no code change)."""
+    (24/32 bpp, :func:`decode_bmp`), binary PPM (P6, :func:`decode_ppm`)
+    and compressed PNG (:func:`decode_png`, stdlib zlib + numpy
+    unfilter) — format sniffed from the magic bytes. Remaining
+    compressed formats (JPEG/...) fall through to Pillow when installed
+    (import-gated: a deployment with ``pillow`` gets them with no code
+    change)."""
     import io
 
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - container has no Pillow
         raise NotImplementedError(
             "compressed-image decode requires pillow, which is not installed "
-            "in this environment (BMP and PPM decode with pure numpy)"
+            "in this environment (BMP, PPM and PNG decode with pure "
+            "numpy/stdlib zlib)"
         ) from e
     with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
         return {"width": im.width, "height": im.height,
@@ -209,6 +215,163 @@ def decode_ppm(payload: bytes) -> dict:
     rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
                         offset=i).reshape(h, w, 3)
     return _rgb_summary(rgb)
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL compressed-image decode with zero codec dependencies: PNG via
+    stdlib ``zlib`` inflate + per-scanline unfiltering in numpy. Supports
+    the shape 99% of web PNGs use — 8-bit truecolor (color type 2) and
+    truecolor+alpha (type 6), non-interlaced — and all five scanline
+    filters (None/Sub/Up/Average/Paeth). Alpha is dropped, matching
+    :func:`decode_bmp`'s 32 bpp path. Palette/gray/16-bit/interlaced
+    variants raise ``NotImplementedError`` (Pillow path handles them in
+    deployments that ship it).
+
+    Cost: inflate is O(payload bytes); unfiltering is one numpy pass per
+    scanline. Sub (and the left term of Average/Paeth) is a per-channel
+    prefix recurrence, vectorized as a uint8 cumsum over the (w, nch)
+    view; Average/Paeth's up-dependence makes rows sequential, which is
+    fine — row count, not pixel count, bounds the Python-level loop.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload (bad signature)")
+    w = h = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced truecolor(+alpha) PNG "
+                    f"supported (depth={depth}, color_type={ctype}, "
+                    f"interlace={interlace})"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR or IDAT)")
+    nch = 4 if ctype == 6 else 3
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters = lines[:, 0]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = int(filters[r])
+        line = lines[r, 1:]
+        if f == 0:  # None
+            x = line.copy()
+        elif f == 1:  # Sub: per-channel prefix sum (uint8 wraps == mod 256)
+            x = line.reshape(w, nch).cumsum(axis=0, dtype=np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            x = line + prev
+        elif f == 3:  # Average: left-dependence is sequential per pixel
+            x = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = int(x[i - nch]) if i >= nch else 0
+                x[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            x = np.empty(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(x[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                x[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[r] = x
+        prev = x
+    rgb = out.reshape(h, w, nch)[:, :, :3]
+    return _rgb_summary(rgb)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic 8-bit RGB PNG for doc ``doc_id``: same dimensions and
+    integer pixel formula as :func:`synth_bmp` (so the DuckDB oracle is
+    shared verbatim), with scanline ``r`` filtered as ``(doc_id + r) % 5``
+    — every encode/decode round-trip exercises ALL five PNG filter types,
+    not just the trivial None path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w = 4 + int(doc_id) % 5
+    h = 3 + int(doc_id) % 4
+    r = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(w, dtype=np.int64)[None, :, None]
+    k = np.arange(3, dtype=np.int64)[None, None, :]
+    rgb = ((int(doc_id) * 31 + r * 17 + c * 7 + k * 3) % 256).astype(np.uint8)
+    nch, stride = 3, 3 * w
+    flat = rgb.reshape(h, stride).astype(np.int64)
+    scan = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for row in range(h):
+        f = (int(doc_id) + row) % 5
+        cur = flat[row]
+        left = np.zeros(stride, dtype=np.int64)
+        left[nch:] = cur[:-nch]
+        up_left = np.zeros(stride, dtype=np.int64)
+        up_left[nch:] = prev[:-nch]
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth predictor
+            p = left + prev - up_left
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - up_left)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, up_left)
+            )
+            filt = cur - pred
+        scan.append(f)
+        scan += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def synth_bmp(doc_id: int) -> bytes:

@@ -981,6 +981,73 @@ def test_bmp_ppm_real_decode_roundtrip(spark):
     assert rows[3]["mean_px"] == mm.decode_bmp(mm.synth_bmp(3))["mean_px"]
 
 
+def test_png_real_decode_roundtrip(spark):
+    """REAL PNG decode with zero codec deps (stdlib zlib + numpy
+    unfilter): synth_png uses the same pixel formula as synth_bmp but
+    rotates through all five scanline filters, so the round trip proves
+    every unfilter branch; RGBA drops alpha like the 32bpp BMP path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from search_engine_spark.pipelines import multimodal as mm
+
+    # every (width, height, starting-filter) combination vs the BMP twin
+    for did in range(25):
+        png = mm.synth_png(did)
+        assert png[:8] == mm.PNG_SIGNATURE
+        assert mm.decode_png(png) == mm.decode_bmp(mm.synth_bmp(did))
+        assert mm.decode_image(png) == mm.decode_png(png)
+
+    # RGBA (color type 6): alpha dropped -> same summary as the RGB twin
+    w, h = 6, 4
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    rgba = np.concatenate([rgb, np.full((h, w, 1), 9, np.uint8)], axis=2)
+    scan = bytearray()
+    for r in range(h):
+        scan.append(0)
+        scan += rgba[r].tobytes()
+    png6 = (
+        mm.PNG_SIGNATURE
+        + mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    f = mm.decode_png(png6)
+    assert f["channels"] == 3
+    assert f["mean_px"] == rgb.astype(np.int64).sum() / float(w * h * 3)
+
+    # unsupported shapes gate loudly: 16-bit depth, palette, interlaced
+    for ihdr in [(w, h, 16, 2, 0, 0, 0), (w, h, 8, 3, 0, 0, 0),
+                 (w, h, 8, 2, 0, 0, 1)]:
+        bad = (
+            mm.PNG_SIGNATURE
+            + mm._png_chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr))
+            + mm._png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            mm.decode_png(bad)
+
+    # Spark path: image_features sniffs PNG through the same mapInPandas
+    import pandas as pd_
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd_.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [mm.synth_png(int(d)) for d in pdf["doc_id"]],
+            })
+
+    payloads = (
+        spark.range(7).selectExpr("id AS doc_id")
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    rows = {r["doc_id"]: r for r in mm.image_features(payloads).collect()}
+    assert len(rows) == 7
+    assert rows[3]["mean_px"] == mm.decode_bmp(mm.synth_bmp(3))["mean_px"]
+
+
 def test_pack_sequences_spans(spark):
     """Concat-and-chunk packing: spans tile each sequence exactly, docs
     split across boundaries, zero-token docs vanish, deterministic vs a
