@@ -854,6 +854,32 @@ def _q_multimodal_png(spark, sf_dir):
     return multimodal.image_features(payloads).orderBy("doc_id")
 
 
+def _q_multimodal_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode (round 5, zero codec deps,
+    pipelines/jpeg.py): per-doc deterministic grayscale JPEGs whose
+    rasters are constant per 8x8 block, so the Huffman -> dequant ->
+    IDCT round trip is EXACT (DC-only blocks) and the oracle is a pure
+    integer formula. Odd doc_ids carry restart intervals."""
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.synth_jpeg(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    return multimodal.image_features(payloads).orderBy("doc_id")
+
+
 def _q_build_metrics(spark, sf_dir):
     """Per-stage build lineage + metrics (north rule; rows-only check)."""
     idx = _index(spark, sf_dir)
@@ -879,16 +905,52 @@ def _q_build_metrics(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered LEAST-RECENTLY-VERIFIED FIRST (the driver hash-checks ~50
+    # entries per round from the top, so the ordering IS the rotation
+    # policy — VERDICT r4 #4):
+    #   tier A — never driver-verified (new this round);
+    #   tier B — last green in r03, and r4 edited their modules
+    #            (similarity.py/dedup.py/embed.py/textstats.py);
+    #   tier C — r04-green whose modules changed in r5
+    #            (query.py/multimodal.py/curation.py/embed.py);
+    #   tier D — r04-green, module untouched since.
     return {
-        # --- entries the driver has not yet hash-verified run FIRST ---
-        # (r03 checked only the first 50 of 56; these were absent from r03
-        #  — unigram_logloss has never been driver-checked at all.)
+        # --- tier A: never verified ---
+        "multimodal_jpeg": _q_multimodal_jpeg,
+        "multimodal_png": _q_multimodal_png,
+        # --- tier B: r03-stale, modules edited in r4 ---
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_minhash": _q_dedup_minhash,
+        "simhash": _q_simhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_cosine": _q_ann_cosine,
+        "ann_cosine_batch": _q_ann_cosine_batch,
+        "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_stream": _q_dedup_stream,
+        "embed_docs": _q_embed_docs,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition_stats,
+        "pii_redact": _q_pii_redact,
+        # --- tier C: r04-green, module changed in r5 ---
         "search_many": _q_search_many,
+        "highlight": _q_highlight,
+        "multimodal_image": _q_multimodal_image,
+        "multimodal_audio": _q_multimodal_audio,
+        "multimodal_features": _q_multimodal,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
+        "pack_sequences": _q_pack_sequences,
         "dedup_lines": _q_dedup_lines,
         "dedup_keep": _q_dedup_keep,
-        "multimodal_image": _q_multimodal_image,
-        "multimodal_png": _q_multimodal_png,
-        "pack_sequences": _q_pack_sequences,
+        "stratified_sample": _q_stratified_sample,
         "mixture_weights": _q_mixture_weights,
         "host_stats": _q_host_stats,
         "unigram_logloss": _q_unigram_logloss,
@@ -896,21 +958,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": _q_url_canon,
         "gopher_filter": _q_gopher_filter,
         "dup_passages": _q_dup_passages,
-        "bm25_phrase_synonym": _q_bm25_phrase_synonym,
         "embed_docs_template": _q_embed_docs_template,
-        "multimodal_audio": _q_multimodal_audio,
-        "stratified_sample": _q_stratified_sample,
-        "multimodal_features": _q_multimodal,
-        "multimodal_resize": _q_multimodal_resize,
-        "multimodal_frames": _q_multimodal_frames,
-        "build_metrics": _q_build_metrics,
-        # core engine (index build + query; SURVEY.md §2.4/§2.6-2.8)
-        "term_dict": _q_term_dict,
-        "doc_stats": _q_doc_stats,
-        "postings_decode": _q_postings_decode,
+        "bm25_phrase_synonym": _q_bm25_phrase_synonym,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_wand": _q_bm25_topk_wand,
         "bm25_filtered": _q_bm25_filtered,
+        "score_details": _q_score_details,
+        "hybrid_rank": _q_hybrid_rank,
+        "term_dict": _q_term_dict,
+        "doc_stats": _q_doc_stats,
+        "postings_decode": _q_postings_decode,
         "phrase_match": _q_phrase_match,
         "prefix_expand": _q_prefix_expand,
         "typo_expand": _q_typo_expand,
@@ -927,39 +984,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_proximity_full": _q_bm25_proximity_full,
         "bm25_exactness": _q_bm25_exactness,
         "bm25f": _q_bm25f,
-        "score_details": _q_score_details,
-        "hybrid_rank": _q_hybrid_rank,
         "sort_by_attr": _q_sort_by_attr,
-        # filters + facets (§2.5/§2.9)
+        # --- tier D: r04-green, module untouched in r5 ---
         "filter_where": _q_filter_where,
         "facet_distribution": _q_facet_distribution,
         "facet_value_search": _q_facet_value_search,
         "facet_stats": _q_facet_stats,
-        "highlight": _q_highlight,
-        # dedup pipeline
-        "dedup_exact": _q_dedup_exact,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "dedup_minhash": _q_dedup_minhash,
-        "simhash": _q_simhash,
-        "dedup_simhash": _q_dedup_simhash,
-        # similarity search
-        "ann_cosine": _q_ann_cosine,
-        "ann_cosine_batch": _q_ann_cosine_batch,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "dedup_embedding": _q_dedup_embedding,
-        "dedup_stream": _q_dedup_stream,
-        "embed_docs": _q_embed_docs,
-        # text analysis
-        "token_stats": _q_token_stats,
-        "quality_score": _q_quality_score,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_fingerprint,
-        # corpus curation
-        "decontaminate": _q_decontaminate,
-        "repetition_stats": _q_repetition_stats,
-        "pii_redact": _q_pii_redact,
+        "build_metrics": _q_build_metrics,
     }
 
 
@@ -2077,6 +2108,25 @@ FROM d JOIN agg a USING (doc_id) ORDER BY 1
     # by construction (synth_png shares synth_bmp's pixel formula); the
     # filter rotation only changes the wire bytes, not the raster
     sql["multimodal_png"] = sql["multimodal_image"]
+
+    # baseline JPEG: grayscale, constant per 8x8 block -> exact round trip
+    # (synth_jpeg block formula; mean over blocks == mean over pixels)
+    sql["multimodal_jpeg"] = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb FROM documents
+),
+px AS (
+  SELECT d.doc_id,
+         ((d.doc_id * 37 + r.i * 19 + c.i * 11) % 256) AS v
+  FROM d,
+  LATERAL (SELECT unnest(range(0, d.hb)) AS i) r,
+  LATERAL (SELECT unnest(range(0, d.wb)) AS i) c
+),
+agg AS (SELECT doc_id, sum(64 * v) AS s, 64 * count(*) AS n FROM px GROUP BY 1)
+SELECT d.doc_id, (8 * d.wb)::INT AS width, (8 * d.hb)::INT AS height,
+       1 AS channels, a.s * 1.0 / a.n AS mean_px
+FROM d JOIN agg a USING (doc_id) ORDER BY 1
+"""
 
     # cross-document duplicate n-gram fraction (n=3); same partial-shingle
     # edge semantics as decontaminate (whole doc for 0 < len < 3)

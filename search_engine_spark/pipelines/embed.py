@@ -220,21 +220,31 @@ class RestEmbedder:
                 self._sleep(self.backoff_s * (2 ** attempt))
                 attempt += 1
 
+    # -- per-service request/response shapes, overridable hooks ----------
+    def build_payload(self, chunk: list) -> dict:
+        """Request body for one batch (OpenAI-compatible default)."""
+        return {"input": list(chunk), **self.extra}
+
+    def parse_response(self, resp: dict, n: int) -> list:
+        """Decoded-JSON response -> ``n`` embedding rows in INPUT order.
+        Raise ``ValueError`` on any shape mismatch — a response the
+        adapter half-understands must never become silent zero vectors."""
+        data = resp.get("data")
+        if data is None or len(data) != n:
+            raise ValueError(
+                f"embedder response shape mismatch: expected {n} rows, "
+                f"got {None if data is None else len(data)}"
+            )
+        return [row["embedding"] for row in data]
+
     def __call__(self, texts: list) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
         for start in range(0, len(texts), self.max_batch):
             chunk = texts[start : start + self.max_batch]
-            payload = {"input": list(chunk), **self.extra}
-            resp = self._call_once(payload)
-            data = resp.get("data")
-            if data is None or len(data) != len(chunk):
-                raise ValueError(
-                    f"embedder response shape mismatch: expected "
-                    f"{len(chunk)} rows, got "
-                    f"{None if data is None else len(data)}"
-                )
-            for i, row in enumerate(data):
-                vec = np.asarray(row["embedding"], dtype=np.float64)
+            resp = self._call_once(self.build_payload(list(chunk)))
+            rows = self.parse_response(resp, len(chunk))
+            for i, row in enumerate(rows):
+                vec = np.asarray(row, dtype=np.float64)
                 if vec.shape != (self.dim,):
                     raise ValueError(
                         f"embedding dim mismatch: expected {self.dim}, "
@@ -242,3 +252,72 @@ class RestEmbedder:
                     )
                 out[start + i] = vec
         return out
+
+
+class OpenAIEmbedder(RestEmbedder):
+    """OpenAI embeddings API shape (reference ``src/vector/openai.rs``):
+    request ``{"model": ..., "input": [texts...]}`` (+ optional
+    ``dimensions`` for Matryoshka truncation); response rows carry an
+    ``index`` and are NOT guaranteed to arrive in input order — the
+    adapter reorders by index and rejects duplicate/missing indices."""
+
+    def __init__(self, transport, dim: int, model: str,
+                 dimensions: int | None = None, **kw):
+        extra = {"model": model}
+        if dimensions is not None:
+            extra["dimensions"] = dimensions
+        super().__init__(transport, dim, extra=extra, **kw)
+
+    def parse_response(self, resp: dict, n: int) -> list:
+        data = resp.get("data")
+        if data is None or len(data) != n:
+            raise ValueError(
+                f"openai response shape mismatch: expected {n} rows, "
+                f"got {None if data is None else len(data)}"
+            )
+        rows: list = [None] * n
+        for item in data:
+            i = item.get("index")
+            if not isinstance(i, int) or not (0 <= i < n) or rows[i] is not None:
+                raise ValueError(f"openai response index invalid: {i!r}")
+            rows[i] = item["embedding"]
+        return rows
+
+
+class OllamaEmbedder(RestEmbedder):
+    """Ollama ``/api/embed`` shape (reference ``src/vector/ollama.rs``):
+    request ``{"model": ..., "input": [texts...]}``; response
+    ``{"embeddings": [[...], ...]}`` in input order."""
+
+    def __init__(self, transport, dim: int, model: str, **kw):
+        super().__init__(transport, dim, extra={"model": model}, **kw)
+
+    def parse_response(self, resp: dict, n: int) -> list:
+        rows = resp.get("embeddings")
+        if rows is None or len(rows) != n:
+            raise ValueError(
+                f"ollama response shape mismatch: expected {n} rows, "
+                f"got {None if rows is None else len(rows)}"
+            )
+        return rows
+
+
+class HFEmbedder(RestEmbedder):
+    """HuggingFace text-embeddings-inference shape (reference
+    ``src/vector/hf.rs`` embeds locally via candle; the served analogue
+    is TEI's ``/embed``): request ``{"inputs": [texts...]}`` (+ extra,
+    e.g. ``{"truncate": true}``); response is a bare JSON array of
+    embedding rows in input order — the transport must wrap it as
+    ``{"embeddings": rows}`` or return the list itself (both accepted)."""
+
+    def build_payload(self, chunk: list) -> dict:
+        return {"inputs": list(chunk), **self.extra}
+
+    def parse_response(self, resp, n: int) -> list:
+        rows = resp if isinstance(resp, list) else resp.get("embeddings")
+        if rows is None or len(rows) != n:
+            raise ValueError(
+                f"hf response shape mismatch: expected {n} rows, "
+                f"got {None if rows is None else len(rows)}"
+            )
+        return rows

@@ -2,12 +2,14 @@
 
 REAL decode paths with zero external dependencies: WAV audio (stdlib
 ``wave``), uncompressed BMP and binary PPM images (pure numpy container
-parses), and compressed PNG (stdlib ``zlib`` inflate + numpy scanline
-unfiltering, all five filter types). Remaining compressed formats
-(JPEG/MP3/video) need codec libraries the container does not ship, so
-those decodes are import-gated (Pillow) or stubbed (``decode_payload``
-raises ``NotImplementedError`` unless ``fake='deterministic'``);
-everything Spark-side is real and tested:
+parses), compressed PNG (stdlib ``zlib`` inflate + numpy scanline
+unfiltering, all five filter types), and baseline JPEG (pure-numpy
+Huffman + IDCT decoder, ``pipelines/jpeg.py`` — grayscale and YCbCr,
+4:4:4/4:2:2/4:2:0, restart markers; progressive raises). Remaining
+compressed formats (MP3/video, progressive JPEG) need codec libraries
+the container does not ship, so those decodes are import-gated (Pillow)
+or stubbed (``decode_payload`` raises ``NotImplementedError`` unless
+``fake='deterministic'``); everything Spark-side is real and tested:
 
 * schema: payloads travel as ``binary`` columns with a ``media_type`` tag;
 * batching: feature extraction is an Arrow-batched ``mapInPandas`` whose
@@ -110,10 +112,11 @@ def decode_wav(payload: bytes) -> dict:
 
 def decode_image(payload: bytes) -> dict:
     """Image decode. REAL paths with zero dependencies: uncompressed BMP
-    (24/32 bpp, :func:`decode_bmp`), binary PPM (P6, :func:`decode_ppm`)
-    and compressed PNG (:func:`decode_png`, stdlib zlib + numpy
-    unfilter) — format sniffed from the magic bytes. Remaining
-    compressed formats (JPEG/...) fall through to Pillow when installed
+    (24/32 bpp, :func:`decode_bmp`), binary PPM (P6, :func:`decode_ppm`),
+    compressed PNG (:func:`decode_png`, stdlib zlib + numpy unfilter)
+    and baseline JPEG (:func:`decode_jpeg`, pure-numpy Huffman + IDCT) —
+    format sniffed from the magic bytes. Remaining formats (WebP, GIF,
+    progressive JPEG, ...) fall through to Pillow when installed
     (import-gated: a deployment with ``pillow`` gets them with no code
     change)."""
     import io
@@ -124,13 +127,18 @@ def decode_image(payload: bytes) -> dict:
         return decode_ppm(payload)
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            pass  # progressive/exotic JPEG: fall through to Pillow
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - container has no Pillow
         raise NotImplementedError(
-            "compressed-image decode requires pillow, which is not installed "
-            "in this environment (BMP, PPM and PNG decode with pure "
-            "numpy/stdlib zlib)"
+            "this compressed-image variant requires pillow, which is not "
+            "installed in this environment (BMP, PPM, PNG and baseline "
+            "JPEG decode with pure numpy/stdlib zlib)"
         ) from e
     with Image.open(io.BytesIO(payload)) as im:  # pragma: no cover
         return {"width": im.width, "height": im.height,
@@ -305,6 +313,53 @@ def decode_png(payload: bytes) -> dict:
         prev = x
     rgb = out.reshape(h, w, nch)[:, :, :3]
     return _rgb_summary(rgb)
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL baseline-JPEG decode, no codec library (``pipelines/jpeg.py``:
+    segment parse, Huffman entropy decode, dequantize, float64 IDCT,
+    chroma upsample, YCbCr->RGB). Grayscale payloads report
+    ``channels=1``; ``mean_px`` is the exact-integer pixel sum divided
+    once in float64 (hash-comparable with the DuckDB oracle, same
+    contract as :func:`_rgb_summary`)."""
+    import numpy as np
+
+    from search_engine_spark.pipelines.jpeg import decode_jpeg as _dec
+
+    px = _dec(payload)
+    if px.ndim == 2:
+        h, w = px.shape
+        return {
+            "width": int(w),
+            "height": int(h),
+            "channels": 1,
+            "mean_px": int(px.astype(np.int64).sum()) / float(w * h),
+        }
+    return _rgb_summary(px)
+
+
+def synth_jpeg(doc_id: int) -> bytes:
+    """Deterministic grayscale baseline JPEG for doc ``doc_id`` whose
+    decode is EXACT (hash-comparable oracle like ``synth_bmp``): the
+    image is constant within each 8x8 block — ``v(block_row, block_col)
+    = (doc_id*37 + block_row*19 + block_col*11) % 256`` — so with the
+    encoder's all-ones quantization tables every block is DC-only and
+    the Huffman -> dequant -> IDCT round trip reproduces the raster
+    bit-for-bit (AC coefficients are identically zero; the DC path is
+    integer end to end). Dimensions ``w = 8*(1 + id%3)``, ``h = 8*(1 +
+    id%2)``; odd ids add restart intervals (DRI + RSTn every 2 MCUs) so
+    the predictor-reset path is exercised by the same oracle entry."""
+    import numpy as np
+
+    from search_engine_spark.pipelines.jpeg import encode_jpeg
+
+    did = int(doc_id)
+    wb, hb = 1 + did % 3, 1 + did % 2
+    br = np.arange(hb, dtype=np.int64)[:, None]
+    bc = np.arange(wb, dtype=np.int64)[None, :]
+    blocks = ((did * 37 + br * 19 + bc * 11) % 256).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    return encode_jpeg(img, restart_interval=2 if did % 2 else 0)
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:

@@ -247,21 +247,14 @@ class SearchIndex:
         # filters could match a dead version's attrs. Horizon semantics
         # live in ONE place (update._tombstones_df/_filter_dead).
         if os.path.isdir(self.paths.deletes):
-            from search_engine_spark.update import (
-                _filter_dead, _read_with_gen, _tombstones_df,
-            )
+            from search_engine_spark.update import _filter_dead, _tombstones_df
 
-            # _read_with_gen, not the plain read above: on a mixed dir
-            # (legacy gen-less files + appended gen-ful files) schema
-            # inference can pick a legacy footer and silently drop the gen
-            # column — every row would read as gen 0 and the live
-            # new-generation rows of in-place-replaced docids would be
-            # filtered as dead here. update.py's mutation paths already
-            # read this way; the serving path must match.
-            had_gen = "gen" in self._doc_stats.columns
-            stats = _read_with_gen(spark, self.paths.doc_stats)
-            stats = _filter_dead(stats, _tombstones_df(spark, self.paths))
-            self._doc_stats = stats if had_gen else stats.drop("gen")
+            # _doc_stats was read via _read_with_gen above, so `gen` is
+            # guaranteed present (legacy gen-less rows read as gen 0) and
+            # the horizon filter is well-defined on every index vintage.
+            self._doc_stats = _filter_dead(
+                self._doc_stats, _tombstones_df(spark, self.paths)
+            )
         # The dictionary is tiny relative to the corpus (the reference keeps
         # its whole words-FST in memory, src/index.rs:56). Below this many
         # terms we pin (term -> df) on the driver so query planning does no
@@ -291,6 +284,7 @@ class SearchIndex:
         # tail-term latency when paid per query.
         self._pq_dataset = None
         self._stats_dataset = None
+        self._docs_dataset = None
         # pin(): executor-cached postings slice (reference analogue: LMDB's
         # OS page cache keeps hot posting pages resident, src/index.rs txns)
         self._pinned: DataFrame | None = None
@@ -936,11 +930,27 @@ class SearchIndex:
             # distinct terms, first-seen order (BM25 scores each term once)
             parsed.append((qid, list(dict.fromkeys(pq.words))))
 
+        if len({qid for qid, _ in parsed}) != len(parsed):
+            seen: set = set()
+            dup = next(q for q, _ in parsed if q in seen or seen.add(q))
+            raise ValueError(
+                f"search_many requires unique query_ids; {dup!r} appears "
+                "more than once (duplicate ids would silently merge into "
+                "one interleaved ranking)"
+            )
+        # result schema is fixed up front so EVERY return — including the
+        # two empty-batch shortcuts — is union-compatible for callers
+        qid_is_int = all(isinstance(q, (int, np.integer)) for q, _ in parsed)
+        qid_type = "long" if qid_is_int else "string"
+        pk_t = self._doc_stats.schema["pk"].dataType.simpleString()
+        out_schema = (
+            f"query_id {qid_type}, rank int, docid long, pk {pk_t}, "
+            "score double"
+        )
+
         union = sorted({w for _, ws in parsed for w in ws})
         if not union:
-            return self.spark.createDataFrame(
-                [], "query_id string, rank int, docid long, pk string, score double"
-            )
+            return self.spark.createDataFrame([], out_schema)
         # one dictionary job for the whole batch (vs one point read per
         # query term in plan()); idf over the indexed count like search()
         df_map = {
@@ -950,8 +960,6 @@ class SearchIndex:
         }
         weights = {t: bm25_idf(self.n_docs_indexed, d) for t, d in df_map.items()}
 
-        qid_is_int = all(isinstance(q, (int, np.integer)) for q, _ in parsed)
-        qid_type = "long" if qid_is_int else "string"
         # per-query indexed terms; match_all with an unindexed word matches
         # nothing (reference TermsMatchingStrategy::All semantics)
         batch: list[tuple[object, list[str]]] = []
@@ -961,9 +969,7 @@ class SearchIndex:
                 continue
             batch.append((qid if qid_is_int else str(qid), hit))
         if not batch:
-            return self.spark.createDataFrame(
-                [], f"query_id {qid_type}, rank int, docid long, pk string, score double"
-            )
+            return self.spark.createDataFrame([], out_schema)
 
         avgdl, k1, b = self.avgdl, self.config.k1, self.config.b
         block_size = self.config.block_size
@@ -1243,6 +1249,43 @@ class SearchIndex:
         return dict(zip(tbl.column("docid").to_pylist(),
                         tbl.column("pk").to_pylist()))
 
+    def _docs_lookup(
+        self, docids: list[int], columns: list[str] | None = None
+    ) -> dict[int, dict]:
+        """Stored-document fields per docid via a pyarrow point read of the
+        docs snapshot (files are docid-range-partitioned at build, so
+        row-group stats prune to the k docids' groups — no Spark job).
+        Newest generation wins per docid, matching ``_docs_snapshot()``
+        semantics for live docids (the only callers pass docids that came
+        out of a search, which are live by construction)."""
+        import pyarrow.dataset as ds
+
+        if not docids:
+            return {}
+        if self._docs_dataset is None:
+            self._docs_dataset = ds.dataset(self.paths.docs, format="parquet")
+        names = set(self._docs_dataset.schema.names)
+        want = list(columns) if columns is not None else sorted(
+            names - {"docid", "gen"})
+        cols = ["docid"] + [c for c in want if c in names]
+        if "gen" in names:
+            cols.append("gen")
+        tbl = self._docs_dataset.to_table(
+            columns=cols, filter=ds.field("docid").isin(list(docids)))
+        rows = tbl.to_pylist()
+        out: dict[int, dict] = {}
+        for row in rows:
+            d, g = int(row["docid"]), int(row.get("gen") or 0)
+            prev = out.get(d)
+            if prev is None or g >= prev["__gen__"]:
+                row["__gen__"] = g
+                out[d] = row
+        for row in out.values():
+            row.pop("__gen__", None)
+            row.pop("gen", None)
+            row.pop("docid", None)
+        return out
+
     def _readers_for(
         self, all_terms: list[str]
     ) -> dict[str, list[tuple[PostingReader, float]]]:
@@ -1364,8 +1407,13 @@ class SearchIndex:
         ``matching_words.rs:1-359`` derived-term matching): highlights
         EVERY scoring term of the query plan — typo/prefix/synonym/split
         derivations included, so 'serach~' highlights 'search' — and crops
-        around the window with the most distinct matched terms. Joins the
-        first searchable field's text back from the docs snapshot."""
+        around the window with the most distinct matched terms. Fetches the
+        first searchable field's text for the <=k result rows via the
+        pyarrow docs point read (``_docs_lookup``) — decorating k rows must
+        never shuffle the corpus (a left join against the docs snapshot
+        cannot broadcast the corpus side and planned a full sort-merge
+        exchange of every stored document). Falls back to the distributed
+        join only when ``results`` exceeds the point-read cap."""
         from search_engine_spark.sources import highlight_best
 
         plan = self.plan(query, 10, **plan_kw)
@@ -1375,12 +1423,55 @@ class SearchIndex:
             | {w for ph, _wt in (plan.syn_phrases or ()) for w in ph}
         )
         text_col = self.config.searchable_fields()[0][0]
-        docs = self._docs_snapshot()
-        joined = results.join(docs.select("docid", text_col), "docid", "left")
+        joined = self._attach_doc_cols(results, [text_col])
         return highlight_best(
             joined, terms, text_col=text_col, tag=tag,
             crop_length=crop_length, out_col=out_col,
         )
+
+    # decorating top-k rows with stored fields: point-read path cap. Above
+    # this many result rows (deep exports) the driver fetch would not be
+    # k-bounded anymore and the distributed join is the right plan.
+    _DOC_FETCH_DRIVER_MAX = 10_000
+
+    def _attach_doc_cols(self, results: DataFrame, cols: list[str]) -> DataFrame:
+        """Attach stored document columns to a (small) results DataFrame.
+
+        <= _DOC_FETCH_DRIVER_MAX rows: collect the results (they are the
+        k-bounded output of a search), pyarrow-point-read the docs snapshot
+        for exactly those docids, and rebuild the decorated frame locally —
+        zero corpus shuffle, sub-second warm. Larger inputs keep the
+        distributed left join against the live snapshot."""
+        from pyspark.sql.types import StructField, StructType
+
+        missing = [c for c in cols if c not in results.columns]
+        if not missing:
+            return results
+        rows = results.limit(self._DOC_FETCH_DRIVER_MAX + 1).collect()
+        if len(rows) > self._DOC_FETCH_DRIVER_MAX:
+            docs = self._docs_snapshot()
+            return results.join(docs.select("docid", *missing), "docid", "left")
+        fields = self._docs_snapshot_schema()
+        lookup = self._docs_lookup([r["docid"] for r in rows], missing)
+        schema = StructType(
+            list(results.schema.fields)
+            + [StructField(c, fields[c].dataType, True) for c in missing]
+        )
+        data = [
+            tuple(r) + tuple(
+                (lookup.get(r["docid"]) or {}).get(c) for c in missing)
+            for r in rows
+        ]
+        return self.spark.createDataFrame(data, schema)
+
+    def _docs_snapshot_schema(self) -> dict:
+        """Column name -> StructField of the docs store (parquet footer
+        read, no job)."""
+        if not hasattr(self, "_docs_schema_cache"):
+            self._docs_schema_cache = {
+                f.name: f for f in self.spark.read.parquet(self.paths.docs).schema.fields
+            }
+        return self._docs_schema_cache
 
     def score_details(
         self, query: str, k: int = 10, mode: str = "auto", **plan_kw
@@ -1510,13 +1601,16 @@ class SearchIndex:
     def fetch_documents(self, results: DataFrame) -> DataFrame:
         """Join ranked results back to the canonical document snapshot
         (reference O2 ``obkv_to_json``, ``src/lib.rs:209-234``): returns
-        rank/score plus every stored document column, rank order."""
-        docs = self._docs_snapshot()
-        return (
-            results.select("rank", "docid", "score")
-            .join(docs, "docid", "left")
-            .orderBy("rank")
-        )
+        rank/score plus every stored document column, rank order. k-bounded
+        inputs take the pyarrow point-read path (``_attach_doc_cols``) —
+        no corpus shuffle to decorate k rows."""
+        cols = [
+            c for c in self._docs_snapshot_schema()
+            if c not in ("docid", "gen")
+        ]
+        return self._attach_doc_cols(
+            results.select("rank", "docid", "score"), cols
+        ).orderBy("rank")
 
     # convenience for tests / oracle comparison
     def search_list(self, query: str, k: int = 10, **kw) -> list[tuple[int, float]]:

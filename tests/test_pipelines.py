@@ -213,8 +213,12 @@ def test_multimodal_features_roundtrip(spark, docs_df):
     assert feats[0]["n_bytes"] == len(text0.encode())
     assert feats[0]["content_md5"] == hashlib.md5(text0.encode()).hexdigest()
     assert 1 <= feats[0]["fake_w"] <= 64 and 1 <= feats[0]["fake_h"] <= 64
-    with pytest.raises(NotImplementedError):
+    # truncated JPEG = corrupt data (loud ValueError from the real decoder);
+    # WebP is a format no stdlib decoder covers -> honest Pillow import gate
+    with pytest.raises(ValueError):
         decode_payload(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp")
 
 
 def test_multimodal_resize_clamps_and_fingerprints(spark, docs_df):
@@ -615,6 +619,71 @@ def test_rest_embedder_batching_retry_backoff():
         RestEmbedder(bad_shape, dim=2)(["x"])
     with _pytest.raises(ValueError):
         RestEmbedder(None, dim=2)
+
+
+def test_per_service_embedder_adapters():
+    """OpenAI / Ollama / HF payload shapes as RestEmbedder hooks
+    (reference src/vector/{openai,ollama,hf}.rs), fake-transport tested:
+    request bodies match each service's wire shape, responses parse in
+    input order (OpenAI rows reordered by index), malformed responses
+    fail loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from search_engine_spark.pipelines.embed import (
+        HFEmbedder, OllamaEmbedder, OpenAIEmbedder,
+    )
+
+    # OpenAI: index-keyed rows arrive OUT OF ORDER -> reordered
+    calls = []
+
+    def openai_transport(payload):
+        calls.append(payload)
+        data = [{"index": i, "embedding": [float(len(t)), 1.0]}
+                for i, t in enumerate(payload["input"])]
+        return {"data": list(reversed(data))}
+
+    emb = OpenAIEmbedder(openai_transport, dim=2, model="text-emb-3",
+                         dimensions=2)
+    out = emb(["a", "bb", "ccc"])
+    assert [v[0] for v in out] == [1.0, 2.0, 3.0]
+    assert calls[0] == {"input": ["a", "bb", "ccc"],
+                        "model": "text-emb-3", "dimensions": 2}
+
+    # duplicate / out-of-range index -> loud failure, not silent zeros
+    def dup_index(payload):
+        return {"data": [{"index": 0, "embedding": [1.0, 0.0]}] * 2}
+
+    with _pytest.raises(ValueError, match="index invalid"):
+        OpenAIEmbedder(dup_index, dim=2, model="m")(["x", "y"])
+
+    # Ollama: {"embeddings": [...]} in input order
+    def ollama_transport(payload):
+        assert payload["model"] == "nomic-embed-text"
+        return {"embeddings": [[float(len(t)), 0.0] for t in payload["input"]]}
+
+    out = OllamaEmbedder(ollama_transport, dim=2, model="nomic-embed-text")(
+        ["a", "bb"])
+    assert [v[0] for v in out] == [1.0, 2.0]
+
+    def ollama_short(payload):
+        return {"embeddings": [[1.0, 0.0]]}
+
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        OllamaEmbedder(ollama_short, dim=2, model="m")(["x", "y"])
+
+    # HF TEI: {"inputs": [...]} request, bare-array response accepted
+    def hf_transport(payload):
+        assert "inputs" in payload and "input" not in payload
+        return [[float(len(t)), 0.0] for t in payload["inputs"]]
+
+    out = HFEmbedder(hf_transport, dim=2, extra={"truncate": True})(
+        ["a", "bb", "ccc"])
+    assert [v[0] for v in out] == [1.0, 2.0, 3.0]
+    assert np.asarray(out).shape == (3, 2)
+
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        HFEmbedder(lambda p: {"bogus": 1}, dim=2)(["x"])
 
 
 def test_unigram_logloss_no_forced_broadcast(spark):
@@ -1046,6 +1115,165 @@ def test_png_real_decode_roundtrip(spark):
     rows = {r["doc_id"]: r for r in mm.image_features(payloads).collect()}
     assert len(rows) == 7
     assert rows[3]["mean_px"] == mm.decode_bmp(mm.synth_bmp(3))["mean_px"]
+
+
+def test_jpeg_real_decode_roundtrip(spark):
+    """REAL baseline-JPEG decode with zero codec deps (pipelines/jpeg.py:
+    Huffman + dequant + float64 IDCT): encode->decode round trips across
+    grayscale/RGB, 4:4:4/4:2:0, restart intervals; constant-per-block
+    images round-trip EXACTLY (the synth_jpeg oracle contract); exotic
+    variants gate loudly."""
+    import numpy as np
+
+    from search_engine_spark.pipelines import multimodal as mm
+    from search_engine_spark.pipelines.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(42)
+
+    # constant 8x8 blocks -> EXACT (DC-only; integer end to end)
+    blocks = rng.randint(0, 256, (2, 3)).astype(np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+
+    # arbitrary content, all-ones quant: loss is DCT float rounding only
+    g = rng.randint(0, 256, (21, 29)).astype(np.uint8)  # non-multiple of 8
+    out = decode_jpeg(encode_jpeg(g))
+    assert out.shape == g.shape
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+    rgb = rng.randint(0, 256, (17, 13, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+
+    # 4:2:0 with constant chroma (gray content): subsampling is lossless
+    v = rng.randint(0, 256, (24, 32)).astype(np.uint8)
+    gray3 = np.stack([v, v, v], -1)
+    out = decode_jpeg(encode_jpeg(gray3, subsample="4:2:0"))
+    assert np.abs(out.astype(int) - gray3.astype(int)).max() <= 2
+
+    # restart intervals: DRI + RSTn markers, predictor resets
+    out = decode_jpeg(encode_jpeg(g, restart_interval=2))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+    # non-trivial quant table (zigzag order): still decodes, bounded error
+    q = np.full(64, 4, dtype=np.int64)
+    out = decode_jpeg(encode_jpeg(g, qtable=q))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2 + 4 * 8
+
+    # boundaries gate loudly
+    payload = bytearray(encode_jpeg(g))
+    sof = payload.index(b"\xff\xc0")
+    payload[sof + 1] = 0xC2  # pretend progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(g)[:40])  # truncated
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01")  # not a JPEG
+
+    # synth_jpeg: exact integer-formula oracle + decode_image dispatch
+    for did in range(13):
+        feats = mm.decode_image(mm.synth_jpeg(did))
+        wb, hb = 1 + did % 3, 1 + did % 2
+        s = sum((did * 37 + br * 19 + bc * 11) % 256
+                for br in range(hb) for bc in range(wb))
+        assert feats == {
+            "width": 8 * wb, "height": 8 * hb, "channels": 1,
+            "mean_px": (64 * s) / float(64 * wb * hb),
+        }, did
+
+    # Spark path: image_features sniffs JPEG through the same mapInPandas
+    import pandas as pd_
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd_.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [mm.synth_jpeg(int(d)) for d in pdf["doc_id"]],
+            })
+
+    payloads = (
+        spark.range(7).selectExpr("id AS doc_id")
+        .mapInPandas(synth, schema="doc_id long, payload binary")
+    )
+    rows = {r["doc_id"]: r for r in mm.image_features(payloads).collect()}
+    assert len(rows) == 7 and rows[4]["channels"] == 1
+
+
+def test_jpeg_decode_handcrafted_stream():
+    """Decoder verified against a JPEG byte stream crafted by hand (NOT by
+    our encoder — catches complementary encode/decode convention bugs):
+    explicit Huffman tables, two 8x8 grayscale blocks entropy-coded
+    bit-by-bit in the test, expected pixels computed with an independent
+    textbook IDCT double loop."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from search_engine_spark.pipelines.jpeg import decode_jpeg
+
+    # DC table: symbols 0..3 at length 2 (canonical codes 00,01,10);
+    # AC table: symbols EOB(0x00), 0x01, 0x11 at length 2.
+    dht_dc = bytes([0x00, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+                   ) + bytes([0, 1, 2, 3])
+    dht_ac = bytes([0x10, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+                   ) + bytes([0x00, 0x01, 0x11])
+    # codes: DC {0:00, 1:01, 2:10, 3:11(unused—only 0..2 emitted)},
+    # AC {EOB:00, 0x01:01, 0x11:10}
+    bits = ""
+    # block 1: DC size 2, bits '11' -> diff=3, pred 0 -> DC=3
+    bits += "10" + "11"
+    # block 1 AC: symbol 0x01 (run 0, size 1), bit '1' -> +1 at zigzag k=1
+    bits += "01" + "1"
+    # block 1: EOB
+    bits += "00"
+    # block 2: DC size 1, bit '0' -> diff=-1, pred 3 -> DC=2
+    bits += "01" + "0"
+    # block 2 AC: symbol 0x11 (run 1, size 1), bit '0' -> -1 at zigzag k=2
+    bits += "10" + "0"
+    # block 2: EOB
+    bits += "00"
+    bits += "1" * ((8 - len(bits) % 8) % 8)  # pad with 1s
+    scan = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert 0xFF not in scan  # no stuffing needed for this stream
+
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+        + b"\xff\xc0" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+        + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_dc)) + dht_dc
+        + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac)) + dht_ac
+        + b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00])
+        + b"\x00\x3f\x00"
+        + scan
+        + b"\xff\xd9"
+    )
+    got = decode_jpeg(jpg)
+    assert got.shape == (8, 16)
+
+    # independent textbook IDCT (ITU-T81 A.3.3), four explicit loops
+    def idct_block(coef):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (cu * cv / 4.0 * coef[u, v]
+                              * math.cos((2 * x + 1) * u * math.pi / 16)
+                              * math.cos((2 * y + 1) * v * math.pi / 16))
+                out[x, y] = s
+        return np.clip(np.round(out + 128.0), 0, 255).astype(np.uint8)
+
+    c1 = np.zeros((8, 8)); c1[0, 0] = 3.0; c1[0, 1] = 1.0  # zigzag 1 = (0,1)
+    c2 = np.zeros((8, 8)); c2[0, 0] = 2.0; c2[1, 0] = -1.0  # zigzag 2 = (1,0)
+    assert np.array_equal(got[:, :8], idct_block(c1))
+    assert np.array_equal(got[:, 8:], idct_block(c2))
 
 
 def test_pack_sequences_spans(spark):

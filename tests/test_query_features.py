@@ -236,6 +236,23 @@ def test_fetch_documents_returns_stored_fields(feature_index):
     )
 
 
+def test_fetch_documents_point_read_no_corpus_scan(feature_index):
+    """Decorating k result rows must not plan a corpus scan/shuffle: the
+    k-bounded path fetches stored fields via the pyarrow docs point read
+    and rebuilds a local frame (VERDICT r4 #5)."""
+    ix, _ = feature_index
+    res = ix.search("pizza", k=2)
+    out = ix.fetch_documents(res)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no corpus FileScan; the source is the driver-built k-row local frame
+    # (the only Exchange allowed is orderBy's range partition over k rows)
+    assert "FileScan" not in plan and "ExistingRDD" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    snip = ix.highlight_results(ix.search("pizza", k=2), "pizza")
+    plan = snip._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Exchange" not in plan, plan
+
+
 def test_text_from_html_byte_identical(spark):
     """The extraction invariant: text extracted from the html column equals
     the ground-truth text column byte-for-byte, per url."""
@@ -647,3 +664,29 @@ def test_search_many_rejects_query_syntax(search_index):
         search_index.search_many([(0, '"exact phrase"')])
     with _pytest.raises(ValueError):
         search_index.search_many([(0, "web -engine")])
+
+
+def test_search_many_rejects_duplicate_query_ids(search_index):
+    """Duplicate ids would silently merge two rankings into one."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unique query_ids"):
+        search_index.search_many([(0, "web"), (1, "engine"), (0, "data")])
+
+
+def test_search_many_empty_results_keep_caller_qid_type(search_index):
+    """Every return path — including the no-indexable-words and
+    empty-batch shortcuts — must type query_id from the CALLER's ids so
+    int-qid callers can union empty and non-empty batch results."""
+    hit = search_index.search_many([(5, "web")], k=3)
+    empty_union = search_index.search_many([(6, "!!!")], k=3)  # no words
+    empty_batch = search_index.search_many([(7, "zzqqnotaword")], k=3)
+    # union compatibility = same names + types (nullability may differ:
+    # row_number's rank is non-nullable on the hit path)
+    shapes = [[(f.name, f.dataType) for f in df.schema.fields]
+              for df in (hit, empty_union, empty_batch)]
+    assert shapes[0] == shapes[1] == shapes[2]
+    assert empty_union.count() == 0 and empty_batch.count() == 0
+    assert hit.unionByName(empty_union).count() == hit.count()
+    str_empty = search_index.search_many([("s", "zzqq vvrr")], k=3)
+    assert str_empty.schema["query_id"].dataType.simpleString() == "string"
