@@ -58,6 +58,7 @@ def main():
 
     results = []
     for label, n_cents, lloyd, n_probe in (
+        ("md5-init auto probe=1", "auto", 0, 1),
         ("md5-init n=16 probe=4", 16, 0, 4),
         ("md5-init auto probe=8", "auto", 0, 8),
         ("lloyd2 auto probe=8", "auto", 2, 8),
