@@ -187,6 +187,25 @@ def main() -> None:
     timed("q_pack_sequences", lambda: _force(curation.pack_sequences(
         docs, max_len=2048)))
 
+    # round-5 multimodal codec path: synth + decode one deterministic
+    # baseline JPEG per doc through mapInPandas (pipelines/jpeg.py pure
+    # numpy Huffman/IDCT) — times the Arrow-batched Python-UDF lane the
+    # image pipeline runs on, not just the JVM-side operators
+    from search_engine_spark.pipelines import multimodal
+
+    def _synth_jpeg(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": [multimodal.synth_jpeg(int(d))
+                            for d in pdf["doc_id"]],
+            })
+
+    timed("q_multimodal_jpeg", lambda: _force(multimodal.image_features(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .mapInPandas(_synth_jpeg, schema="doc_id long, payload binary"))))
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "index_build_plus_query_suite_wall",
