@@ -600,6 +600,27 @@ def _q_decontaminate(spark, sf_dir):
     return curation.decontaminate(docs, probes, n=5)
 
 
+def _q_decontaminate_bloom(spark, sf_dir):
+    """Broadcast-Bloom decontamination (round 5): map-side bitset
+    prefilter over corpus grams + exact md5-key confirm join — output
+    identical to `decontaminate` by construction (the oracle IS the
+    exact SQL), the Bloom only bounds what reaches the exchange when
+    the contamination set outgrows a broadcast hash relation."""
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    return curation.decontaminate_bloom(docs, probes, n=5)
+
+
+def _q_stratified_sample_n(spark, sf_dir):
+    """Fixed-count-per-stratum deterministic sample (round 5): exactly
+    min(n, |stratum|) rows by (md5(seed:id), id) order; the default
+    coin-threshold prefilter bounds the per-stratum window sort to
+    ~margin*n rows with an exact per-stratum fallback."""
+    return curation.stratified_sample_n(
+        _docs(spark, sf_dir), 40, seed=7
+    ).select("doc_id", "lang")
+
+
 def _q_repetition_stats(spark, sf_dir):
     return curation.repetition_stats(_docs(spark, sf_dir), ngram=2)
 
@@ -916,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier D — r04-green, module untouched since.
     return {
         # --- tier A: never verified ---
+        "decontaminate_bloom": _q_decontaminate_bloom,
+        "stratified_sample_n": _q_stratified_sample_n,
         "multimodal_jpeg": _q_multimodal_jpeg,
         "multimodal_png": _q_multimodal_png,
         # --- tier B: r03-stale, modules edited in r4 ---
@@ -1889,6 +1912,21 @@ FROM dg d JOIN pg USING (g)
 GROUP BY 1
 """
 
+
+    # Bloom variant is output-identical to decontaminate (exact confirm
+    # join behind the prefilter), so the oracle is the same exact SQL
+    sql["decontaminate_bloom"] = sql["decontaminate"]
+
+    # fixed-n per stratum: first 40 rows of each lang by (md5('7:'||id), id)
+    sql["stratified_sample_n"] = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat('7:', doc_id::VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 40
+"""
 
     # corpus-self-trained unigram LM cross-entropy / perplexity per doc
     sql["unigram_logloss"] = f"""

@@ -82,6 +82,102 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    bits_per_key: int = 16,
+    num_hashes: int | None = None,
+) -> DataFrame:
+    """``decontaminate`` with a broadcast Bloom prefilter — IDENTICAL
+    output (the Bloom only prunes; survivors are confirmed by the exact
+    md5-key join), different scale envelope.
+
+    When to use which: plain ``decontaminate`` streams corpus grams
+    through one hash join whose build side is the probe gram set — ideal
+    while that set fits a broadcast hash relation (eval benchmarks,
+    ~MBs). When the "contamination set" is itself large (every eval set
+    ever shipped, a blocklist of known-benchmark paraphrases — 10^8+
+    grams, tens of GB as a hash table), the JVM relation no longer
+    broadcasts, and the join shuffles EVERY corpus gram. This variant
+    packs the probe grams into an m-bit Bloom filter (``bits_per_key``
+    bits/key -> ~0.04% FP at 16) that is 10-100x smaller than the hash
+    relation, ships it once per executor, and drops non-matching corpus
+    grams MAP-SIDE before any exchange; only true hits + the tiny FP
+    trickle reach the exact confirm join, whose input is now bounded by
+    actual contamination, not corpus size.
+
+    Plan shape: gram hashes (xxhash64 x2) are computed JVM-side; the
+    membership test is one Arrow-batched pandas UDF doing vectorized
+    numpy bit probes against the broadcast bitset (zero per-row Python);
+    the confirm join reuses ``decontaminate``'s md5 keys, so FPs can
+    never surface. Deterministic at any parallelism.
+    """
+    import numpy as np
+    from pyspark.sql.types import BooleanType
+
+    doc_g = _grams(docs, n, id_col, text_col, distinct=True).select(
+        "doc_id", F.explode("terms").alias("g")
+    ).select("doc_id", F.md5("g").alias("gh"))
+    probe_g = (
+        _grams(probes, n, probe_id_col, probe_text_col, distinct=True)
+        .select(F.explode("terms").alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+
+    # double hashing h_i = h1 + i*h2 (Kirsch-Mitzenmacher): two JVM-side
+    # xxhash64 values per gram are enough for any k
+    h1 = F.xxhash64("gh")
+    h2 = F.xxhash64(F.lit("bloom2"), F.col("gh"))
+
+    probe_h = probe_g.select(h1.alias("h1"), h2.alias("h2")).toPandas()
+    n_keys = len(probe_h)
+    m_bits = 64
+    while m_bits < bits_per_key * max(1, n_keys):
+        m_bits <<= 1  # power of two -> mod is a mask
+    k = num_hashes or min(16, max(1, round(0.6931 * bits_per_key)))
+
+    bits = np.zeros(m_bits >> 6, dtype=np.uint64)
+    if n_keys:
+        a = probe_h["h1"].to_numpy().astype(np.int64).view(np.uint64)
+        b = probe_h["h2"].to_numpy().astype(np.int64).view(np.uint64)
+        mask = np.uint64(m_bits - 1)
+        for i in range(k):
+            idx = (a + np.uint64(i) * b) & mask
+            np.bitwise_or.at(
+                bits, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+    bc = docs.sparkSession.sparkContext.broadcast(bits)
+
+    @F.pandas_udf(BooleanType())
+    def _member(s1, s2):
+        import pandas as pd
+
+        bset = bc.value
+        a = s1.to_numpy().astype(np.int64).view(np.uint64)
+        b = s2.to_numpy().astype(np.int64).view(np.uint64)
+        mask = np.uint64(len(bset) * 64 - 1)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            idx = (a + np.uint64(i) * b) & mask
+            word = bset[(idx >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(hit)
+
+    survivors = doc_g.filter(_member(h1, h2))
+    return (
+        survivors.join(probe_g, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 def _max_run(sorted_arr: Column) -> Column:
     """Longest run of equal adjacent elements in a SORTED array
     (== max multiplicity of any element). One linear aggregate pass;
@@ -182,6 +278,83 @@ def stratified_sample(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
     return df.filter(u < rate)
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    n: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    prefilter: bool = True,
+    margin: float = 4.0,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, deterministically.
+
+    ``stratified_sample`` keeps a FRACTION per stratum; this keeps a
+    FIXED COUNT — the shape a training mix actually specifies ("200k
+    docs per language"). Selection is the first n rows of each stratum
+    ordered by ``(md5(seed ':' id), id)``: a pure function of the row,
+    so the sample is identical at any parallelism, resumable, and
+    reproducible in DuckDB (``row_number() OVER (PARTITION BY stratum
+    ORDER BY md5(...), id) <= n``).
+
+    Scale shape (100 TB): the naive plan — a row_number window over each
+    full stratum — sorts ENTIRE strata on single reducers (a billion-row
+    'en' stratum lands on one task). With ``prefilter=True`` (default)
+    the operator first drops every row whose md5-coin exceeds
+    ``margin * n / |stratum|`` (per-stratum counts from one cheap agg,
+    broadcast back), so the window only ever sorts ~margin*n rows per
+    stratum regardless of corpus size. The prefilter is EXACT, not
+    approximate: ordering by the full md5 hex refines the coin's
+    15-hex-digit prefix consistently, so the global top-n of a stratum
+    is a subset of any coin-threshold cut that retains >= n rows; the
+    rare stratum where the Binomial tail leaves fewer than min(n, total)
+    survivors (P ~ exp(-n(margin-1-ln margin)), ~1e-77 at n=100,
+    margin=4) is detected by a second tiny agg and re-ranked over its
+    full rows — output is therefore ALWAYS the exact top-n, the
+    prefilter only bounds the sort.
+    """
+    from pyspark.sql import Window
+
+    sk = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy("__sk", id_col)
+    cols = df.columns
+
+    base = df
+    if prefilter:
+        u = (
+            F.conv(F.substring(sk, 1, 15), 16, 10).cast("double")
+            / F.lit(float(1 << 60))
+        )
+        totals = df.groupBy(stratum_col).agg(F.count("*").alias("__total"))
+        cand = (
+            df.join(F.broadcast(totals), stratum_col)
+            .filter(u < F.least(F.lit(1.0), F.lit(margin * n) / F.col("__total")))
+            .select(*cols)
+        )
+        got = cand.groupBy(stratum_col).agg(F.count("*").alias("__got"))
+        # strata whose survivor count fell under min(n, total): re-rank full
+        bad = (
+            totals.join(got, stratum_col, "left")
+            .filter(
+                F.coalesce(F.col("__got"), F.lit(0))
+                < F.least(F.lit(n), F.col("__total"))
+            )
+            .select(stratum_col)
+        )
+        base = cand.join(F.broadcast(bad), stratum_col, "left_anti").unionByName(
+            df.join(F.broadcast(bad), stratum_col, "left_semi")
+        )
+
+    return (
+        base.withColumn("__sk", sk)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select(*cols)
+    )
 
 
 def unigram_logloss(

@@ -291,6 +291,59 @@ def test_decontaminate(spark, docs_df):
     assert got_big == {0: 1, 1: 1}
 
 
+def test_decontaminate_bloom_matches_exact(spark, docs_df):
+    from search_engine_spark.pipelines.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    probes = docs_df.filter("doc_id = 0")
+    exact = {r["doc_id"]: r["n_hits"] for r in
+             decontaminate(docs_df, probes, n=3).collect()}
+    bloom = {r["doc_id"]: r["n_hits"] for r in
+             decontaminate_bloom(docs_df, probes, n=3).collect()}
+    assert bloom == exact == {0: 7, 1: 7, 2: 4}
+    # a deliberately saturated filter (1 bit/key, 1 hash) floods the
+    # prefilter with false positives; the confirm join must still make
+    # the output exact
+    noisy = {r["doc_id"]: r["n_hits"] for r in
+             decontaminate_bloom(docs_df, probes, n=3, bits_per_key=1,
+                                 num_hashes=1).collect()}
+    assert noisy == exact
+    # empty probe set -> empty result (all-zero bitset)
+    empty = decontaminate_bloom(
+        docs_df, docs_df.filter("doc_id = -1"), n=3).collect()
+    assert empty == []
+
+
+def test_stratified_sample_n(spark, docs_df):
+    import hashlib
+
+    from search_engine_spark.pipelines.curation import stratified_sample_n
+
+    def key(seed, i):
+        return hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+
+    # expected: first 2 of the 4 en docs by (md5, id); de/fr keep their
+    # single doc each
+    en = sorted((key(7, i), i) for i in (0, 1, 2, 3))[:2]
+    expect = sorted([i for _, i in en] + [4, 5])
+    got = sorted(r["doc_id"] for r in
+                 stratified_sample_n(docs_df, 2, seed=7).collect())
+    assert got == expect
+    # prefilter and naive window agree, at any parallelism
+    naive = sorted(r["doc_id"] for r in stratified_sample_n(
+        docs_df.repartition(7), 2, seed=7, prefilter=False).collect())
+    assert naive == expect
+    # margin so tight every stratum falls back to the full re-rank
+    tight = sorted(r["doc_id"] for r in stratified_sample_n(
+        docs_df, 2, seed=7, margin=1e-9).collect())
+    assert tight == expect
+    # n >= stratum size keeps everything
+    assert sorted(r["doc_id"] for r in
+                  stratified_sample_n(docs_df, 50, seed=7).collect()) == list(range(6))
+
+
 def test_repetition_stats(spark):
     from search_engine_spark.pipelines.curation import repetition_stats
 
