@@ -509,6 +509,41 @@ def _q_dedup_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_decontaminate_stream(spark, sf_dir):
+    """Stream-static decontamination (round 5): the documents table
+    replayed as a file stream, n-gram-joined against a STATIC probe set
+    (every 97th doc), per-doc hit counts as a streaming aggregation
+    drained with availableNow into a complete-mode memory sink. The
+    oracle is the batch `decontaminate` SQL — stream and batch results
+    are identical by construction."""
+    import uuid
+
+    from search_engine_spark import streaming as streaming_mod
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"decon_stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="decon_stream_ckpt_")
+    q = (
+        streaming_mod.decontaminate_stream(stream, probes, n=5)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def _q_ann_ivf(spark, sf_dir):
     qv = _query_vec(spark, sf_dir, 2)
     return similarity.ivf_cosine_topk(
@@ -939,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tier A: never verified ---
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
+        "decontaminate_stream": _q_decontaminate_stream,
         "multimodal_jpeg": _q_multimodal_jpeg,
         "multimodal_png": _q_multimodal_png,
         # --- tier B: r03-stale, modules edited in r4 ---
@@ -1916,6 +1952,8 @@ GROUP BY 1
     # Bloom variant is output-identical to decontaminate (exact confirm
     # join behind the prefilter), so the oracle is the same exact SQL
     sql["decontaminate_bloom"] = sql["decontaminate"]
+    # stream-static variant drains to the same per-doc counts as batch
+    sql["decontaminate_stream"] = sql["decontaminate"]
 
     # fixed-n per stratum: first 40 rows of each lang by (md5('7:'||id), id)
     sql["stratified_sample_n"] = """

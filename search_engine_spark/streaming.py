@@ -23,6 +23,10 @@ Stream-side operators (composable in front of ``index_stream``):
                               watermark for late data (built-in windowed
                               aggregation; append-mode emits finalized
                               windows only).
+* ``decontaminate_stream``  — stream-static n-gram decontamination: the
+                              static probe gram set joins against each
+                              micro-batch (broadcast when small); per-doc
+                              hit counts via streaming aggregation.
 """
 
 from __future__ import annotations
@@ -122,6 +126,54 @@ def dedup_stream(
             emit_first, out_schema, state_schema, "append", "NoTimeout"
         )
         .drop("_chash")
+    )
+
+
+def decontaminate_stream(
+    stream_df: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Stream-static decontamination: flag streaming docs that share a
+    word n-gram with a STATIC probe (eval-set) DataFrame.
+
+    The streaming side explodes each arriving doc into md5-hashed n-grams
+    (a stateless projection, so each doc's grams stay inside its
+    micro-batch); the probe side is a static distinct gram set that Spark
+    joins stream-static — the static relation is planned once, broadcast
+    when small, and never shuffles the stream. The per-doc
+    ``n_hits`` count is a streaming aggregation keyed by ``doc_id``
+    (run with ``outputMode('update')`` or ``'complete'``); since every
+    gram of a doc arrives in the doc's own micro-batch, each doc's count
+    is final the moment its batch commits.
+
+    Batch parity: on a static DataFrame the same semantics are
+    ``pipelines.curation.decontaminate`` (the DuckDB oracle for both).
+    Use in front of ``index_stream`` as a filter: anti-join arriving
+    batches against this result to keep eval-contaminated pages out of
+    a continuously ingested index.
+    """
+    from search_engine_spark.pipelines.curation import _grams
+
+    doc_g = (
+        _grams(stream_df, n, id_col, text_col, distinct=True)
+        .select("doc_id", F.explode("terms").alias("g"))
+        .select("doc_id", F.md5("g").alias("gh"))
+    )
+    probe_g = (
+        _grams(probes, n, probe_id_col, probe_text_col, distinct=True)
+        .select(F.explode("terms").alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    return (
+        doc_g.join(probe_g, "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
     )
 
 

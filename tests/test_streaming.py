@@ -100,6 +100,52 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     assert rows == {"d1": "dup text", "d2": "unique one", "d6": "unique two"}
 
 
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    from search_engine_spark.pipelines.curation import decontaminate
+    from search_engine_spark.streaming import decontaminate_stream
+
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumps over a lazy dog"},
+        {"doc_id": 3, "text": "completely different text about spark"},
+    ]
+    src = str(tmp_path / "csrc")
+    os.makedirs(src)
+    # two micro-batches; per-doc counts must be identical to batch
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for r in rows[:2]:
+            f.write(json.dumps(r) + "\n")
+    with open(os.path.join(src, "b.json"), "w") as f:
+        for r in rows[2:]:
+            f.write(json.dumps(r) + "\n")
+
+    static = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    probes = static.filter("doc_id = 0")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        decontaminate_stream(stream, probes, n=3)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("decon_out")
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["n_hits"]
+           for r in spark.sql("select * from decon_out").collect()}
+    want = {r["doc_id"]: r["n_hits"]
+            for r in decontaminate(static, probes, n=3).collect()}
+    assert got == want == {0: 7, 1: 7, 2: 4}
+
+
 def test_windowed_term_counts_watermark(spark, tmp_path):
     from search_engine_spark.streaming import windowed_term_counts
 
