@@ -635,6 +635,13 @@ def _q_decontaminate(spark, sf_dir):
     return curation.decontaminate(docs, probes, n=5)
 
 
+def _q_bigram_logloss(spark, sf_dir):
+    """Interpolated self-trained bigram LM cross-entropy per doc (round
+    5): context-aware upgrade of unigram_logloss; in-row array transform
+    pairs bigrams with zero extra exchanges."""
+    return curation.bigram_logloss(_docs(spark, sf_dir))
+
+
 def _q_decontaminate_bloom(spark, sf_dir):
     """Broadcast-Bloom decontamination (round 5): map-side bitset
     prefilter over corpus grams + exact md5-key confirm join — output
@@ -975,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
+        "bigram_logloss": _q_bigram_logloss,
         "multimodal_jpeg": _q_multimodal_jpeg,
         "multimodal_png": _q_multimodal_png,
         # --- tier B: r03-stale, modules edited in r4 ---
@@ -1964,6 +1972,41 @@ SELECT doc_id, lang FROM (
            ORDER BY md5(concat('7:', doc_id::VARCHAR)), doc_id) AS rn
   FROM documents)
 WHERE rn <= 40
+"""
+
+    # interpolated self-trained bigram LM (lam=0.75 toward the bigram MLE,
+    # 0.25 toward the unigram); transitions only, <2-token docs NULL
+    sql["bigram_logloss"] = """
+WITH arr AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+  FROM arr, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+tf AS (SELECT doc_id, prev, cur, count(*) AS bf FROM bg GROUP BY 1, 2, 3),
+bvoc AS (SELECT prev, cur, CAST(sum(bf) AS DOUBLE) AS cbg FROM tf GROUP BY 1, 2),
+ctx AS (SELECT prev, CAST(sum(bf) AS DOUBLE) AS cprev FROM tf GROUP BY 1),
+toks AS (SELECT doc_id, unnest(t) AS term FROM arr),
+uni AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM toks GROUP BY 1),
+tot AS (SELECT sum(cf) AS n FROM uni),
+scored AS (
+  SELECT tf.doc_id,
+         sum(bf) AS n_bigrams,
+         -sum(bf * log2(0.75 * b.cbg / c.cprev + 0.25 * u.cf / t.n))
+           / sum(bf) AS ce
+  FROM tf
+  JOIN bvoc b USING (prev, cur)
+  JOIN ctx c USING (prev)
+  JOIN uni u ON u.term = tf.cur
+  CROSS JOIN tot t
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(s.ce, 6) AS cross_entropy,
+       round(pow(2.0, s.ce), 6) AS perplexity
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY 1
 """
 
     # corpus-self-trained unigram LM cross-entropy / perplexity per doc

@@ -419,6 +419,82 @@ def unigram_logloss(
     )
 
 
+def bigram_logloss(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated-bigram LM cross-entropy per doc — the next step up
+    from ``unigram_logloss`` toward the KenLM n-gram scorer CCNet uses
+    (Wenzek et al. 2019): still self-trained and fully deterministic,
+    but context-aware, so word-salad pages that fool a unigram model
+    (common words in impossible orders) score high.
+
+    p(cur | prev) = lam * c(prev,cur)/c(prev,*) + (1-lam) * cf(cur)/N
+    ce(d) = -(1/(|d|-1)) * sum over transitions of log2 p;  docs with
+    fewer than 2 tokens score NULL; ``n_bigrams`` = |d|-1.
+
+    Scale shape: bigram pairing is IN-ROW (an array ``transform`` over
+    the token array — no self-join, no window over positions, zero extra
+    exchanges to form pairs). Three map-side-combined aggregations build
+    the model tables (bigram counts, left-context totals, unigram cf);
+    like ``unigram_logloss`` none is force-broadcast — a 100 TB corpus
+    has ~10^10 distinct bigrams, so the doc-side joins are left to AQE
+    (broadcast when genuinely small, sort-merge otherwise, all on the
+    same (prev,cur)/(prev)/(cur) keys). The 1-row total rides a
+    broadcast cross join. Every observed transition has c(prev,cur) >= 1
+    (self-trained), so the interpolation is a smoothing choice, not an
+    out-of-vocabulary fix.
+
+    -> (doc_id, n_bigrams, cross_entropy, perplexity).
+    """
+    t = df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t"))
+    bg = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS prev, t[i] AS cur))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.prev", "b.cur")
+    )
+    tf = bg.groupBy("doc_id", "prev", "cur").agg(F.count("*").alias("bf"))
+    bvoc = tf.groupBy("prev", "cur").agg(F.sum("bf").cast("double").alias("cbg"))
+    ctx = tf.groupBy("prev").agg(F.sum("bf").cast("double").alias("cprev"))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    uni = toks.groupBy("term").agg(F.count("*").cast("double").alias("cf"))
+    total = uni.agg(F.sum("cf").alias("n"))
+    p = (
+        F.lit(float(lam)) * F.col("cbg") / F.col("cprev")
+        + F.lit(1.0 - float(lam)) * F.col("cf") / F.col("n")
+    )
+    scored = (
+        tf.join(bvoc, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni.withColumnRenamed("term", "cur"), "cur")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bf").alias("n_bigrams"),
+            (-F.sum(F.col("bf") * F.log2(p)) / F.sum("bf")).alias("ce"),
+        )
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(scored, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.round("ce", ROUND).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), "ce"), ROUND).alias("perplexity"),
+    )
+
+
 # PII patterns, chosen to parse identically in Java regex (Spark) and RE2
 # (DuckDB): no backrefs, no lookaround, no dialect-specific classes. Order
 # matters — emails are masked before phones so an address's digits can't be

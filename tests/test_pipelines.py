@@ -316,6 +316,47 @@ def test_decontaminate_bloom_matches_exact(spark, docs_df):
     assert empty == []
 
 
+def test_bigram_logloss(spark):
+    import math
+
+    from collections import Counter
+
+    from search_engine_spark.pipelines.curation import bigram_logloss
+
+    rows = [(0, "a b a b"), (1, "a b c"), (2, "c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_logloss(df, lam=0.75).collect()}
+
+    # reference model computed by hand from the same corpus
+    toks = {0: ["a", "b", "a", "b"], 1: ["a", "b", "c"], 2: ["c"], 3: []}
+    uni = Counter(t for ts in toks.values() for t in ts)
+    n = sum(uni.values())
+    bgs = [(ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1)]
+    cbg, cprev = Counter(bgs), Counter(p for p, _ in bgs)
+
+    def ce(ts):
+        ps = [0.75 * cbg[(p, c)] / cprev[p] + 0.25 * uni[c] / n
+              for p, c in zip(ts, ts[1:])]
+        return -sum(math.log2(x) for x in ps) / len(ps)
+
+    for d in (0, 1):
+        assert got[d]["n_bigrams"] == len(toks[d]) - 1
+        assert got[d]["cross_entropy"] == round(ce(toks[d]), 6)
+        assert got[d]["perplexity"] == round(2 ** ce(toks[d]), 6)
+    # <2 tokens: no transitions, NULL score
+    for d in (2, 3):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["cross_entropy"] is None
+    # context-awareness: scrambled word order must score worse than the
+    # corpus's dominant order even though unigram counts are identical
+    df2 = spark.createDataFrame(
+        [(i, "a b c a b c") for i in range(5)] + [(9, "b a c b a c")],
+        "doc_id long, text string")
+    g2 = {r["doc_id"]: r["cross_entropy"]
+          for r in bigram_logloss(df2, lam=0.75).collect()}
+    assert g2[9] > g2[0]
+
+
 def test_stratified_sample_n(spark, docs_df):
     import hashlib
 
