@@ -447,6 +447,18 @@ def _q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2, shingle_size=3)
 
 
+def _q_minhash_novel(spark, sf_dir):
+    """Cross-corpus near-dup flags (round 5): docs with doc_id % 3 == 0
+    play the 'new crawl', the rest the frozen reference corpus; 3-word
+    shingles, Jaccard-verified >= 0.2 like dedup_minhash."""
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_novel(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        threshold=0.2, shingle_size=3,
+    )
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -983,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
         "bigram_logloss": _q_bigram_logloss,
+        "minhash_novel": _q_minhash_novel,
         "multimodal_jpeg": _q_multimodal_jpeg,
         "multimodal_png": _q_multimodal_png,
         # --- tier B: r03-stale, modules edited in r4 ---
@@ -1663,6 +1676,39 @@ cand AS (
 ),
 """
         + _JACCARD_VERIFY.format(thr=0.3)
+    )
+
+    # cross-corpus variant: new = doc_id % 3 = 0 vs reference = the rest;
+    # same shingle-3 MinHash model, band join new x ref (no self-join)
+    sql["minhash_novel"] = (
+        """
+WITH arr AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+shing AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS term
+  FROM arr
+),
+tset AS (SELECT DISTINCT doc_id, term FROM shing),
+sigs AS (
+  SELECT doc_id, seed,
+         min(md5(concat(seed, ':', term))) AS sig
+  FROM tset, generate_series(0, 15) g(seed)
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, cast(seed // 4 AS INT) AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS bucket
+  FROM sigs GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+),
+"""
+        + _JACCARD_VERIFY.format(thr=0.2)
     )
 
     sql["simhash"] = f"WITH {_TOKS}, {_SIMHASH_CTE} SELECT doc_id, simhash FROM sh"

@@ -333,6 +333,37 @@ def minhash_band_buckets(
     )
 
 
+def _wide_band_buckets(
+    wide: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, band, bucket) from a ``_minhash_wide`` row: md5 over each
+    band's seed-ordered sigs, as a pure per-row projection."""
+    return wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"_h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("z"),
+    ).select(
+        "doc_id", F.col("z.band").alias("band"), F.col("z.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -363,28 +394,7 @@ def minhash_lsh_pairs(
     # the self-join below share the wide row's groupBy exchange
     # (ReusedExchange), so tokenization + signature hashing run ONCE.
     wide = _minhash_wide(df, n_hashes, id_col, text_col, shingle_size)
-    bk = wide.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"_h{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("z"),
-    ).select("doc_id", F.col("z.band").alias("band"), F.col("z.bucket").alias("bucket"))
+    bk = _wide_band_buckets(wide, bands, rows_per_band)
     bk = cap_bucket_occupancy(bk, ("band", "bucket"), bucket_cap, audit=audit_cap)
     a = bk.alias("a")
     b = bk.alias("b")
@@ -428,6 +438,121 @@ def _verified_jaccard(
     )
     ta = t.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"), "term")
     tb = t.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"), "term")
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "term"])
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("sza").alias("sza"),
+            F.first("szb").alias("szb"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_novel(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 1,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    audit_cap: bool = False,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH: flag NEW docs that near-duplicate a
+    frozen REFERENCE corpus — the continual-pretraining / crawl-refresh
+    shape ("which of this month's pages are already in the training
+    set?"), where deduping new-vs-new is a separate (cheaper) pass.
+
+    -> (a, b, jaccard): a = new-side id, b = reference-side id, one row
+    per verified pair with token-set Jaccard >= threshold. Keep the
+    novel corpus with an anti-join of ``new_df`` against ``a``.
+
+    Plan shape vs ``minhash_lsh_pairs``: NOT a self-join — each side
+    computes its own wide signature row (one map-side-combined exchange
+    per corpus), the band join is new x ref on (band, bucket) with no
+    ordering predicate (the id spaces are disjoint by contract), and
+    verification tokenizes only docs appearing in candidate pairs, per
+    side. The reference side's signatures are recomputed here; at scale
+    persist them once (``_minhash_wide`` output is one row per doc) and
+    pass the stored frame — the band projection is a free per-row map.
+    Occupancy caps apply per side, so a boilerplate bucket with B new
+    and R ref members fans out min(B, cap) * min(R, cap), not B * R.
+    """
+    rows_per_band = n_hashes // bands
+    nb = cap_bucket_occupancy(
+        _wide_band_buckets(
+            _minhash_wide(new_df, n_hashes, id_col, text_col, shingle_size),
+            bands, rows_per_band,
+        ),
+        ("band", "bucket"), bucket_cap, audit=audit_cap,
+    )
+    rb = cap_bucket_occupancy(
+        _wide_band_buckets(
+            _minhash_wide(ref_df, n_hashes, id_col, text_col, shingle_size),
+            bands, rows_per_band,
+        ),
+        ("band", "bucket"), bucket_cap, audit=audit_cap,
+    )
+    cand = (
+        nb.alias("a")
+        .join(
+            rb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    return _verified_jaccard_cross(
+        new_df, ref_df, cand, threshold, id_col, text_col, shingle_size
+    )
+
+
+def _verified_jaccard_cross(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 1,
+) -> DataFrame:
+    """``_verified_jaccard`` for pairs spanning two corpora: the a-side
+    tokenizes only ``new_df`` docs in a candidate pair, the b-side only
+    ``ref_df`` docs — cost tracks the candidate set on both sides."""
+    sub_a = new_df.join(
+        cand.select(F.col("a").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sub_b = ref_df.join(
+        cand.select(F.col("b").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+
+    def toks(sub):
+        arr = doc_term_array(
+            sub, id_col, text_col, distinct=True, shingle_size=shingle_size
+        ).repartition("doc_id")
+        return arr.select(
+            "doc_id", F.size("terms").alias("sz"), F.explode("terms").alias("term")
+        )
+
+    ta = toks(sub_a).select(
+        F.col("doc_id").alias("a"), F.col("sz").alias("sza"), "term"
+    )
+    tb = toks(sub_b).select(
+        F.col("doc_id").alias("b"), F.col("sz").alias("szb"), "term"
+    )
     inter = (
         cand.join(ta, "a")
         .join(tb, ["b", "term"])

@@ -291,6 +291,27 @@ def test_decontaminate(spark, docs_df):
     assert got_big == {0: 1, 1: 1}
 
 
+def test_minhash_novel_cross_corpus(spark, docs_df):
+    from search_engine_spark.pipelines.dedup import minhash_novel
+
+    # new = docs 1,2,5; reference = docs 0,3,4 (fixture: 1 exact-dups 0,
+    # 2 near-dups 0, 5 is unrelated, 4 permutes 3)
+    new = docs_df.filter("doc_id in (1, 2, 5)")
+    ref = docs_df.filter("doc_id in (0, 3, 4)")
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in minhash_novel(new, ref, threshold=0.5).collect()}
+    assert got[(1, 0)] == 1.0          # exact dup of a reference doc
+    assert (5, 0) not in got and (5, 3) not in got
+    assert all(a in (1, 2) for a, _ in got)  # 5 is novel
+    # novel set = new ids with no flagged pair
+    flagged = {a for a, _ in got}
+    assert 5 not in flagged
+    # symmetric sanity: swapping sides flags the reference twin instead
+    rev = {(r["a"], r["b"]) for r in
+           minhash_novel(ref, new, threshold=0.99).collect()}
+    assert (0, 1) in rev
+
+
 def test_decontaminate_bloom_matches_exact(spark, docs_df):
     from search_engine_spark.pipelines.curation import (
         decontaminate,
