@@ -654,6 +654,101 @@ def _q_bigram_logloss(spark, sf_dir):
     return curation.bigram_logloss(_docs(spark, sf_dir))
 
 
+def _q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the token distribution (round 5):
+    lexical-diversity quality signal; one (doc, term) count + one per-doc
+    aggregation, both keyed by doc_id."""
+    return textstats.token_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-5 TF-IDF keywords (round 5): corpus df aggregation
+    joined back under AQE, per-document window for the top-k (never a
+    global sort)."""
+    return textstats.tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def _q_pmi_bigrams(spark, sf_dir):
+    """Corpus collocations: top-20 adjacent pairs by PMI, support >= 5
+    (round 5): in-row bigram pairing, two map-side-combined vocab aggs,
+    TakeOrdered top-k."""
+    return curation.pmi_bigrams(_docs(spark, sf_dir), min_count=5, k=20)
+
+
+def _q_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity tiers (round 5): unigram-LM cross-entropy cut at
+    exact tercile cutoffs, bucketing as a stateless compare against the
+    broadcast cutoff array (threshold-then-compare, no ntile window)."""
+    return curation.perplexity_buckets(_docs(spark, sf_dir), 3)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table (round 5): IVF coarse clusters
+    (md5-seeded, zero-exchange assignment) + within-cluster min-id
+    cosine dedup at tau=0.2; quadratic work bounded by cluster occupancy."""
+    return similarity.semantic_dedup(
+        _embs(spark, sf_dir), n_centroids=16, tau=0.2
+    )
+
+
+_STREAM_IDX_CACHE: dict[str, "SearchIndex"] = {}
+
+
+def _q_bm25_stream_index(spark, sf_dir):
+    """BM25 top-10 over an index built INCREMENTALLY via Structured
+    Streaming (round 5): a quarter of the corpus seeds a batch build,
+    the rest replays as a parquet file stream (maxFilesPerTrigger=1 ->
+    3 micro-batches) through ``streaming.index_stream`` (foreachBatch ->
+    ``update.add_documents``, one segment generation per batch,
+    opportunistic ``compact``). The oracle is the STANDARD batch BM25
+    SQL over the full corpus — hash-equality proves stream-ingested ==
+    batch-built, the reference's incremental-update contract
+    (``src/update/index_documents/mod.rs``) under Spark streaming."""
+    import uuid
+
+    from search_engine_spark import streaming as streaming_mod
+
+    key = os.path.abspath(sf_dir)
+    idx = _STREAM_IDX_CACHE.get(key)
+    if idx is None:
+        tag = hashlib.md5(f"{ENGINE_TAG}:stream:{key}".encode()).hexdigest()[:12]
+        idx_dir = os.path.join(tempfile.gettempdir(), f"seg_idx_{tag}")
+        if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+            cfg = IndexConfig(
+                text_col="text",
+                pk_col="doc_id",
+                ts_col=None,
+                docid_col="doc_id",
+                attr_cols=("lang", "source", "n_chars"),
+                num_shards=4,
+                num_buckets=8,
+                block_size=64,
+            )
+            docs = _docs(spark, sf_dir)
+            build_index(
+                spark, docs.filter(F.col("doc_id") % 4 == 0), idx_dir, cfg
+            )
+            stage = os.path.join(
+                tempfile.gettempdir(), f"stream_stage_{uuid.uuid4().hex[:8]}"
+            )
+            rest = docs.filter(F.col("doc_id") % 4 != 0)
+            rest.repartition(3).write.parquet(stage)
+            stream = (
+                spark.readStream.schema(rest.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            ckpt = tempfile.mkdtemp(prefix="stream_idx_ckpt_")
+            q = streaming_mod.index_stream(
+                stream, idx_dir, ckpt, compact_every=3
+            )
+            q.awaitTermination()
+        idx = SearchIndex(spark, idx_dir)
+        _STREAM_IDX_CACHE[key] = idx
+    res = idx.search("window scan batch", k=10, mode="exhaustive")
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
 def _q_decontaminate_bloom(spark, sf_dir):
     """Broadcast-Bloom decontamination (round 5): map-side bitset
     prefilter over corpus grams + exact md5-key confirm join — output
@@ -991,6 +1086,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tier D — r04-green, module untouched since.
     return {
         # --- tier A: never verified ---
+        "token_entropy": _q_token_entropy,
+        "tfidf_topk": _q_tfidf_topk,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "semantic_dedup": _q_semantic_dedup,
+        "bm25_stream_index": _q_bm25_stream_index,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
@@ -2526,4 +2627,130 @@ ORDER BY l.doc_id
 """
 
     # build_metrics: intentionally no oracle (lineage rows; rows-only check)
+    # --- round-5 session-4 widening: text analytics + SemDeDup + stream index
+    sql["token_entropy"] = f"""
+WITH {_TOKS},
+per AS (
+  SELECT doc_id, sum(tf) AS dl, count(*) AS nu,
+         sum(tf * log2(tf)) AS s
+  FROM tdoc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.dl, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.nu, 0) AS BIGINT) AS n_uniq,
+       round(log2(p.dl) - p.s / p.dl, 6) AS entropy,
+       CASE WHEN p.nu > 1
+            THEN round((log2(p.dl) - p.s / p.dl) / log2(p.nu), 6)
+       END AS norm_entropy
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY 1
+"""
+
+    sql["tfidf_topk"] = f"""
+WITH {_TOKS},
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tdoc GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, f.doc_freq,
+         round(t.tf * ln(n.n / f.doc_freq), 6) AS tfidf
+  FROM tdoc t JOIN dfreq f USING (term) CROSS JOIN n
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, tfidf, rank
+FROM rk WHERE rank <= 5 ORDER BY doc_id, rank
+"""
+
+    sql["pmi_bigrams"] = """
+WITH arr AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+  FROM arr WHERE len(t) >= 2
+),
+pair AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+btot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS B FROM pair),
+toks AS (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term FROM documents),
+uni AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM toks GROUP BY 1),
+ttot AS (SELECT sum(cf) AS T FROM uni)
+SELECT p.w1, p.w2, p.n_pair,
+       round(ln((p.n_pair / bt.B) / ((u1.cf / tt.T) * (u2.cf / tt.T))), 6) AS pmi
+FROM pair p
+JOIN uni u1 ON u1.term = p.w1
+JOIN uni u2 ON u2.term = p.w2
+CROSS JOIN btot bt CROSS JOIN ttot tt
+WHERE p.n_pair >= 5
+ORDER BY pmi DESC, p.w1, p.w2 LIMIT 20
+"""
+
+    # cutoff literals printed via repr() so the DuckDB double parses to the
+    # exact bits Spark's 1/3 and 2/3 doubles hold
+    sql["perplexity_buckets"] = f"""
+WITH {_TOKS},
+vocab AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tdoc GROUP BY 1),
+tot AS (SELECT sum(cf) AS n FROM vocab),
+scored0 AS (
+  SELECT td.doc_id,
+         -sum(td.tf * log2(v.cf / t.n)) / sum(td.tf) AS ce
+  FROM tdoc td JOIN vocab v USING (term) CROSS JOIN tot t
+  GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, round(s.ce, 6) AS cross_entropy
+  FROM documents d LEFT JOIN scored0 s USING (doc_id)
+),
+cuts AS (
+  SELECT quantile_cont(cross_entropy, [{1 / 3!r}, {2 / 3!r}]) AS cuts
+  FROM scored WHERE cross_entropy IS NOT NULL
+)
+SELECT s.doc_id, s.cross_entropy,
+       CASE WHEN s.cross_entropy IS NOT NULL THEN
+         CAST(len(list_filter(list_transform(c.cuts, x -> round(x, 6)),
+                  x -> s.cross_entropy > x)) AS INT) END AS bucket
+FROM scored s CROSS JOIN cuts c
+ORDER BY s.doc_id
+"""
+
+    sql["semantic_dedup"] = """
+WITH ranked AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cvec,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cid
+  FROM embeddings
+),
+cents AS (SELECT cid, cvec FROM ranked WHERE cid < 16),
+asgn AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * c.cvec[i]))
+                    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                       * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) DESC,
+                    c.cid ASC
+         ) AS rn
+  FROM embeddings e, cents c
+),
+A AS (SELECT vec_id, embedding, cid FROM asgn WHERE rn = 1),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM A a JOIN A b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)
+      >= 0.2
+)
+SELECT a.vec_id, a.cid, (r.vec_id IS NULL) AS keep
+FROM A a LEFT JOIN removed r ON a.vec_id = r.vec_id
+ORDER BY a.vec_id
+"""
+
+    # stream-built index == batch-built index: the oracle is the ordinary
+    # batch BM25 SQL — hash equality proves the incremental path converges
+    sql["bm25_stream_index"] = _bm25_sql(["window", "scan", "batch"])
+
     return sql

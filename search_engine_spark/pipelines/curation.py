@@ -1040,3 +1040,128 @@ def host_stats(
             .alias("dup_frac"),
         )
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation mining: top-``k`` adjacent word pairs by
+    pointwise mutual information (Church & Hanks 1990) with a
+    ``min_count`` support floor (PMI of rare pairs is noise — the
+    standard guard).
+
+    pmi(w1, w2) = ln( (c12 / B) / ((c1 / T) * (c2 / T)) ) where c12 is
+    the adjacent-pair count, B the total number of bigram tokens, c1/c2
+    unigram counts and T total tokens — all corpus-level, self-trained,
+    fully deterministic. Used by training-data pipelines to freeze a
+    multi-word-expression vocabulary (e.g. for tokenizer merges or
+    phrase-aware dedup shingles).
+
+    Scale shape (100 TB): bigram pairing is IN-ROW (same array
+    ``transform`` as :func:`bigram_logloss` — zero exchanges to form
+    pairs), then TWO map-side-combined aggregations (pair counts, term
+    counts) whose outputs are vocabulary-sized, joined on their own keys
+    under AQE (never force-broadcast: a web corpus holds ~10^10 distinct
+    bigrams). The two 1-row totals ride broadcast cross joins, and the
+    final top-k is a ``TakeOrdered`` (per-partition heads + driver merge
+    of k rows), never a global sort.
+
+    -> (w1, w2, n_pair, pmi) — pmi rounded to 6dp, ordered by
+    (pmi DESC, w1, w2), exactly ``k`` rows (fewer if the corpus has
+    fewer qualifying pairs).
+    """
+    t = df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t"))
+    bg = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    btot = pair.agg(F.sum("n_pair").cast("double").alias("B"))
+    toks = df.select(F.explode(tokens_col(text_col)).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").cast("double").alias("cf"))
+    ttot = uni.agg(F.sum("cf").alias("T"))
+    scored = (
+        pair.filter(F.col("n_pair") >= int(min_count))
+        .join(uni.select(F.col("term").alias("w1"), F.col("cf").alias("c1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("cf").alias("c2")), "w2")
+        .crossJoin(F.broadcast(btot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("B"))
+                    / ((F.col("c1") / F.col("T")) * (F.col("c2") / F.col("T")))
+                ),
+                ROUND,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(k))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019 §4.3): score
+    every document with the self-trained unigram LM
+    (:func:`unigram_logloss`), cut the scored corpus into ``n_buckets``
+    equal-population quality tiers at the (i/n)-quantile cross-entropy
+    cutoffs, and label each doc with its tier (0 = lowest cross-entropy
+    = most "fluent" under the model). CCNet keeps head/middle tiers for
+    LM training and drops the tail; the bucket column is that decision
+    as data.
+
+    Two-phase, scale-honest design: phase 1 computes the cutoff VALUES
+    (one exact-percentile aggregation over the rounded per-doc scores —
+    at 10^12 docs swap ``percentile`` for ``approx_percentile`` or a
+    fixed held-out sample, exactly as CCNet trains its cutoffs on a
+    sample; the bucketing phase is unchanged), phase 2 is a stateless
+    per-row comparison against the broadcast 1-row cutoff array — NO
+    global sort, NO ntile window (an ntile over 10^12 rows would be a
+    single-partition sort; thresholds-then-compare is linear).
+
+    Cutoffs and scores are compared at 6dp on both engines so the
+    bucket boundary is reproducible bit-for-bit. Docs with no tokens
+    (NULL cross-entropy) get a NULL bucket.
+
+    -> (doc_id, cross_entropy, bucket), ordered by doc_id.
+    """
+    scored = unigram_logloss(df, id_col=id_col, text_col=text_col).select(
+        "doc_id", "cross_entropy"
+    )
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.filter(F.col("cross_entropy").isNotNull()).agg(
+        F.percentile("cross_entropy", F.array(*[F.lit(p) for p in ps])).alias("cuts")
+    )
+    bucket = F.when(
+        F.col("cross_entropy").isNotNull(),
+        F.aggregate(
+            F.col("cuts"),
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col("cross_entropy") > F.round(c, ROUND), 1).otherwise(0),
+        ),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "cross_entropy", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )

@@ -500,3 +500,73 @@ def lsh_cosine_topk(
         .withColumn("rank", F.row_number().over(w))
         .select("rank", "vec_id", "sim")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int | str = 16,
+    tau: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+    bucket_cap: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space coarsely, then remove near-duplicates WITHIN each
+    cluster only — the trick that makes semantic dedup tractable at web
+    scale (cross-cluster pairs are never formed; the clustering bounds
+    the quadratic term by the cluster size, not the corpus size).
+
+    Clustering is the deterministic IVF coarse quantizer
+    (:func:`ivf_assignments`: md5-seeded centroids, zero-exchange
+    broadcast-argmax assignment, optional Lloyd refinement). Within a
+    cluster, a vector is REMOVED when a smaller-id vector in the same
+    cluster has cosine similarity >= ``tau`` with it (6dp-rounded before
+    the threshold compare so both engines agree); SemDeDup's "keep the
+    one farthest from the centroid" tiebreak is replaced by min-id —
+    deterministic, oracle-expressible, and equivalent in dedup power
+    (exactly one survivor per similarity clique's id-chain).
+
+    Scale shape (100 TB): the only quadratic piece is the per-cluster
+    self-join, bounded by occupancy — with ``n_centroids='auto'``
+    (~sqrt(n)) expected occupancy is ~sqrt(n) per cluster, and
+    ``bucket_cap`` hard-bounds pathological clusters exactly like the
+    LSH paths (``dedup.cap_bucket_occupancy``: deterministic md5-ranked
+    truncation, cap^2 worst case per cluster, audit via cap_bucket_
+    occupancy directly). Assignment itself is exchange-free; the join
+    shuffles on cid once per side.
+
+    -> (vec_id, cid, keep), one row per input vector, ordered by vec_id.
+    """
+    from .dedup import cap_bucket_occupancy
+
+    cents, asgn = ivf_assignments(
+        emb, n_centroids, id_col, vec_col, lloyd_iters=lloyd_iters
+    )
+    sides = asgn.select("vec_id", "cid", "v")
+    if bucket_cap is not None:
+        sides = cap_bucket_occupancy(
+            sides, ("cid",), bucket_cap, id_col="vec_id"
+        )
+    a = sides.select(
+        F.col("vec_id").alias("a_id"), "cid", F.col("v").alias("va")
+    )
+    b = sides.select(
+        F.col("vec_id").alias("b_id"), "cid", F.col("v").alias("vb")
+    )
+    va, vb = F.col("va"), F.col("vb")
+    sim = F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), ROUND)
+    removed = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(sim >= F.lit(float(tau)))
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return (
+        asgn.select("vec_id", "cid")
+        .join(removed, "vec_id", "left")
+        .select("vec_id", "cid", F.col("_rm").isNull().alias("keep"))
+        .orderBy("vec_id")
+    )

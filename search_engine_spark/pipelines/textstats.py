@@ -201,3 +201,107 @@ def gopher_quality(
         keep.alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document lexical diversity: Shannon entropy (bits) of the
+    document's own token distribution, plus the length-normalized form
+    (entropy / log2(n_uniq), the "efficiency" in [0,1]). Low entropy at
+    non-trivial length flags keyword-stuffed / templated / repetitive
+    pages that simple length or stopword ratios miss — a standard cheap
+    quality signal next to the Gopher rules.
+
+    Single-pass identity (no per-term probability materialized):
+    H = log2(dl) - sum(tf * log2(tf)) / dl over per-doc term counts.
+
+    Scale shape (100 TB): one map-side-combined (doc, term) count and
+    one per-doc aggregation — both keyed by doc_id, so AQE plans them
+    as a single exchange; no joins wider than the doc_id spine (the
+    left join back picks up token-less docs). norm_entropy is NULL when
+    n_uniq <= 1 (a one-word doc has no distribution to normalize).
+
+    -> (doc_id, n_tokens, n_uniq, entropy, norm_entropy), 6dp.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = F.log2(F.col("dl")) - F.col("s") / F.col("dl")
+    per = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            F.count("*").alias("nu"),
+            F.sum(F.col("tf") * F.log2(F.col("tf"))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "nu",
+            F.round(h, 6).alias("entropy"),
+            F.when(F.col("nu") > 1, F.round(h / F.log2(F.col("nu")), 6)).alias(
+                "norm_entropy"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dl", F.lit(0)).alias("n_tokens"),
+            F.coalesce("nu", F.lit(0)).alias("n_uniq"),
+            "entropy",
+            "norm_entropy",
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by TF-IDF
+    (tf * ln(N / df), the classic raw-count form). The per-doc keyword
+    set is what a training-data pipeline feeds into topic bucketing,
+    per-domain mixture analysis, or near-dup explainability ("these two
+    docs share 4/5 keywords").
+
+    Scale shape (100 TB): ONE (doc, term) count, ONE vocabulary-sized
+    document-frequency aggregation (map-side combined), joined back on
+    the term key under AQE (vocab is 10^8-10^9 terms on a web corpus —
+    never force-broadcast); the corpus size N rides a broadcast 1-row
+    cross join. The top-k is a window partitioned BY DOCUMENT (millions
+    of independent partitions — scales out; never a global sort).
+    Ranking compares the 6dp-rounded score with term as the
+    deterministic tiebreak, so both engines agree bit-for-bit.
+
+    -> (doc_id, term, tf, doc_freq, tfidf, rank), rank 1..k per doc,
+    ordered by (doc_id, rank).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n = df.agg(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .orderBy("doc_id", "rank")
+    )

@@ -1,0 +1,166 @@
+"""Round-5 session-4 widening: token entropy, TF-IDF keywords, PMI
+collocations, CCNet perplexity buckets, SemDeDup, and stream-vs-batch
+index equality — semantics on hand-built fixtures with known answers."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),            # 4 uniq of 4 -> max entropy
+        (1, "spam spam spam spam"),               # 1 uniq -> zero entropy
+        (2, "new york new york city hall"),       # collocation-heavy
+        (3, ""),                                  # token-less
+        (4, "alpha alpha beta beta"),             # 2 uniq, uniform
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_entropy_known_values(spark, tiny_docs):
+    from search_engine_spark.pipelines.textstats import token_entropy
+
+    got = {r["doc_id"]: r for r in token_entropy(tiny_docs).collect()}
+    # 4 distinct tokens, uniform -> H = log2(4) = 2, norm = 1
+    assert got[0]["entropy"] == 2.0 and got[0]["norm_entropy"] == 1.0
+    # all same token -> H = 0; norm undefined (n_uniq == 1) -> NULL
+    assert got[1]["entropy"] == 0.0 and got[1]["norm_entropy"] is None
+    # token-less doc: zero counts, NULL entropy
+    assert got[3]["n_tokens"] == 0 and got[3]["entropy"] is None
+    # 2 uniq uniform -> H = 1, norm = 1
+    assert got[4]["entropy"] == 1.0 and got[4]["norm_entropy"] == 1.0
+
+
+def test_tfidf_topk_ranks_distinctive_terms_first(spark):
+    from search_engine_spark.pipelines.textstats import tfidf_topk
+
+    rows = [
+        (0, "shared shared zebra"),
+        (1, "shared shared yak"),
+        (2, "shared shared xenon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, terms in by_doc.items():
+        # the doc-unique term (df=1) must outrank the corpus-wide one
+        assert terms[0]["doc_freq"] == 1 and terms[0]["rank"] == 1
+        assert terms[1]["term"] == "shared"
+        # tf * ln(N/df): unique term = 1 * ln(3), shared = 2 * ln(1) = 0
+        assert terms[0]["tfidf"] == round(math.log(3.0), 6)
+        assert terms[1]["tfidf"] == 0.0
+
+
+def test_pmi_bigrams_collocation_beats_chance(spark):
+    from search_engine_spark.pipelines.curation import pmi_bigrams
+
+    # "new york" always adjacent; "the" is everywhere -> (the, X) low PMI
+    rows = [(i, "the visit to new york was the trip of the year") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_bigrams(df, min_count=5, k=10).collect()
+    pmi = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    assert ("new", "york") in pmi
+    the_pairs = [v for (a, b), v in pmi.items() if a == "the"]
+    assert all(pmi[("new", "york")] > v for v in the_pairs)
+
+
+def test_perplexity_buckets_terciles(spark):
+    from search_engine_spark.pipelines.curation import perplexity_buckets
+
+    # 9 docs with distinct cross-entropies + 1 empty doc
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(9)]
+    rows.append((9, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in perplexity_buckets(df, 3).collect()}
+    buckets = [out[i]["bucket"] for i in range(9)]
+    # equal-population terciles over 9 scored docs -> 3/3/3
+    assert sorted(buckets) == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # bucket is monotone in cross-entropy
+    ordered = sorted(range(9), key=lambda i: out[i]["cross_entropy"])
+    assert [out[i]["bucket"] for i in ordered] == sorted(buckets)
+    assert out[9]["bucket"] is None and out[9]["cross_entropy"] is None
+
+
+def test_semantic_dedup_within_cluster_min_id_survives(spark):
+    from search_engine_spark.pipelines.similarity import semantic_dedup
+
+    # two tight groups of identical vectors + one singleton
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),     # dup of 0
+        (2, [0.99, 0.01, 0.0]),   # near-dup of 0
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 1.0, 0.0]),    # dup of 10
+        (20, [0.0, 0.0, 1.0]),    # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, n_centroids=3, tau=0.9).collect()}
+    assert len(out) == 6  # one row per input vector
+    # min-id of each similarity clique survives; followers are removed
+    assert out[0]["keep"] and not out[1]["keep"] and not out[2]["keep"]
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[20]["keep"]
+    # dup pairs must share a cluster (that's what makes the join see them)
+    assert out[0]["cid"] == out[1]["cid"] == out[2]["cid"]
+    assert out[10]["cid"] == out[11]["cid"]
+
+
+def test_semantic_dedup_bucket_cap_bounds_quadratic(spark):
+    from search_engine_spark.pipelines.similarity import semantic_dedup
+
+    # 60 identical vectors: uncapped would form 60*59/2 pairs; cap=8 keeps
+    # the 8 smallest ids in the cluster's join, so followers beyond the cap
+    # keep=True (documented truncation — the audit path counts them)
+    rows = [(i, [1.0, 0.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_centroids=1, tau=0.9, bucket_cap=8).collect()
+    removed = sum(0 if r["keep"] else 1 for r in out)
+    assert removed == 7  # only the capped membership deduped
+    out2 = semantic_dedup(df, n_centroids=1, tau=0.9, bucket_cap=None).collect()
+    assert sum(0 if r["keep"] else 1 for r in out2) == 59
+
+
+def test_stream_built_index_matches_batch_built(spark, tmp_path):
+    """Incremental (streamed micro-batch) ingestion converges to the same
+    search results as one batch build over the same corpus."""
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.corpus import generate_pages
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.streaming import index_stream
+
+    pdf = generate_pages(n_docs=120, seed=11)
+    docs = spark.createDataFrame(pdf)
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col="warc_ts",
+                      attr_cols=("lang",), num_shards=2, num_buckets=4)
+
+    batch_dir = str(tmp_path / "batch_idx")
+    build_index(spark, docs, batch_dir, cfg)
+
+    # stream build: a deterministic third seeds, the rest arrives in 2
+    # micro-batches (hash split — limit() would be plan-dependent)
+    stream_dir = str(tmp_path / "stream_idx")
+    part = F.crc32(F.col("url")) % 3
+    seed = docs.filter(part == 0)
+    build_index(spark, seed, stream_dir, cfg)
+    rest = docs.filter(part != 0)
+    stage = str(tmp_path / "stage")
+    rest.repartition(2).write.parquet(stage)
+    stream = (spark.readStream.schema(rest.schema)
+              .option("maxFilesPerTrigger", 1).parquet(stage))
+    q = index_stream(stream, stream_dir, str(tmp_path / "ckpt"), compact_every=2)
+    q.awaitTermination()
+
+    bi = SearchIndex(spark, batch_dir)
+    si = SearchIndex(spark, stream_dir)
+    for query in ("table join merge", "hash group sort"):
+        b = [(r["pk"], round(r["score"], 6))
+             for r in bi.search(query, k=10, mode="exhaustive").collect()]
+        s = [(r["pk"], round(r["score"], 6))
+             for r in si.search(query, k=10, mode="exhaustive").collect()]
+        assert b == s
