@@ -563,6 +563,28 @@ def _q_ann_ivf(spark, sf_dir):
     ).select("vec_id", "sim")
 
 
+def _q_ann_ivf_store(spark, sf_dir):
+    """IVF probe against the MATERIALIZED partitioned store (round 5):
+    ``ivf_write`` lays each inverted list out as its own ``cid=<c>``
+    parquet partition; ``ivf_probe`` picks the n_probe lists driver-side
+    from the tiny codebook and scans ONLY those directories (file-listing
+    partition pruning — the plan the inline ``ann_ivf`` docstring
+    promises, made physical). Same semantics as ann_ivf, query vec 7."""
+    import uuid
+
+    key = os.path.abspath(sf_dir)
+    store = os.path.join(
+        tempfile.gettempdir(),
+        "ivf_store_" + hashlib.md5(f"{ENGINE_TAG}:{key}".encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(store, "centroids")):
+        similarity.ivf_write(_embs(spark, sf_dir), store, n_centroids=16)
+    qv = _query_vec(spark, sf_dir, 7)
+    return similarity.ivf_probe(spark, store, qv, k=10, n_probe=4).select(
+        "vec_id", "sim"
+    )
+
+
 def _q_dedup_embedding(spark, sf_dir):
     # synthetic embeddings have no true near-dups (max pairwise sim ~0.51),
     # so 0.4 exercises the banded-LSH candidate path with a non-empty result
@@ -1092,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "semantic_dedup": _q_semantic_dedup,
         "bm25_stream_index": _q_bm25_stream_index,
+        "ann_ivf_store": _q_ann_ivf_store,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
@@ -2752,5 +2775,9 @@ ORDER BY a.vec_id
     # stream-built index == batch-built index: the oracle is the ordinary
     # batch BM25 SQL — hash equality proves the incremental path converges
     sql["bm25_stream_index"] = _bm25_sql(["window", "scan", "batch"])
+
+    # IVF probe over the materialized partitioned store: same math as
+    # ann_ivf (the store only changes the physical layout), query vec 7
+    sql["ann_ivf_store"] = sql["ann_ivf"].replace("vec_id = 2", "vec_id = 7")
 
     return sql

