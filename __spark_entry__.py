@@ -28,7 +28,14 @@ from search_engine_spark.codecs import PostingReader
 from search_engine_spark.config import IndexConfig
 from search_engine_spark.facets import facet_distribution, facet_value_search
 from search_engine_spark.filters import to_column
-from search_engine_spark.pipelines import curation, dedup, multimodal, similarity, textstats
+from search_engine_spark.pipelines import (
+    bpe,
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 from search_engine_spark.query import SearchIndex
 
 # bump when build/codec layout changes so cached test indexes rebuild
@@ -676,6 +683,42 @@ def _q_bigram_logloss(spark, sf_dir):
     return curation.bigram_logloss(_docs(spark, sf_dir))
 
 
+def _q_ngram_top(spark, sf_dir):
+    """Top corpus word 3-grams with a support floor (round 5): in-row
+    shingling + ONE map-side-combined count; the KenLM-trainer input
+    statistic."""
+    return (
+        curation.ngram_counts(_docs(spark, sf_dir), n=3, min_count=2)
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(100)
+    )
+
+
+def _q_index_stats(spark, sf_dir):
+    """Reference /stats parity (src/index.rs:337 number_of_documents,
+    :415 field_distribution) widened with dictionary/postings totals:
+    two 1-row aggregations unpivoted with stack (round 5)."""
+    return _index(spark, sf_dir).stats()
+
+
+def _q_sort_multi(spark, sf_dir):
+    """Reference K7 SortRule with a MULTI-key criterion list (sort.rs
+    chains criteria): lang asc then n_chars desc over 'merge' matches."""
+    idx = _index(spark, sf_dir)
+    return idx.search_sorted(
+        [("lang", "asc"), ("n_chars", "desc")], query="merge", k=15
+    ).select("rank", "docid", "lang", "n_chars")
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning over the corpus vocabulary (round
+    5, Sennrich et al. 2016): inherently iterative (each merge depends
+    on the previous), so per the driver contract it carries no SQL
+    oracle — the exact-equality oracle is the independent pure-Python
+    implementation in tests/test_round5_analytics.py."""
+    return bpe.learn_bpe(_docs(spark, sf_dir), n_merges=8)
+
+
 def _q_token_entropy(spark, sf_dir):
     """Per-doc Shannon entropy of the token distribution (round 5):
     lexical-diversity quality signal; one (doc, term) count + one per-doc
@@ -1115,6 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "bm25_stream_index": _q_bm25_stream_index,
         "ann_ivf_store": _q_ann_ivf_store,
+        "ngram_top": _q_ngram_top,
+        "index_stats": _q_index_stats,
+        "sort_multi": _q_sort_multi,
+        "bpe_merges": _q_bpe_merges,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
@@ -2779,5 +2826,41 @@ ORDER BY a.vec_id
     # IVF probe over the materialized partitioned store: same math as
     # ann_ivf (the store only changes the physical layout), query vec 7
     sql["ann_ivf_store"] = sql["ann_ivf"].replace("vec_id = 2", "vec_id = 7")
+
+    sql["ngram_top"] = """
+WITH arr AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents),
+shing AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS gram
+  FROM arr WHERE len(t) > 0
+)
+SELECT gram, count(*) AS n_occurrences
+FROM shing GROUP BY 1 HAVING count(*) >= 2
+ORDER BY n_occurrences DESC, gram LIMIT 100
+"""
+
+    sql["index_stats"] = f"""
+WITH {_TOKS}
+SELECT stat, value FROM (
+  SELECT 'n_docs' AS stat, CAST(count(*) AS DOUBLE) AS value FROM documents
+  UNION ALL SELECT 'avgdl', round(avg(dl), 6) FROM stats
+  UNION ALL SELECT 'n_terms', CAST(count(*) AS DOUBLE) FROM dict
+  UNION ALL SELECT 'n_postings', CAST(sum(df) AS DOUBLE) FROM dict
+  UNION ALL SELECT 'total_tokens', CAST(sum(cf) AS DOUBLE) FROM dict
+  UNION ALL SELECT 'field_lang', CAST(count(lang) AS DOUBLE) FROM documents
+  UNION ALL SELECT 'field_source', CAST(count(source) AS DOUBLE) FROM documents
+  UNION ALL SELECT 'field_n_chars', CAST(count(n_chars) AS DOUBLE) FROM documents
+) ORDER BY stat
+"""
+
+    sql["sort_multi"] = f"""
+WITH {_TOKS},
+cand AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+SELECT row_number() OVER (ORDER BY d.lang ASC, d.n_chars DESC, d.doc_id) AS rank,
+       d.doc_id AS docid, d.lang, d.n_chars
+FROM documents d JOIN cand USING (doc_id)
+ORDER BY d.lang ASC, d.n_chars DESC, d.doc_id
+LIMIT 15
+"""
 
     return sql

@@ -1165,3 +1165,36 @@ def perplexity_buckets(
         .select("doc_id", "cross_entropy", bucket.alias("bucket"))
         .orderBy("doc_id")
     )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 3,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide word n-gram counts — the raw material a KenLM-style
+    LM trainer (the scorer CCNet uses) consumes, and the shared
+    statistic behind decontamination / dup-n-gram analysis. Grams use
+    the engine-wide shingle convention (:func:`~search_engine_spark.
+    pipelines.dedup.shingle_expr`: full windows for len >= n, one
+    partial shingle for shorter docs).
+
+    Scale shape (100 TB): in-row shingling (zero exchanges to form
+    grams) then ONE map-side-combined count keyed by gram; the
+    ``min_count`` floor is applied post-aggregation (HAVING), which at
+    web scale drops the singleton long tail — typically >70% of
+    distinct grams — before anything is written. Output is
+    vocabulary-sized, unordered (order/limit at the consumer).
+
+    -> (gram, n_occurrences).
+    """
+    g = _grams(df, n, id_col, text_col, distinct=False).select(
+        F.explode("terms").alias("gram")
+    )
+    return (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= int(min_count))
+    )

@@ -1125,6 +1125,46 @@ class SearchIndex:
         )
         return out
 
+    def stats(self) -> DataFrame:
+        """Index statistics — the reference's ``/stats`` surface
+        (``src/index.rs:337`` ``number_of_documents``, ``:415``
+        ``field_distribution``) widened with the dictionary/postings
+        totals a Spark-side capacity planner wants:
+
+        ``n_docs`` / ``avgdl`` from the live doc-stats table, ``n_terms``
+        / ``n_postings`` (sum df) / ``total_tokens`` (sum cf) from the
+        term dictionary, and one ``field_<attr>`` non-null count per
+        stored attribute column (the field distribution).
+
+        Scale shape: two full aggregations (doc spine + dictionary),
+        both map-side combined down to ONE row each, cross-joined
+        broadcast and unpivoted driver-free with ``stack``. Never
+        collects a table.
+
+        -> (stat, value double), ordered by stat.
+        """
+        attr_cols = [c for c in self.config.attr_cols
+                     if c in self._doc_stats.columns]
+        core = self._doc_stats.agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avgdl"),
+            *[F.count(c).cast("double").alias(f"field_{c}") for c in attr_cols],
+        )
+        tstats = self._terms.agg(
+            F.count("*").cast("double").alias("n_terms"),
+            F.sum("df").cast("double").alias("n_postings"),
+            F.sum("cf").cast("double").alias("total_tokens"),
+        )
+        row = core.crossJoin(F.broadcast(tstats))
+        names = ["n_docs", "avgdl", "n_terms", "n_postings", "total_tokens"] + [
+            f"field_{c}" for c in attr_cols
+        ]
+        pairs = ", ".join(f"'{s}', {s}" for s in names)
+        return (
+            row.selectExpr(f"stack({len(names)}, {pairs}) AS (stat, value)")
+            .orderBy("stat")
+        )
+
     def execute(
         self, plan: QueryPlan, mode: str = "auto", filter_ast: dict | None = None,
         offset: int = 0, execution: str = "auto",

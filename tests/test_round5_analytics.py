@@ -201,3 +201,108 @@ def test_ivf_store_probe_matches_inline_and_prunes(spark, tmp_path):
     # and the physical plan carries the partition filter (listing-level)
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cid" in plan
+
+
+def _bpe_reference(word_counts, n_merges, min_pair_count=2):
+    """Independent pure-Python BPE (Sennrich-style) for oracle compare."""
+    segs = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, c in word_counts.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, l, r, cnt))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+def test_learn_bpe_matches_pure_python(spark):
+    from collections import Counter
+
+    from search_engine_spark.pipelines.bpe import learn_bpe
+
+    texts = [
+        "lower lower lowest newer newer newer wider wide new",
+        "low low lowest newest wide wider widest new new",
+        "the newest lower the widest newer the low wide",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = Counter(w for t in texts for w in t.split())
+    want, _ = _bpe_reference(dict(wc), n_merges=8)
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe(df, n_merges=8).collect()
+    ]
+    assert got == want
+
+
+def test_apply_bpe_segments_match_reference(spark):
+    from collections import Counter
+
+    from search_engine_spark.pipelines.bpe import apply_bpe, learn_bpe
+
+    texts = ["banana bandana banana", "bandana banana cabana"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = Counter(w for t in texts for w in t.split())
+    ref_merges, ref_segs = _bpe_reference(dict(wc), n_merges=5)
+    merges = [(l, r) for _, l, r, _ in ref_merges]
+    got = {r["doc_id"]: r["pieces"] for r in apply_bpe(df, merges).collect()}
+    for i, t in enumerate(texts):
+        want = [p for w in t.split() for p in ref_segs[w]]
+        assert got[i] == want
+
+
+def test_index_stats(spark, index_dir):
+    from search_engine_spark.query import SearchIndex
+
+    idx = SearchIndex(spark, index_dir)
+    got = {r["stat"]: r["value"] for r in idx.stats().collect()}
+    assert got["n_docs"] == float(idx._doc_stats.count())
+    assert got["n_terms"] == float(idx._terms.count())
+    # postings total == sum of per-term document frequencies
+    sum_df = idx._terms.agg(F.sum("df")).collect()[0][0]
+    assert got["n_postings"] == float(sum_df)
+    # avgdl agrees with the doc-stats table it summarizes
+    avg = idx._doc_stats.agg(F.avg("dl")).collect()[0][0]
+    assert got["avgdl"] == round(avg, 6)
+    # one field_<attr> row per stored attribute, fully populated corpus
+    fields = {k for k in got if k.startswith("field_")}
+    assert fields and all(got[f] == got["n_docs"] for f in fields)
+
+
+def test_ngram_counts_known_grams(spark):
+    from search_engine_spark.pipelines.curation import ngram_counts
+
+    rows = [
+        (0, "a b c a b c"),
+        (1, "a b c d"),
+        (2, "x"),          # shorter than n -> one partial shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["gram"]: r["n_occurrences"]
+           for r in ngram_counts(df, n=3, min_count=1).collect()}
+    assert got["a b c"] == 3   # twice in doc 0 (windows), once in doc 1
+    assert got["b c a"] == 1 and got["b c d"] == 1
+    assert got["x"] == 1       # partial shingle for the short doc
+    assert ngram_counts(df, n=3, min_count=2).count() == 1
