@@ -563,6 +563,58 @@ def _q_decontaminate_stream(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_stream_windowed_counts(spark, sf_dir):
+    """Event-time windowed aggregation (round 5): the events table
+    replayed as a file stream through ``windowed_term_counts`` (tumbling
+    1-hour windows keyed by event_type, watermark for late data),
+    drained availableNow into a complete-mode memory sink so every
+    window is emitted deterministically. Oracle: GROUP BY
+    date_trunc('hour', ts) — window start/end are epoch-aligned in both
+    engines."""
+    import uuid
+
+    from search_engine_spark import streaming as streaming_mod
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks need TIMESTAMP (the parquet column is NTZ); with a
+        # whole-hour session offset the cast-in / cast-out pair below is
+        # wall-clock-exact (the driver host runs UTC)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    name = f"wincount_stream_out_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="wincount_stream_ckpt_")
+    q = (
+        streaming_mod.windowed_term_counts(
+            stream, ts_col="ts", text_col="event_type",
+            window="1 hour", watermark="2 hours",
+        )
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # epoch seconds, not timestamps: the value-hash compare is dtype-exact
+    # and pandas/duckdb disagree on timestamp unit (ns vs us)
+    return (
+        spark.table(name)
+        .select(
+            F.col("window_start").cast("long").alias("window_start_s"),
+            F.col("window_end").cast("long").alias("window_end_s"),
+            "term",
+            "n",
+        )
+        .orderBy("window_start_s", "term")
+    )
+
+
 def _q_ann_ivf(spark, sf_dir):
     qv = _query_vec(spark, sf_dir, 2)
     return similarity.ivf_cosine_topk(
@@ -1162,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_stats": _q_index_stats,
         "sort_multi": _q_sort_multi,
         "bpe_merges": _q_bpe_merges,
+        "stream_windowed_counts": _q_stream_windowed_counts,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
@@ -2851,6 +2904,16 @@ SELECT stat, value FROM (
   UNION ALL SELECT 'field_source', CAST(count(source) AS DOUBLE) FROM documents
   UNION ALL SELECT 'field_n_chars', CAST(count(n_chars) AS DOUBLE) FROM documents
 ) ORDER BY stat
+"""
+
+    sql["stream_windowed_counts"] = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+       CAST(epoch(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS BIGINT) AS window_end_s,
+       event_type AS term,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start_s, term
 """
 
     sql["sort_multi"] = f"""
