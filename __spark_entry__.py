@@ -644,6 +644,17 @@ def _q_ann_ivf_store(spark, sf_dir):
     )
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (round 5, Jégou et al. 2011):
+    md5-sampled per-subspace codebooks (m=4 x 16 codes over the 64-dim
+    embeddings), zero-exchange encode projection, per-query broadcast
+    distance table, TakeOrdered top-k. Query vec 3."""
+    embs = _embs(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 3)
+    cb = similarity.pq_codebooks(embs, m=4, n_codes=16)
+    return similarity.pq_adc_topk(embs, cb, qv, k=10, m=4)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     # synthetic embeddings have no true near-dups (max pairwise sim ~0.51),
     # so 0.4 exercises the banded-LSH candidate path with a non-empty result
@@ -1215,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_multi": _q_sort_multi,
         "bpe_merges": _q_bpe_merges,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "pq_topk": _q_pq_topk,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
@@ -2904,6 +2916,48 @@ SELECT stat, value FROM (
   UNION ALL SELECT 'field_source', CAST(count(source) AS DOUBLE) FROM documents
   UNION ALL SELECT 'field_n_chars', CAST(count(n_chars) AS DOUBLE) FROM documents
 ) ORDER BY stat
+"""
+
+    # PQ: md5-sampled codebooks, per-subspace argmin encode, ADC table
+    sql["pq_topk"] = """
+WITH ranked AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS code
+  FROM embeddings
+),
+cents AS (SELECT code, v FROM ranked WHERE code < 16),
+subs AS (SELECT unnest(range(0, 4)) AS sub),
+cb AS (
+  SELECT su.sub, c.code, c.v[su.sub * 16 + 1 : su.sub * 16 + 16] AS svec
+  FROM cents c, subs su
+),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 3),
+enc AS (
+  SELECT e.vec_id, cb.sub, cb.code,
+         row_number() OVER (
+           PARTITION BY e.vec_id, cb.sub
+           ORDER BY list_sum(list_transform(range(1, 16 + 1),
+                    i -> (e.embedding[cb.sub * 16 + i]::DOUBLE - cb.svec[i])
+                       * (e.embedding[cb.sub * 16 + i]::DOUBLE - cb.svec[i]))) ASC,
+                    cb.code ASC
+         ) AS rn
+  FROM embeddings e, cb
+),
+dtab AS (
+  SELECT cb.sub, cb.code,
+         list_sum(list_transform(range(1, 16 + 1),
+            i -> (q.v[cb.sub * 16 + i] - cb.svec[i])
+               * (q.v[cb.sub * 16 + i] - cb.svec[i]))) AS d2
+  FROM cb, q
+),
+scored AS (
+  SELECT e.vec_id, round(sum(d.d2), 6) AS adist
+  FROM (SELECT vec_id, sub, code FROM enc WHERE rn = 1) e
+  JOIN dtab d USING (sub, code)
+  GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY adist ASC, vec_id ASC) AS rank, vec_id, adist
+FROM scored ORDER BY adist ASC, vec_id ASC LIMIT 10
 """
 
     sql["stream_windowed_counts"] = """

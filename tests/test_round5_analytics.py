@@ -306,3 +306,34 @@ def test_ngram_counts_known_grams(spark):
     assert got["b c a"] == 1 and got["b c d"] == 1
     assert got["x"] == 1       # partial shingle for the short doc
     assert ngram_counts(df, n=3, min_count=2).count() == 1
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    import numpy as np
+
+    from search_engine_spark.pipelines.similarity import (
+        pq_adc_topk, pq_codebooks, pq_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(80, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    m, n_codes, sub_d = 4, 8, 2
+    cb = pq_codebooks(emb, m=m, n_codes=n_codes)
+    cb_rows = cb.collect()
+    books = np.zeros((m, n_codes, sub_d))
+    for r in cb_rows:
+        books[r["sub"], r["code"]] = r["svec"]
+    got = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb, m=m).collect()}
+    for i in range(80):
+        for s in range(m):
+            sv = vecs[i, s * sub_d:(s + 1) * sub_d]
+            d2 = ((books[s] - sv) ** 2).sum(axis=1)
+            assert got[i][s] == int(np.argmin(d2))  # ties: argmin -> smallest
+
+    # ADC sanity: distances are the summed subspace quantization errors,
+    # so they are non-negative and the top-k comes back sorted
+    top = pq_adc_topk(emb, cb, [float(x) for x in vecs[0]], k=5, m=m).collect()
+    assert top[0]["rank"] == 1 and top[0]["adist"] >= 0.0
+    assert [r["adist"] for r in top] == sorted(r["adist"] for r in top)
