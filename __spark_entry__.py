@@ -644,6 +644,18 @@ def _q_ann_ivf_store(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ / IVFADC (round 5, Jégou et al. 2011 §IV): coarse IVF
+    probe + RESIDUAL product-quantization codes + per-query broadcast
+    ADC table over the probed lists — the 10^12-vector serving layout,
+    composed from the hash-green IVF and PQ pieces. Query vec 5."""
+    return similarity.ivf_pq_topk(
+        _embs(spark, sf_dir),
+        _query_vec(spark, sf_dir, 5),
+        k=10, n_centroids=16, n_probe=4, m=4, n_codes=16,
+    )
+
+
 def _q_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (round 5, Jégou et al. 2011):
     md5-sampled per-subspace codebooks (m=4 x 16 codes over the 64-dim
@@ -1227,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "pq_topk": _q_pq_topk,
+        "ann_ivf_pq": _q_ann_ivf_pq,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
@@ -2916,6 +2929,83 @@ SELECT stat, value FROM (
   UNION ALL SELECT 'field_source', CAST(count(source) AS DOUBLE) FROM documents
   UNION ALL SELECT 'field_n_chars', CAST(count(n_chars) AS DOUBLE) FROM documents
 ) ORDER BY stat
+"""
+
+    # IVF-PQ / IVFADC: coarse probe + residual-PQ codes + per-cid ADC table
+    sql["ann_ivf_pq"] = """
+WITH ranked AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS rk
+  FROM embeddings
+),
+cents AS (SELECT rk AS cid, v AS cvec FROM ranked WHERE rk < 16),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 5),
+asgn AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * c.cvec[i]))
+                    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                       * sqrt(list_sum(list_transform(c.cvec, x -> x * x)))) DESC,
+                    c.cid ASC
+         ) AS rn
+  FROM embeddings e, cents c
+),
+A AS (SELECT vec_id, v, cid FROM asgn WHERE rn = 1),
+res AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(range(1, 64 + 1), i -> a.v[i] - c.cvec[i]) AS rv
+  FROM A a JOIN cents c USING (cid)
+),
+cbsample AS (
+  SELECT r.rk AS code, s.rv
+  FROM ranked r JOIN res s USING (vec_id)
+  WHERE r.rk < 16
+),
+subs AS (SELECT unnest(range(0, 4)) AS sub),
+cb AS (
+  SELECT su.sub, c.code, c.rv[su.sub * 16 + 1 : su.sub * 16 + 16] AS svec
+  FROM cbsample c, subs su
+),
+enc AS (
+  SELECT r.vec_id, r.cid, cb.sub, cb.code,
+         row_number() OVER (
+           PARTITION BY r.vec_id, cb.sub
+           ORDER BY list_sum(list_transform(range(1, 16 + 1),
+                    i -> (r.rv[cb.sub * 16 + i] - cb.svec[i])
+                       * (r.rv[cb.sub * 16 + i] - cb.svec[i]))) ASC,
+                    cb.code ASC
+         ) AS rn
+  FROM res r, cb
+),
+probe AS (
+  SELECT c.cid, c.cvec FROM cents c, q
+  ORDER BY list_sum(list_transform(range(1, len(q.v) + 1), i -> c.cvec[i] * q.v[i]))
+           / (sqrt(list_sum(list_transform(c.cvec, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.v, x -> x * x)))) DESC,
+           c.cid ASC
+  LIMIT 4
+),
+qr AS (
+  SELECT p.cid, list_transform(range(1, 64 + 1), i -> q.v[i] - p.cvec[i]) AS qr
+  FROM probe p, q
+),
+dtab AS (
+  SELECT r.cid, cb.sub, cb.code,
+         list_sum(list_transform(range(1, 16 + 1),
+            i -> (r.qr[cb.sub * 16 + i] - cb.svec[i])
+               * (r.qr[cb.sub * 16 + i] - cb.svec[i]))) AS d2
+  FROM qr r, cb
+),
+scored AS (
+  SELECT e.vec_id, round(sum(d.d2), 6) AS adist
+  FROM (SELECT vec_id, cid, sub, code FROM enc WHERE rn = 1) e
+  JOIN dtab d USING (cid, sub, code)
+  GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY adist ASC, vec_id ASC) AS rank, vec_id, adist
+FROM scored ORDER BY adist ASC, vec_id ASC LIMIT 10
 """
 
     # PQ: md5-sampled codebooks, per-subspace argmin encode, ADC table

@@ -206,6 +206,19 @@ def main() -> None:
         docs.select(F.col("doc_id").cast("long").alias("doc_id"))
         .mapInPandas(_synth_jpeg, schema="doc_id long, payload binary"))))
 
+    # round-5 session-4 operators: SemDeDup (cluster-bounded quadratic),
+    # PQ encode+ADC (zero-exchange projection + broadcast table),
+    # TF-IDF keywords (vocab join + per-doc window)
+    timed("q_semantic_dedup", lambda: _force(
+        similarity.semantic_dedup(embs, n_centroids="auto", tau=0.2)))
+
+    def _pq():
+        cb = similarity.pq_codebooks(embs, m=4, n_codes=16)
+        return similarity.pq_adc_topk(embs, cb, qv, k=10, m=4).collect()
+
+    timed("q_pq_topk", _pq)
+    timed("q_tfidf_topk", lambda: _force(textstats.tfidf_topk(docs, k=5)))
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "index_build_plus_query_suite_wall",

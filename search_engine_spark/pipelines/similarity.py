@@ -865,3 +865,112 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .select("rank", "vec_id", "adist")
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 §IV, the IVFADC system): the layout
+    that serves 10^12-vector ANN — a coarse IVF quantizer prunes the
+    corpus to ``n_probe`` inverted lists, and within them distances are
+    approximated from per-RESIDUAL PQ codes (residual = vector minus its
+    assigned centroid — quantizing residuals, not raw vectors, is what
+    makes the codebooks sharp enough after coarse clustering).
+
+    Composition of the proven pieces: :func:`ivf_assignments` (broadcast
+    argmax, zero exchanges) -> residual projection (in-row zip_with) ->
+    :func:`pq_codebooks` / :func:`pq_encode` on the residuals -> a
+    per-query (cid, sub, code) distance table over the probed lists
+    (n_probe * m * n_codes rows, broadcast) -> in-row table lookups +
+    TakeOrdered top-k. At rest a store holds only (vec_id, cid, codes):
+    ~(8 + m) bytes per vector vs 4*dim — with the ``ivf_write``
+    partitioned layout the probe reads n_probe directories of codes.
+
+    -> (rank, vec_id, adist), ascending approximate squared L2.
+    """
+    cents, assigns = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    res = assigns.join(F.broadcast(cents), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("v", "cvec", lambda x, y: x - y).alias("rv"),
+    )
+    cb = pq_codebooks(res, m=m, n_codes=n_codes, id_col="vec_id", vec_col="rv")
+    codes = pq_encode(res, cb, m=m, id_col="vec_id", vec_col="rv").join(
+        res.select("vec_id", "cid"), "vec_id"
+    )
+    q = [float(x) for x in query_vec]
+    dim = len(q)
+    sub_d = dim // m
+    qc = F.array(*[F.lit(x) for x in q])
+    probe = (
+        cents.select(
+            "cid",
+            "cvec",
+            (_dot(F.col("cvec"), qc) / (_norm(F.col("cvec")) * _norm(qc))).alias(
+                "csim"
+            ),
+        )
+        .orderBy(F.col("csim").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid", "cvec")
+    )
+    qr = probe.select(
+        "cid", F.zip_with(qc, F.col("cvec"), lambda x, y: x - y).alias("qr")
+    )
+    dtab = qr.crossJoin(cb).select(
+        "cid",
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qr"), F.col("sub") * sub_d + 1, sub_d),
+                F.col("svec"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("d2"),
+    )
+    tab = dtab.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "sub", "code", "d2"))).alias(
+            "tab"
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(probe.select("cid")), "cid")
+        .crossJoin(F.broadcast(tab))
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.col("tab"),
+                    F.lit(0.0),
+                    lambda a, t: a
+                    + F.when(
+                        (t["cid"] == F.col("cid"))
+                        & (
+                            F.element_at(F.col("codes"), t["sub"] + 1)
+                            == t["code"]
+                        ),
+                        t["d2"],
+                    ).otherwise(F.lit(0.0)),
+                ),
+                ROUND,
+            ).alias("adist"),
+        )
+    )
+    w = Window.orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+    return (
+        scored.orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "vec_id", "adist")
+    )

@@ -337,3 +337,28 @@ def test_pq_encode_matches_numpy_argmin(spark):
     top = pq_adc_topk(emb, cb, [float(x) for x in vecs[0]], k=5, m=m).collect()
     assert top[0]["rank"] == 1 and top[0]["adist"] >= 0.0
     assert [r["adist"] for r in top] == sorted(r["adist"] for r in top)
+
+
+def test_ivf_pq_topk_candidates_from_probed_lists_only(spark):
+    import numpy as np
+
+    from search_engine_spark.pipelines.similarity import (
+        ivf_assignments, ivf_pq_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[4][1]
+    got = ivf_pq_topk(emb, qv, k=10, n_centroids=6, n_probe=2, m=4, n_codes=8)
+    res = got.collect()
+    # deterministic, ascending approximate distance, dense ranks
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    assert [r["adist"] for r in res] == sorted(r["adist"] for r in res)
+    res2 = ivf_pq_topk(emb, qv, k=10, n_centroids=6, n_probe=2, m=4, n_codes=8).collect()
+    assert [tuple(r) for r in res] == [tuple(r) for r in res2]
+    # every returned candidate lives in one of the 2 probed lists
+    _, asgn = ivf_assignments(emb, 6)
+    cid_of = {r["vec_id"]: r["cid"] for r in asgn.select("vec_id", "cid").collect()}
+    probed = {cid_of[r["vec_id"]] for r in res}
+    assert len(probed) <= 2
