@@ -644,6 +644,14 @@ def _q_ann_ivf_store(spark, sf_dir):
     )
 
 
+def _q_suggest_typos(spark, sf_dir):
+    """Did-you-mean suggestion surface (round 5): best in-budget
+    dictionary term per query word by (distance, df desc, lexicographic);
+    'merge' self-suggests at dist 0, 'zzzzzz' has no candidate -> no
+    row. ONE broadcast-word dictionary scan."""
+    return _index(spark, sf_dir).suggest("tablee windoq filtir merge zzzzzz")
+
+
 def _q_ann_ivf_pq(spark, sf_dir):
     """IVF-PQ / IVFADC (round 5, Jégou et al. 2011 §IV): coarse IVF
     probe + RESIDUAL product-quantization codes + per-query broadcast
@@ -1240,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _q_stream_windowed_counts,
         "pq_topk": _q_pq_topk,
         "ann_ivf_pq": _q_ann_ivf_pq,
+        "suggest_typos": _q_suggest_typos,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
@@ -2929,6 +2938,26 @@ SELECT stat, value FROM (
   UNION ALL SELECT 'field_source', CAST(count(source) AS DOUBLE) FROM documents
   UNION ALL SELECT 'field_n_chars', CAST(count(n_chars) AS DOUBLE) FROM documents
 ) ORDER BY stat
+"""
+
+    # did-you-mean: budgets frozen from typo_config thresholds (len>=5 -> 1)
+    sql["suggest_typos"] = f"""
+WITH {_TOKS},
+qw(term, budget) AS (VALUES
+  ('tablee', 1), ('windoq', 1), ('filtir', 1), ('merge', 1), ('zzzzzz', 1)),
+cand AS (
+  SELECT q.term, d.term AS suggestion,
+         CAST(levenshtein(d.term, q.term) AS INT) AS dist, d.df
+  FROM qw q JOIN dict d
+    ON abs(length(d.term) - length(q.term)) <= q.budget
+   AND levenshtein(d.term, q.term) <= q.budget
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY term ORDER BY dist, df DESC, suggestion) AS rn
+  FROM cand
+)
+SELECT term, suggestion, dist, df FROM rk WHERE rn = 1 ORDER BY term
 """
 
     # IVF-PQ / IVFADC: coarse probe + residual-PQ codes + per-cid ADC table

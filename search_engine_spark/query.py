@@ -1165,6 +1165,71 @@ class SearchIndex:
             .orderBy("stat")
         )
 
+    def suggest(self, query: str) -> DataFrame:
+        """Did-you-mean query correction: for every plain word in the
+        query, the best dictionary term within its typo budget
+        (reference thresholds ``src/update/typo_config.rs:27-35`` via
+        ``max_typos_for``, honoring the index's persisted settings).
+        "Best" = (smallest plain-Levenshtein distance, then highest
+        document frequency, then lexicographic) — deterministic and
+        engine-reproducible; a correctly-spelled word suggests itself at
+        distance 0, a word with no candidate in budget yields no row.
+
+        This is the user-facing sibling of ``_expand_typo`` (which feeds
+        derived terms INTO ranking, reference Q4); ``suggest`` instead
+        surfaces the single correction a "did you mean …?" UI shows.
+        Note the metric is plain Levenshtein (a transposition costs 2),
+        matching the SQL oracle's ``levenshtein``.
+
+        Scale shape: the word list is broadcast, so ONE parallel scan of
+        the term dictionary evaluates every word's length-window +
+        distance predicate (no dictionary shuffle); the survivor set is
+        candidate-sized and the per-word top-1 window runs on that.
+
+        -> (term, suggestion, dist, df), ordered by term.
+        """
+        from search_engine_spark.query_parse import max_typos_for, parse_query
+
+        s = self.settings
+        pq = parse_query(query)
+        words = list(dict.fromkeys(
+            pq.words + pq.typos + pq.prefixes
+            + [w for ph in pq.phrases for w in ph]
+        ))
+        out_schema = "term string, suggestion string, dist int, df long"
+        if not words:
+            return self.spark.createDataFrame([], out_schema)
+        budgets = [
+            (
+                w,
+                max_typos_for(w, s.typo_one_min_len, s.typo_two_min_len)
+                if s.typos_enabled
+                else 0,
+            )
+            for w in words
+        ]
+        qdf = self.spark.createDataFrame(budgets, "term string, budget int")
+        dist = F.levenshtein("suggestion", "term")
+        cand = (
+            self._terms.select(F.col("term").alias("suggestion"), "df")
+            .crossJoin(F.broadcast(qdf))
+            .filter(
+                (F.abs(F.length("suggestion") - F.length("term"))
+                 <= F.col("budget"))
+                & (dist <= F.col("budget"))
+            )
+            .select("term", "suggestion", dist.cast("int").alias("dist"), "df")
+        )
+        w = Window.partitionBy("term").orderBy(
+            "dist", F.desc("df"), "suggestion"
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("term", "suggestion", "dist", "df")
+            .orderBy("term")
+        )
+
     def execute(
         self, plan: QueryPlan, mode: str = "auto", filter_ast: dict | None = None,
         offset: int = 0, execution: str = "auto",

@@ -362,3 +362,18 @@ def test_ivf_pq_topk_candidates_from_probed_lists_only(spark):
     cid_of = {r["vec_id"]: r["cid"] for r in asgn.select("vec_id", "cid").collect()}
     probed = {cid_of[r["vec_id"]] for r in res}
     assert len(probed) <= 2
+
+
+def test_suggest_did_you_mean(spark, index_dir):
+    from search_engine_spark.query import SearchIndex
+
+    idx = SearchIndex(spark, index_dir)
+    # pick a real dictionary term >= 5 chars and misspell one letter
+    term = next(r["term"] for r in idx._terms.orderBy(F.desc("df")).collect()
+                if len(r["term"]) >= 5)
+    typo = ("x" + term[1:])
+    got = {r["term"]: r for r in idx.suggest(f"{typo} {term} zzzzzz").collect()}
+    assert got[typo]["suggestion"] == term and got[typo]["dist"] == 1
+    assert got[term]["suggestion"] == term and got[term]["dist"] == 0
+    assert "zzzzzz" not in got           # nothing within budget
+    assert idx.suggest("").count() == 0  # empty query -> empty frame
