@@ -644,6 +644,22 @@ def _q_ann_ivf_store(spark, sf_dir):
     )
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Reciprocal-rank-fusion hybrid (round 5, Cormack et al. 2009):
+    1/(60+rank) per retriever pool, no score normalization — the
+    score-free sibling of the K12 ratio merge. Pools of 30, k=10."""
+    from search_engine_spark.query import hybrid_search_rrf
+
+    idx = _index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir, 9)
+    res = hybrid_search_rrf(
+        idx, _embs(spark, sf_dir), "hash group sort", qv, k=10, pool=30
+    )
+    return res.select(
+        "rank", "docid", F.round("score", SCORE_ROUND).alias("score")
+    )
+
+
 def _q_suggest_typos(spark, sf_dir):
     """Did-you-mean suggestion surface (round 5): best in-budget
     dictionary term per query word by (distance, df desc, lexicographic);
@@ -1249,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "ann_ivf_pq": _q_ann_ivf_pq,
         "suggest_typos": _q_suggest_typos,
+        "hybrid_rrf": _q_hybrid_rrf,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
@@ -2938,6 +2955,38 @@ SELECT stat, value FROM (
   UNION ALL SELECT 'field_source', CAST(count(source) AS DOUBLE) FROM documents
   UNION ALL SELECT 'field_n_chars', CAST(count(n_chars) AS DOUBLE) FROM documents
 ) ORDER BY stat
+"""
+
+    # RRF hybrid: rank-only fusion, 1/(60+rank) per pool, no normalization
+    sql["hybrid_rrf"] = f"""
+WITH {_TOKS},
+kwscore AS (
+  SELECT td.doc_id,
+         sum( ln(1.0 + (c.n - di.df + 0.5) / (di.df + 0.5))
+              * td.tf / (td.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score
+  FROM tdoc td JOIN dict di USING (term) JOIN stats s ON s.doc_id = td.doc_id
+  CROSS JOIN corpus c
+  WHERE td.term IN ('hash', 'group', 'sort')
+  GROUP BY td.doc_id
+),
+kwpool AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM kwscore ORDER BY score DESC, doc_id LIMIT 30
+),
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 9),
+sems AS (SELECT e.vec_id AS doc_id, {_COS_EXPR} AS sim FROM embeddings e, q),
+sempool AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r
+  FROM sems ORDER BY sim DESC, doc_id LIMIT 30
+),
+fused AS (
+  SELECT coalesce(k.doc_id, s.doc_id) AS docid,
+         coalesce(1.0 / (60 + k.r), 0) + coalesce(1.0 / (60 + s.r), 0) AS score
+  FROM kwpool k FULL OUTER JOIN sempool s ON k.doc_id = s.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, docid) AS rank,
+       docid, round(score, {SCORE_ROUND}) AS score
+FROM fused ORDER BY score DESC, docid LIMIT 10
 """
 
     # did-you-mean: budgets frozen from typo_config thresholds (len>=5 -> 1)

@@ -1819,6 +1819,56 @@ def hybrid_search(
     )
 
 
+def hybrid_search_rrf(
+    ix: "SearchIndex",
+    emb: DataFrame,
+    query: str,
+    query_vec: list[float],
+    k: int = 10,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid retrieval (Cormack et al. 2009) —
+    the score-free alternative to :func:`hybrid_search`'s ratio-weighted
+    merge (reference K12): each retriever contributes
+    ``1 / (rrf_k + rank)`` for the docs in its pool, missing docs
+    contribute 0, and no normalization is needed because only ranks
+    enter. RRF is what you reach for when the two score distributions
+    are incomparable (fresh embedder, changed BM25 params).
+
+    Rank within each pool is (score desc, docid asc) — the engines'
+    shared tiebreak — so the fusion is deterministic. Pools are k-bounded
+    collected lists exactly as in ``hybrid_search`` (each retriever runs
+    ONCE). -> (rank, docid, score), score rounded at the caller.
+    """
+    from search_engine_spark.pipelines.similarity import cosine_topk
+
+    pool = pool or 3 * k
+    kw_rows = ix.search(query, k=pool).select(
+        "docid", F.col("score").alias("kw")
+    ).collect()
+    sem_rows = cosine_topk(
+        emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col
+    ).select(F.col("vec_id").alias("docid"), F.col("sim").alias("sem")).collect()
+
+    scores: dict[int, float] = {}
+    for rank, r in enumerate(
+        sorted(kw_rows, key=lambda r: (-r["kw"], r["docid"])), start=1
+    ):
+        scores[r["docid"]] = scores.get(r["docid"], 0.0) + 1.0 / (rrf_k + rank)
+    for rank, r in enumerate(
+        sorted(sem_rows, key=lambda r: (-r["sem"], r["docid"])), start=1
+    ):
+        scores[r["docid"]] = scores.get(r["docid"], 0.0) + 1.0 / (rrf_k + rank)
+    top = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+    return ix.spark.createDataFrame(
+        [(i + 1, int(d), float(s)) for i, (d, s) in enumerate(top)],
+        "rank int, docid long, score double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # shard-local scoring (runs inside Arrow-batched pandas UDFs)
 # ---------------------------------------------------------------------------

@@ -377,3 +377,31 @@ def test_suggest_did_you_mean(spark, index_dir):
     assert got[term]["suggestion"] == term and got[term]["dist"] == 0
     assert "zzzzzz" not in got           # nothing within budget
     assert idx.suggest("").count() == 0  # empty query -> empty frame
+
+
+def test_hybrid_rrf_rank_fusion(spark, index_dir):
+    import numpy as np
+
+    from search_engine_spark.query import SearchIndex, hybrid_search_rrf
+
+    idx = SearchIndex(spark, index_dir)
+    # embeddings keyed by the index's integer docids
+    docids = [r["docid"] for r in idx._doc_stats.select("docid").collect()]
+    rng = np.random.default_rng(2)
+    emb = spark.createDataFrame(
+        [(int(d), [float(x) for x in rng.normal(size=8)]) for d in docids],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [float(x) for x in rng.normal(size=8)]
+    res = hybrid_search_rrf(idx, emb, "table join", qv, k=10, pool=20).collect()
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    # RRF scores are sums of 1/(60+rank): bounded by 2/61 and positive
+    assert all(0 < r["score"] <= 2.0 / 61 + 1e-12 for r in res)
+    # a doc present in BOTH pools at rank r beats one present in a single
+    # pool at the same rank: top fused doc must appear in >= 1 pool and
+    # the max possible single-pool score is 1/61
+    both = [r for r in res if r["score"] > 1.0 / 61 + 1e-12]
+    single = [r for r in res if r["score"] <= 1.0 / 61 + 1e-12]
+    if both and single:
+        assert max(r["rank"] for r in both) < min(r["rank"] for r in single) or \
+            all(b["score"] >= s["score"] for b in both for s in single)
