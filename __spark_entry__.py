@@ -188,6 +188,43 @@ def _q_postings_decode(spark, sf_dir):
     return idx._postings.mapInPandas(decode, schema="term string, docid long, tf int")
 
 
+def _q_match_positions(spark, sf_dir):
+    """Reference O1 ``show_matches_position`` (search/mod.rs formats
+    per-document match positions for highlighting): decode the STORED
+    per-posting position lists for the query terms back to
+    (term, docid, pos) rows — term-filtered segment scan (predicate
+    pushed to the parquet posting store), vectorized varint decode in
+    mapInPandas. The oracle recomputes positions from the raw text, so
+    hash equality proves the position encode/decode round trip."""
+    idx = _index(spark, sf_dir)
+    block_size = idx.config.block_size
+    terms = ("part", "filter")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_t, out_d, out_p = [], [], []
+            for row in pdf.to_dict("records"):
+                r = PostingReader.from_row(row, block_size)
+                docids, _, _ = r.decode_all()
+                for docid, pos in zip(docids, r.decode_all_positions()):
+                    out_t.extend([row["term"]] * len(pos))
+                    out_d.extend([int(docid)] * len(pos))
+                    out_p.extend(int(x) for x in pos)
+            yield pd.DataFrame(
+                {
+                    "term": pd.Series(out_t, dtype="object"),
+                    "docid": pd.Series(out_d, dtype="int64"),
+                    "pos": pd.Series(out_p, dtype="int64"),
+                }
+            )
+
+    return (
+        idx._postings.filter(F.col("term").isin(*terms))
+        .mapInPandas(decode, schema="term string, docid long, pos long")
+        .orderBy("term", "docid", "pos")
+    )
+
+
 def _bm25_df(spark, sf_dir, query, mode, filter_ast=None, k=10):
     idx = _index(spark, sf_dir)
     res = idx.search(query, k=k, mode=mode, filter_ast=filter_ast)
@@ -1266,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": _q_ann_ivf_pq,
         "suggest_typos": _q_suggest_typos,
         "hybrid_rrf": _q_hybrid_rrf,
+        "match_positions": _q_match_positions,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
@@ -2955,6 +2993,14 @@ SELECT stat, value FROM (
   UNION ALL SELECT 'field_source', CAST(count(source) AS DOUBLE) FROM documents
   UNION ALL SELECT 'field_n_chars', CAST(count(n_chars) AS DOUBLE) FROM documents
 ) ORDER BY stat
+"""
+
+    # O1 match positions: stored-position round trip vs text recomputation
+    sql["match_positions"] = f"""
+WITH {_TOKS}
+SELECT term, doc_id AS docid, CAST(pos AS BIGINT) AS pos
+FROM toks WHERE term IN ('part', 'filter')
+ORDER BY term, docid, pos
 """
 
     # RRF hybrid: rank-only fusion, 1/(60+rank) per pool, no normalization
