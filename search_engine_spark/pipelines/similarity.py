@@ -686,6 +686,7 @@ def pq_codebooks(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """Train PQ codebooks (Jégou et al. 2011, "Product Quantization for
     Nearest Neighbor Search"): split the vector into ``m`` contiguous
@@ -729,7 +730,50 @@ def pq_codebooks(
             )
         ).alias("sub", "svec"),
     )
-    return subs.select("sub", "code", "svec")
+    cb = subs.select("sub", "code", "svec")
+    # Subspace Lloyd refinement: unlike IVF-Flat (which re-ranks exactly,
+    # so a sampled codebook only costs recall at tiny probe depths), PQ's
+    # approximation IS the ranking — refined centroids are what make ADC
+    # distances discriminative. Each iteration: one zero-exchange encode,
+    # one corpus-sized join of subvectors to codes, then centroid-count-
+    # sized element-wise means (empty cells keep their centroid).
+    # lloyd_iters=0 stays bit-reproducible for the SQL oracle.
+    for _ in range(lloyd_iters):
+        codes = pq_encode(emb, cb, m=m, id_col=id_col, vec_col=vec_col)
+        vsubs = emb.select(
+            F.col(id_col).alias("vec_id"), _vecd(F.col(vec_col)).alias("v")
+        ).select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice(F.col("v"), s * sub_d + 1, sub_d),
+                )
+            ).alias("sub", "vs"),
+        )
+        assigned = vsubs.join(codes, "vec_id").select(
+            "sub",
+            F.element_at("codes", F.col("sub") + 1).alias("code"),
+            "vs",
+        )
+        sums = (
+            assigned.select("sub", "code", F.posexplode("vs").alias("d", "x"))
+            .groupBy("sub", "code", "d")
+            .agg(F.avg("x").alias("mn"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "mn"))).alias("dm"))
+            .select(
+                "sub", "code", F.expr("transform(dm, s -> s.mn)").alias("new")
+            )
+        )
+        nxt = (
+            cb.join(sums, ["sub", "code"], "left")
+            .select("sub", "code", F.coalesce("new", "svec").alias("svec"))
+            .localCheckpoint()
+        )
+        cb.unpersist()
+        cb = nxt
+    return cb
 
 
 def pq_encode(
@@ -802,6 +846,7 @@ def pq_adc_topk(
     m: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank_pool: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     exact, each database vector is its reconstruction from the
@@ -817,6 +862,22 @@ def pq_adc_topk(
     cosine. -> (rank, vec_id, adist).
     """
     codes = pq_encode(emb, codebooks, m, id_col, vec_col)
+    return _adc_rank(
+        codes, codebooks, emb, query_vec, k, m, id_col, vec_col, rerank_pool
+    )
+
+
+def _adc_rank(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    rerank_pool: int | None,
+) -> DataFrame:
     q = [float(x) for x in query_vec]
     dim = len(q)
     sub_d = dim // m
@@ -858,6 +919,37 @@ def pq_adc_topk(
             ).alias("adist"),
         )
     )
+    if rerank_pool:
+        # IVFADC-R (Jégou §V): the ADC pass is a SHORTLIST generator —
+        # top-``rerank_pool`` by approximate distance, then exact cosine
+        # on only those rows (a k-bounded semi-join back to the vectors).
+        # This is the deployed configuration: ADC-only ordering cannot
+        # separate neighbors closer than the quantization cell size.
+        short = (
+            scored.orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+            .limit(int(rerank_pool))
+            .select("vec_id")
+        )
+        qc = F.array(*[F.lit(x) for x in q])
+        v = _vecd(F.col(vec_col))
+        exact = (
+            emb.select(F.col(id_col).alias("vec_id"), v.alias("v"))
+            .join(F.broadcast(short), "vec_id")
+            .select(
+                "vec_id",
+                F.round(
+                    _dot(F.col("v"), qc) / (_norm(F.col("v")) * _norm(qc)),
+                    ROUND,
+                ).alias("sim"),
+            )
+        )
+        w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        return (
+            exact.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "sim")
+        )
     w = Window.orderBy(F.col("adist").asc(), F.col("vec_id").asc())
     return (
         scored.orderBy(F.col("adist").asc(), F.col("vec_id").asc())
@@ -877,6 +969,8 @@ def ivf_pq_topk(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_lloyd_iters: int = 0,
+    rerank_pool: int | None = None,
 ) -> DataFrame:
     """IVF-PQ (Jégou et al. 2011 §IV, the IVFADC system): the layout
     that serves 10^12-vector ANN — a coarse IVF quantizer prunes the
@@ -894,18 +988,74 @@ def ivf_pq_topk(
     ~(8 + m) bytes per vector vs 4*dim — with the ``ivf_write``
     partitioned layout the probe reads n_probe directories of codes.
 
-    -> (rank, vec_id, adist), ascending approximate squared L2.
+    -> (rank, vec_id, adist), ascending approximate squared L2 (or
+    (rank, vec_id, sim) with ``rerank_pool``).
+
+    For repeated queries use :func:`ivf_pq_build` once +
+    :func:`ivf_pq_query` per query — this wrapper retrains the whole
+    index per call (correct, but build cost dominates).
     """
+    return ivf_pq_query(
+        ivf_pq_build(
+            emb, n_centroids=n_centroids, m=m, n_codes=n_codes,
+            id_col=id_col, vec_col=vec_col, pq_lloyd_iters=pq_lloyd_iters,
+            materialize=False,
+        ),
+        query_vec, k=k, n_probe=n_probe, rerank_pool=rerank_pool,
+    )
+
+
+def ivf_pq_build(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pq_lloyd_iters: int = 0,
+    materialize: bool = True,
+) -> dict:
+    """Train the IVF-PQ index once: coarse centroids, residual codebooks,
+    per-vector codes. Returns the index handle dict that
+    :func:`ivf_pq_query` serves from; with ``materialize=True`` the three
+    tables are localCheckpointed so repeated queries reuse the computed
+    codes instead of re-deriving the lineage (at cluster scale, persist
+    the codes table with ``ivf_write``-style ``partitionBy(cid)``)."""
     cents, assigns = ivf_assignments(emb, n_centroids, id_col, vec_col)
     res = assigns.join(F.broadcast(cents), "cid").select(
         "vec_id",
         "cid",
         F.zip_with("v", "cvec", lambda x, y: x - y).alias("rv"),
     )
-    cb = pq_codebooks(res, m=m, n_codes=n_codes, id_col="vec_id", vec_col="rv")
+    cb = pq_codebooks(
+        res, m=m, n_codes=n_codes, id_col="vec_id", vec_col="rv",
+        lloyd_iters=pq_lloyd_iters,
+    )
     codes = pq_encode(res, cb, m=m, id_col="vec_id", vec_col="rv").join(
         res.select("vec_id", "cid"), "vec_id"
     )
+    if materialize:
+        cents = cents.localCheckpoint()
+        cb = cb.localCheckpoint()
+        codes = codes.localCheckpoint()
+    return {
+        "cents": cents, "cb": cb, "codes": codes, "emb": emb,
+        "m": m, "id_col": id_col, "vec_col": vec_col,
+    }
+
+
+def ivf_pq_query(
+    index: dict,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank_pool: int | None = None,
+) -> DataFrame:
+    """Serve one query from an :func:`ivf_pq_build` handle (see
+    :func:`ivf_pq_topk` for the algorithm)."""
+    cents, cb, codes = index["cents"], index["cb"], index["codes"]
+    emb, m = index["emb"], index["m"]
+    id_col, vec_col = index["id_col"], index["vec_col"]
     q = [float(x) for x in query_vec]
     dim = len(q)
     sub_d = dim // m
@@ -967,6 +1117,33 @@ def ivf_pq_topk(
             ).alias("adist"),
         )
     )
+    if rerank_pool:
+        # IVFADC-R: ADC shortlist from the probed lists, exact cosine on
+        # only the shortlist rows (same contract as pq_adc_topk)
+        short = (
+            scored.orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+            .limit(int(rerank_pool))
+            .select("vec_id")
+        )
+        v = _vecd(F.col(vec_col))
+        exact = (
+            emb.select(F.col(id_col).alias("vec_id"), v.alias("ev"))
+            .join(F.broadcast(short), "vec_id")
+            .select(
+                "vec_id",
+                F.round(
+                    _dot(F.col("ev"), qc) / (_norm(F.col("ev")) * _norm(qc)),
+                    ROUND,
+                ).alias("sim"),
+            )
+        )
+        w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        return (
+            exact.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "vec_id", "sim")
+        )
     w = Window.orderBy(F.col("adist").asc(), F.col("vec_id").asc())
     return (
         scored.orderBy(F.col("adist").asc(), F.col("vec_id").asc())

@@ -405,3 +405,35 @@ def test_hybrid_rrf_rank_fusion(spark, index_dir):
     if both and single:
         assert max(r["rank"] for r in both) < min(r["rank"] for r in single) or \
             all(b["score"] >= s["score"] for b in both for s in single)
+
+
+def test_pq_rerank_pool_full_equals_brute_force(spark):
+    import numpy as np
+
+    from search_engine_spark.pipelines.similarity import (
+        cosine_topk, ivf_pq_build, ivf_pq_query, ivf_pq_topk,
+        pq_adc_topk, pq_codebooks,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qv = rows[3][1]
+    brute = [(r["vec_id"], r["sim"])
+             for r in cosine_topk(emb, qv, k=10).collect()]
+
+    # IVFADC-R with full-corpus shortlist == exact brute force
+    cb = pq_codebooks(emb, m=4, n_codes=8)
+    got = [(r["vec_id"], r["sim"])
+           for r in pq_adc_topk(emb, cb, qv, k=10, m=4,
+                                rerank_pool=150).collect()]
+    assert got == brute
+
+    # build-once/query-many handle gives the same rows as the wrapper
+    idx = ivf_pq_build(emb, n_centroids=5, m=4, n_codes=8, pq_lloyd_iters=1)
+    a = ivf_pq_query(idx, qv, k=10, n_probe=5, rerank_pool=150).collect()
+    b = ivf_pq_topk(emb, qv, k=10, n_centroids=5, n_probe=5, m=4, n_codes=8,
+                    pq_lloyd_iters=1, rerank_pool=150).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # probing every list with a full shortlist is exhaustive -> brute force
+    assert [(r["vec_id"], r["sim"]) for r in a] == brute
