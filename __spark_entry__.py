@@ -681,6 +681,31 @@ def _q_ann_ivf_store(spark, sf_dir):
     )
 
 
+_SNAP_IDX_CACHE: dict[str, "SearchIndex"] = {}
+
+
+def _q_bm25_snapshot(spark, sf_dir):
+    """Reference S7 snapshot (snapshot.rs): point-in-time copy of the
+    committed index, openable directly — pinned-meta-first contract so
+    concurrent generations can't leak (round 5). The oracle is the
+    ordinary batch BM25 SQL: hash equality proves the snapshot serves
+    identical results to the source index."""
+    from search_engine_spark.update import snapshot
+
+    key = os.path.abspath(sf_dir)
+    idx = _SNAP_IDX_CACHE.get(key)
+    if idx is None:
+        src = _index(spark, sf_dir)  # ensures the source index exists
+        tag = hashlib.md5(f"{ENGINE_TAG}:snap:{key}".encode()).hexdigest()[:12]
+        snap_dir = os.path.join(tempfile.gettempdir(), f"seg_idx_{tag}")
+        if not os.path.exists(os.path.join(snap_dir, "meta.json")):
+            snapshot(src.paths.root, snap_dir)
+        idx = SearchIndex(spark, snap_dir)
+        _SNAP_IDX_CACHE[key] = idx
+    res = idx.search("filter sort data", k=10, mode="exhaustive")
+    return res.select("docid", F.round("score", SCORE_ROUND).alias("score"))
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     """Reciprocal-rank-fusion hybrid (round 5, Cormack et al. 2009):
     1/(60+rank) per retriever pool, no score normalization — the
@@ -1304,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_typos": _q_suggest_typos,
         "hybrid_rrf": _q_hybrid_rrf,
         "match_positions": _q_match_positions,
+        "bm25_snapshot": _q_bm25_snapshot,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "stratified_sample_n": _q_stratified_sample_n,
         "decontaminate_stream": _q_decontaminate_stream,
@@ -2994,6 +3020,9 @@ SELECT stat, value FROM (
   UNION ALL SELECT 'field_n_chars', CAST(count(n_chars) AS DOUBLE) FROM documents
 ) ORDER BY stat
 """
+
+    # S7 snapshot serves identically to the source index: ordinary BM25 SQL
+    sql["bm25_snapshot"] = _bm25_sql(["filter", "sort", "data"])
 
     # O1 match positions: stored-position round trip vs text recomputation
     sql["match_positions"] = f"""

@@ -846,3 +846,55 @@ def reindex(
     os.replace(staging, index_dir)
     shutil.rmtree(old, ignore_errors=True)
     return read_meta(IndexPaths(index_dir))
+
+
+def snapshot(index_dir: str, dest_dir: str, include_metrics: bool = True) -> dict:
+    """Point-in-time index snapshot (reference S7, ``snapshot.rs``: copy
+    the environment into a tarball; here: a directory copy openable
+    directly by ``SearchIndex``). Returns the pinned meta dict.
+
+    Consistency contract: the source ``meta.json`` is read FIRST (pinning
+    the committed generation set), the data trees are copied, then any
+    ``gen=N`` segment directory NOT in the pinned set is pruned and the
+    PINNED meta is written last — so a concurrent ``add_documents``
+    landing generation N+1 mid-copy cannot leak into the snapshot's
+    segment stores, and the flat stores (docs / doc_stats / deletes)
+    carry a ``gen`` column that readers bound by the pinned meta's
+    generation horizon. Build checkpoints (``_checkpoints``) are
+    deliberately NOT copied: a snapshot is a read surface, not a
+    resumable build.
+
+    Scale note: this is a driver-side file copy — at cluster scale the
+    same pin-prune-meta-last sequence runs as a DistCp/object-store
+    copy job; the contract (meta pinned first, written last) is what
+    matters, not the copy mechanism.
+    """
+    import json
+    import os
+    import shutil
+
+    src = IndexPaths(index_dir)
+    meta = read_meta(src)
+    pinned_gens = {int(g) for g in meta.get("generations", {"0": {}})}
+    if os.path.exists(os.path.join(dest_dir, "meta.json")):
+        raise ValueError(f"snapshot: {dest_dir!r} already holds an index")
+    os.makedirs(dest_dir, exist_ok=True)
+    dst = IndexPaths(dest_dir)
+    for name in ("docs", "doc_stats", "term_doc", "terms", "postings",
+                 "deletes") + (("metrics",) if include_metrics else ()):
+        s = getattr(src, name)
+        if os.path.exists(s):
+            shutil.copytree(s, getattr(dst, name), dirs_exist_ok=True)
+    for name in ("term_doc", "terms", "postings"):
+        base = getattr(dst, name)
+        if not os.path.isdir(base):
+            continue
+        for child in os.listdir(base):
+            if child.startswith("gen="):
+                g = int(child.split("=", 1)[1])
+                if g not in pinned_gens:
+                    shutil.rmtree(os.path.join(base, child),
+                                  ignore_errors=True)
+    with open(dst.meta, "w") as f:
+        json.dump(meta, f)
+    return meta

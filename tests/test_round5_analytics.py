@@ -437,3 +437,45 @@ def test_pq_rerank_pool_full_equals_brute_force(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     # probing every list with a full shortlist is exhaustive -> brute force
     assert [(r["vec_id"], r["sim"]) for r in a] == brute
+
+
+def test_snapshot_point_in_time_copy(spark, tmp_path):
+    from search_engine_spark.build import build_index
+    from search_engine_spark.config import IndexConfig
+    from search_engine_spark.corpus import generate_pages
+    from search_engine_spark.query import SearchIndex
+    from search_engine_spark.update import add_documents, snapshot
+
+    pdf = generate_pages(n_docs=100, seed=21)
+    docs = spark.createDataFrame(pdf)
+    cfg = IndexConfig(text_col="text", pk_col="url", ts_col="warc_ts",
+                      attr_cols=("lang",), num_shards=2, num_buckets=4)
+    src = str(tmp_path / "src_idx")
+    build_index(spark, docs.limit(80), src, cfg)
+    add_documents(spark, src, docs.subtract(docs.limit(80)))  # gen=1
+
+    snap = str(tmp_path / "snap_idx")
+    meta = snapshot(src, snap)
+    assert set(meta["generations"]) == {"0", "1"}
+
+    before = [(r["pk"], round(r["score"], 6)) for r in
+              SearchIndex(spark, src).search("table join", k=10).collect()]
+    got = [(r["pk"], round(r["score"], 6)) for r in
+           SearchIndex(spark, snap).search("table join", k=10).collect()]
+    assert got == before
+
+    # later writes to the SOURCE don't leak into the snapshot
+    extra = spark.createDataFrame(generate_pages(n_docs=20, seed=99)) \
+        .withColumn("url", F.concat(F.lit("x-"), F.col("url")))
+    add_documents(spark, src, extra)
+    after_src = SearchIndex(spark, src)
+    snap_idx = SearchIndex(spark, snap)
+    assert after_src.n_docs == 120 and snap_idx.n_docs == 100
+    still = [(r["pk"], round(r["score"], 6)) for r in
+             snap_idx.search("table join", k=10).collect()]
+    assert still == before
+
+    # refuse to overwrite an existing index
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        snapshot(src, snap)
